@@ -1,0 +1,45 @@
+from datapipeline_spark.operators.where import where
+from datapipeline_spark.operators.record import (
+    collapse,
+    dedupe,
+    derive,
+    log_op,
+    log1p_op,
+    floor_time,
+    shift_time,
+)
+from datapipeline_spark.operators.window import (
+    fill,
+    forward_fill,
+    forward_sum,
+    lag,
+    lead,
+    rolling,
+    rolling_slope,
+    sequence_windows,
+)
+from datapipeline_spark.operators.ticks import ensure_cadence, ensure_ticks
+from datapipeline_spark.operators.align import align_streams, broadcast_stream
+
+__all__ = [
+    "where",
+    "collapse",
+    "dedupe",
+    "derive",
+    "log_op",
+    "log1p_op",
+    "floor_time",
+    "shift_time",
+    "fill",
+    "forward_fill",
+    "forward_sum",
+    "lag",
+    "lead",
+    "rolling",
+    "rolling_slope",
+    "sequence_windows",
+    "ensure_cadence",
+    "ensure_ticks",
+    "align_streams",
+    "broadcast_stream",
+]

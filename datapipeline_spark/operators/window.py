@@ -1,0 +1,245 @@
+"""Per-partition ordered window transforms.
+
+Reference semantics (SURVEY.md §2.7): every transform runs inside one series
+partition over canonical `(partition, time)` order with a row-based trailing
+frame. In Spark that is `Window.partitionBy(*partition_by).orderBy(*order_by)`
+— Tungsten's window exec sorts within shuffle partitions; no global sort is
+ever needed, so this scales linearly with partition count.
+
+Missing = null (NaN should be normalized upstream, functions/values.py).
+`min_samples` gates count *non-null values inside the row frame*, which is
+exactly Spark's `count(col) OVER frame`.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+TIME = "time"
+
+
+def canonical_window(
+    partition_by: Sequence[str], order_by: Sequence[str] = (TIME,)
+) -> WindowSpec:
+    """Canonical per-series window (reference domain/stream.py:8-11)."""
+    w = Window.partitionBy(*[F.col(c) for c in partition_by])
+    return w.orderBy(*[F.col(c) for c in order_by])
+
+
+def lag(
+    df: DataFrame,
+    field: str,
+    periods: int = 1,
+    partition_by: Sequence[str] = (),
+    out: str | None = None,
+    order_by: Sequence[str] = (TIME,),
+) -> DataFrame:
+    """Value `periods` rows back; null before (reference transforms/stream/lag.py:13-35)."""
+    w = canonical_window(partition_by, order_by)
+    return df.withColumn(out or field, F.lag(field, periods).over(w))
+
+
+def lead(
+    df: DataFrame,
+    field: str,
+    periods: int = 1,
+    partition_by: Sequence[str] = (),
+    out: str | None = None,
+    order_by: Sequence[str] = (TIME,),
+) -> DataFrame:
+    """Value `periods` rows ahead; null at tail (reference transforms/stream/lead.py:13-53)."""
+    w = canonical_window(partition_by, order_by)
+    return df.withColumn(out or field, F.lead(field, periods).over(w))
+
+
+_ROLLING_STATS = {"mean", "median", "stdev", "pstdev", "max", "min", "sum"}
+
+
+def rolling_expr(
+    field: str,
+    window: int,
+    statistic: str,
+    min_samples: int | None = None,
+    partition_by: Sequence[str] = (),
+    order_by: Sequence[str] = (TIME,),
+) -> Column:
+    """Trailing `window`-row statistic, emitted only when the frame holds at
+    least `min_samples` non-null values (default: a full window).
+
+    Reference: transforms/stream/rolling.py:34-77 + rolling_window.py:28-212.
+    The reference computes incrementally (Kahan sums, monotonic deques); Spark
+    recomputes per frame but vectorized in the JVM — same results, and the
+    frame never leaves whole-stage codegen.  stdev requires min_samples ≥ 2
+    (config/transforms.py:168-177).
+    """
+    if statistic not in _ROLLING_STATS:
+        raise ValueError(f"Unsupported rolling statistic: {statistic!r}")
+    if window < 1:
+        raise ValueError("rolling window must be >= 1")
+    ms = window if min_samples is None else min_samples
+    if statistic == "stdev" and ms < 2:
+        raise ValueError("rolling stdev requires min_samples >= 2")
+
+    w = canonical_window(partition_by, order_by).rowsBetween(-(window - 1), 0)
+    c = F.col(field)
+    agg = {
+        "mean": F.avg(c),
+        # exact median; F.median rejects window frames but percentile(0.5)
+        # computes the same interpolated order statistic and is frame-capable
+        "median": F.percentile(c, F.lit(0.5)),
+        "stdev": F.stddev_samp(c),
+        "pstdev": F.stddev_pop(c),
+        "max": F.max(c),
+        "min": F.min(c),
+        "sum": F.sum(c),
+    }[statistic]
+    return F.when(F.count(c).over(w) >= F.lit(ms), agg.over(w))
+
+
+def rolling(
+    df: DataFrame,
+    field: str,
+    window: int,
+    statistic: str = "mean",
+    min_samples: int | None = None,
+    partition_by: Sequence[str] = (),
+    out: str | None = None,
+    order_by: Sequence[str] = (TIME,),
+) -> DataFrame:
+    return df.withColumn(
+        out or field,
+        rolling_expr(field, window, statistic, min_samples, partition_by, order_by),
+    )
+
+
+def rolling_slope(
+    df: DataFrame,
+    x: str,
+    y: str,
+    window: int,
+    partition_by: Sequence[str] = (),
+    out: str = "slope",
+    order_by: Sequence[str] = (TIME,),
+) -> DataFrame:
+    """OLS slope of y on x over a strict trailing window of `window` rows.
+
+    Reference contract (transforms/stream/rolling_slope.py:15-53, engine
+    transforms/rolling_slope.py:7-119): any missing (x, y) pair CLEARS the
+    accumulated window — the stat restarts from scratch after a gap — and the
+    slope is emitted only when `window` consecutive non-missing pairs are in
+    hand.  Zero x-variance yields null here (the reference raises; validation
+    is a separate action in a lazy engine).
+
+    Spark shape: a missing-run id (`sum(missing) over unbounded preceding`)
+    partitions each series into gap-free runs; because every missing row
+    increments the id, a run contains at most its leading missing row, so
+    `count(pair) over frame == window` is exactly the reset semantics.
+    slope = covar_pop/var_pop over the frame — two shuffle-free window aggs.
+    """
+    missing = F.col(x).isNull() | F.col(y).isNull()
+    run_id = F.sum(missing.cast("int")).over(
+        canonical_window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_col = "__slope_run__"
+    with_run = df.withColumn(run_col, run_id)
+
+    w = canonical_window([*partition_by, run_col], order_by).rowsBetween(-(window - 1), 0)
+    pair_count = F.count(F.when(~missing, F.lit(1))).over(w)
+    var_x = F.var_pop(F.col(x)).over(w)
+    slope = F.covar_pop(F.col(x), F.col(y)).over(w) / F.nullif(var_x, F.lit(0.0))
+    gated = F.when(pair_count >= F.lit(window), slope)
+    return with_run.withColumn(out, gated).drop(run_col)
+
+
+def forward_sum(
+    df: DataFrame,
+    field: str,
+    window: int,
+    partition_by: Sequence[str] = (),
+    out: str | None = None,
+    order_by: Sequence[str] = (TIME,),
+) -> DataFrame:
+    """Sum of exactly the next `window` rows (current excluded); null if any
+    of them is missing or fewer than `window` rows remain.
+
+    Reference: transforms/stream/forward_sum.py:17-66.
+    """
+    w = canonical_window(partition_by, order_by).rowsBetween(1, window)
+    c = F.col(field)
+    full = (F.count(F.lit(1)).over(w) == window) & (F.count(c).over(w) == window)
+    return df.withColumn(out or field, F.when(full, F.sum(c).over(w)))
+
+
+def fill(
+    df: DataFrame,
+    field: str,
+    window: int,
+    statistic: str = "mean",
+    min_samples: int = 1,
+    partition_by: Sequence[str] = (),
+    out: str | None = None,
+    order_by: Sequence[str] = (TIME,),
+) -> DataFrame:
+    """Impute missing values from the mean/median of the previous `window`
+    rows' non-missing values (current row excluded), gated by `min_samples`.
+
+    Reference: transforms/stream/fill.py:26-69 — the history window counts
+    rows (ticks) and min_samples counts non-missing values within them, which
+    is Spark's frame + `count(col)` exactly (SURVEY.md §2.7 note).
+    """
+    if statistic not in ("mean", "median"):
+        raise ValueError(f"Unsupported fill statistic: {statistic!r}")
+    w = canonical_window(partition_by, order_by).rowsBetween(-window, -1)
+    c = F.col(field)
+    agg = (F.avg(c) if statistic == "mean" else F.percentile(c, F.lit(0.5))).over(w)
+    gated = F.when(F.count(c).over(w) >= F.lit(min_samples), agg)
+    return df.withColumn(out or field, F.coalesce(c, gated))
+
+
+def forward_fill(
+    df: DataFrame,
+    field: str,
+    partition_by: Sequence[str] = (),
+    out: str | None = None,
+    order_by: Sequence[str] = (TIME,),
+) -> DataFrame:
+    """Carry the last non-missing value forward within the partition
+    (reference transforms/stream/fill.py:72-100)."""
+    w = canonical_window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out or field, F.last(field, ignorenulls=True).over(w))
+
+
+def sequence_windows(
+    df: DataFrame,
+    field: str,
+    size: int,
+    stride: int = 1,
+    partition_by: Sequence[str] = (),
+    out: str | None = None,
+    order_by: Sequence[str] = (TIME,),
+    keep_partial: bool = False,
+) -> DataFrame:
+    """Sliding fixed-size windows per partition: each emitted row carries the
+    trailing `size` values as an array; only rows where a full window is
+    available AND the offset from series start is a stride multiple survive.
+
+    Reference: pipelines/series/stages.py:32-60 (emits only full windows
+    aligned to stride from the series start; state resets per series).
+    """
+    w_frame = canonical_window(partition_by, order_by).rowsBetween(-(size - 1), 0)
+    w_rank = canonical_window(partition_by, order_by)
+    # collect_list drops nulls; wrap in a struct so null slots survive
+    # (sequences must keep missing elements — reference series/stages.py:32-60).
+    values = F.transform(
+        F.collect_list(F.struct(F.col(field).alias("v"))).over(w_frame),
+        lambda s: s["v"],
+    )
+    rn = F.row_number().over(w_rank)
+    keep = (rn >= size) & (((rn - size) % stride) == 0)
+    out_df = df.withColumn(out or field, values).withColumn("__seq_keep__", keep)
+    if not keep_partial:
+        out_df = out_df.filter(F.col("__seq_keep__"))
+    return out_df.drop("__seq_keep__")

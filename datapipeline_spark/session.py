@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for the engine.
+
+All temporal semantics assume UTC (reference normalizes every record time to
+UTC on construction — src/datapipeline/domain/record.py:11-19), so the session
+timezone is forced to UTC. Scale posture: AQE on (runtime coalesce + skew-join
+handling), zstd parquet, Arrow for any Python exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Conf that is safe to (re)apply on a live session.
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Force engine-required conf onto an externally created session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment; accept session default
+    return spark
+
+
+def get_spark(
+    app_name: str = "datapipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or fetch) a session.
+
+    ``local[$SPARK_GRAFT_CPUS]`` by default; shuffle partitions default to the
+    local core count (at cluster scale, AQE coalesces post-shuffle partitions
+    so a generous static value is fine).
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return apply_runtime_conf(active)
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,67 @@
+"""Loaders for the driver-generated test tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet each under /root/testdata/sf{X}/.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), from the footer only."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table.
+
+    The driver's testdata stores timestamps as TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects unless `nanosAsLong` is on; those columns
+    then arrive as epoch-nano longs and are converted to proper timestamps
+    (micros, same truncation DuckDB applies when it casts nanos to its native
+    micros timestamps).
+    """
+    from datapipeline_spark.session import apply_runtime_conf
+    from pyspark.sql import functions as F
+
+    apply_runtime_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _nanos_timestamp_columns(path):
+        df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

@@ -1,0 +1,160 @@
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from datapipeline_spark.operators import (
+    align_streams,
+    broadcast_stream,
+    collapse,
+    dedupe,
+    derive,
+    ensure_cadence,
+    ensure_ticks,
+    floor_time,
+    log1p_op,
+    shift_time,
+    where,
+)
+from datapipeline_spark.operators.ticks import tick_grid
+
+
+def ts(h, m=0):
+    return datetime(2024, 1, 1, h, m)
+
+
+def test_where_time_iso_string(spark):
+    df = spark.createDataFrame([(ts(0), 1.0), (ts(3), 2.0)], "time timestamp, v double")
+    out = where(df, "time", "ge", "2024-01-01T01:00:00Z").collect()
+    assert [r["v"] for r in out] == [2.0]
+
+
+def test_where_in_not_in(spark):
+    df = spark.createDataFrame([("x", 1), ("y", 2), ("z", 3)], "k string, v int")
+    assert sorted(r["v"] for r in where(df, "k", "in", ["x", "z"]).collect()) == [1, 3]
+    assert [r["v"] for r in where(df, "k", "not_in", ["x", "z"]).collect()] == [2]
+
+
+def test_floor_shift_time(spark):
+    df = spark.createDataFrame([(datetime(2024, 1, 1, 1, 37, 11),)], "time timestamp")
+    assert floor_time(df, "10m").collect()[0]["time"] == datetime(2024, 1, 1, 1, 30)
+    assert floor_time(df, "1h").collect()[0]["time"] == datetime(2024, 1, 1, 1, 0)
+    assert floor_time(df, "1d").collect()[0]["time"] == datetime(2024, 1, 1)
+    assert shift_time(df, "-1h").collect()[0]["time"] == datetime(2024, 1, 1, 0, 37, 11)
+    assert shift_time(df, "30s").collect()[0]["time"] == datetime(2024, 1, 1, 1, 37, 41)
+
+
+def test_derive(spark):
+    df = spark.createDataFrame([(6.0, 3.0), (1.0, None)], "a double, b double")
+    out = derive(df, "a", "div", "b", out="r").collect()
+    assert out[0]["r"] == 2.0
+    assert out[1]["r"] is None  # null propagates
+    out = derive(df, "a", "mul", 10, out="r").collect()
+    assert out[0]["r"] == 60.0
+
+
+def test_log1p(spark):
+    import math
+
+    df = spark.createDataFrame([(0.0,), (1.0,), (None,)], "v double")
+    out = [r["v"] for r in log1p_op(df, "v").collect()]
+    assert out[0] == 0.0
+    assert out[1] == pytest.approx(math.log1p(1.0))
+    assert out[2] is None
+
+
+def test_dedupe(spark):
+    df = spark.createDataFrame([(ts(0), 1.0), (ts(0), 1.0), (ts(1), 1.0)], "time timestamp, v double")
+    assert dedupe(df).count() == 2
+
+
+def test_collapse_keep_last(spark):
+    # arrival order given by ordinal column (stable input order)
+    df = spark.createDataFrame(
+        [("a", ts(0), 1.0, 0), ("a", ts(0), 2.0, 1), ("a", ts(1), 3.0, 2)],
+        "p string, time timestamp, v double, ord long",
+    )
+    out = collapse(df, ["p"], keep="last", arrival_col="ord")
+    got = {r["time"].hour: r["v"] for r in out.collect()}
+    assert got == {0: 2.0, 1: 3.0}
+    out = collapse(df, ["p"], keep="first", arrival_col="ord")
+    got = {r["time"].hour: r["v"] for r in out.collect()}
+    assert got == {0: 1.0, 1: 3.0}
+
+
+def test_ensure_cadence_fills_interior_gaps(spark):
+    df = spark.createDataFrame(
+        [("a", ts(0), 1.0), ("a", ts(3), 2.0), ("b", ts(0), 5.0)],
+        "p string, time timestamp, v double",
+    )
+    out = ensure_cadence(df, "1h", ["p"])
+    rows = sorted((r["p"], r["time"].hour, r["v"]) for r in out.collect())
+    assert rows == [
+        ("a", 0, 1.0),
+        ("a", 1, None),
+        ("a", 2, None),
+        ("a", 3, 2.0),
+        ("b", 0, 5.0),
+    ]
+
+
+def test_ensure_cadence_offgrid_gap(spark):
+    # records at 00:00 and 02:30 with 1h cadence → ticks at 01:00? No:
+    # ticks are prev+k*step strictly before next → 01:00, 02:00
+    df = spark.createDataFrame(
+        [("a", ts(0), 1.0), ("a", ts(2, 30), 2.0)], "p string, time timestamp, v double"
+    )
+    out = ensure_cadence(df, "1h", ["p"])
+    times = sorted((r["time"].hour, r["time"].minute) for r in out.collect())
+    assert times == [(0, 0), (1, 0), (2, 0), (2, 30)]
+
+
+def test_ensure_ticks_grid_join(spark):
+    df = spark.createDataFrame(
+        [("a", ts(0), 1.0), ("a", ts(2), 2.0), ("a", ts(2, 30), 9.0)],
+        "p string, time timestamp, v double",
+    )
+    grid = tick_grid(df, "1h", ["p"])
+    out = ensure_ticks(df, grid, ["p"])
+    rows = sorted((r["time"].hour, r["time"].minute, r["v"]) for r in out.collect())
+    # grid 0,1,2 hourly + off-grid record 2:30 kept
+    assert rows == [(0, 0, 1.0), (1, 0, None), (2, 0, 2.0), (2, 30, 9.0)]
+
+
+def test_align_streams_inner_on_partition_time(spark):
+    a = spark.createDataFrame(
+        [("t1", ts(0), 10.0), ("t1", ts(1), 11.0), ("t2", ts(0), 20.0)],
+        "ticker string, time timestamp, value double",
+    )
+    b = spark.createDataFrame(
+        [("t1", ts(0), 1.0), ("t2", ts(0), 2.0), ("t2", ts(1), 3.0)],
+        "ticker string, time timestamp, value double",
+    )
+    out = align_streams({"price": a, "earnings": b}, ["ticker"])
+    rows = sorted((r["ticker"], r["time"].hour, r["price_value"], r["earnings_value"]) for r in out.collect())
+    assert rows == [("t1", 0, 10.0, 1.0), ("t2", 0, 20.0, 2.0)]
+
+
+def test_align_duplicate_key_validation(spark):
+    a = spark.createDataFrame([("t1", ts(0), 1.0), ("t1", ts(0), 2.0)], "ticker string, time timestamp, v double")
+    b = spark.createDataFrame([("t1", ts(0), 3.0)], "ticker string, time timestamp, v double")
+    with pytest.raises(ValueError, match="duplicate key"):
+        align_streams({"a": a, "b": b}, ["ticker"], validate=True)
+
+
+def test_broadcast_stream_strict(spark):
+    primary = spark.createDataFrame(
+        [("n", ts(0), 40.0), ("s", ts(1), 50.0)], "loc string, time timestamp, humidity double"
+    )
+    glob = spark.createDataFrame([(ts(0), 1.0), (ts(1), 2.0), (ts(2), 3.0)], "time timestamp, baseline double")
+    out = broadcast_stream(primary, glob)
+    rows = sorted((r["loc"], r["g_baseline"]) for r in out.collect())
+    assert rows == [("n", 1.0), ("s", 2.0)]  # unused key ts(2) ignored
+
+
+def test_broadcast_stream_missing_match_raises(spark):
+    primary = spark.createDataFrame([("n", ts(5), 1.0)], "loc string, time timestamp, v double")
+    glob = spark.createDataFrame([(ts(0), 1.0)], "time timestamp, baseline double")
+    with pytest.raises(Exception, match="no match"):
+        broadcast_stream(primary, glob).collect()

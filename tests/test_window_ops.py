@@ -1,0 +1,158 @@
+"""Exact-value unit tests for the ordered window transforms.
+
+Values mirror the reference's unit-test style (SURVEY.md §5): full-row exact
+assertions per operator, including null gating and partition resets.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from datapipeline_spark.operators import (
+    fill,
+    forward_fill,
+    forward_sum,
+    lag,
+    lead,
+    rolling,
+    rolling_slope,
+    sequence_windows,
+)
+
+
+def ts(h, m=0, d=1):
+    return datetime(2024, 1, d, h, m)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    # two partitions, one with a null hole
+    data = [
+        ("a", ts(0), 1.0),
+        ("a", ts(1), 2.0),
+        ("a", ts(2), None),
+        ("a", ts(3), 4.0),
+        ("a", ts(4), 5.0),
+        ("b", ts(0), 10.0),
+        ("b", ts(1), 20.0),
+    ]
+    return spark.createDataFrame(data, "part string, time timestamp, value double")
+
+
+def by_key(df):
+    return {(r["part"], r["time"].hour): r for r in df.collect()}
+
+
+def test_lag_lead(series):
+    out = by_key(lead(lag(series, "value", 1, ["part"], out="lagged"), "value", 1, ["part"], out="led"))
+    assert out[("a", 0)]["lagged"] is None
+    assert out[("a", 1)]["lagged"] == 1.0
+    assert out[("a", 3)]["lagged"] is None  # lag over the null hole carries the null
+    assert out[("a", 4)]["led"] is None
+    assert out[("b", 0)]["led"] == 20.0
+    assert out[("b", 0)]["lagged"] is None  # partition reset
+
+
+def test_rolling_mean_min_samples_gate(series):
+    # window=2, default min_samples=window → needs 2 non-null values in frame
+    out = by_key(rolling(series, "value", 2, "mean", partition_by=["part"], out="m"))
+    assert out[("a", 0)]["m"] is None  # only 1 row in frame
+    assert out[("a", 1)]["m"] == 1.5
+    assert out[("a", 2)]["m"] is None  # null occupies slot, count=1 < 2
+    assert out[("a", 3)]["m"] is None  # frame = [null, 4.0]
+    assert out[("a", 4)]["m"] == 4.5
+    # min_samples=1: single value suffices
+    out1 = by_key(rolling(series, "value", 2, "mean", 1, ["part"], out="m"))
+    assert out1[("a", 0)]["m"] == 1.0
+    assert out1[("a", 2)]["m"] == 2.0  # frame [2.0, null] → mean of non-null
+
+
+def test_rolling_max_min_median(series):
+    out = by_key(rolling(series, "value", 3, "max", 1, ["part"], out="v"))
+    assert out[("a", 4)]["v"] == 5.0
+    out = by_key(rolling(series, "value", 3, "min", 1, ["part"], out="v"))
+    assert out[("a", 3)]["v"] == 2.0  # frame [2, null, 4]
+    out = by_key(rolling(series, "value", 3, "median", 1, ["part"], out="v"))
+    assert out[("a", 4)]["v"] == 4.5  # frame [null, 4, 5]
+
+
+def test_rolling_stdev_requires_two(series):
+    with pytest.raises(ValueError):
+        rolling(series, "value", 3, "stdev", 1, ["part"])
+    out = by_key(rolling(series, "value", 2, "stdev", 2, ["part"], out="v"))
+    assert out[("a", 1)]["v"] == pytest.approx(0.7071067811865476)
+    assert out[("a", 2)]["v"] is None
+
+
+def test_forward_sum(series):
+    out = by_key(forward_sum(series, "value", 2, ["part"], out="f"))
+    assert out[("a", 0)]["f"] is None  # next two contain a null? next = [2.0, null] → null
+    assert out[("a", 1)]["f"] is None  # [null, 4.0]
+    assert out[("a", 2)]["f"] == 9.0  # [4.0, 5.0]
+    assert out[("a", 3)]["f"] is None  # only one row remains
+    assert out[("b", 0)]["f"] is None  # only one row ahead
+
+
+def test_fill_mean_excludes_current(series):
+    out = by_key(fill(series, "value", 2, "mean", 1, ["part"], out="v"))
+    assert out[("a", 2)]["v"] == 1.5  # mean of previous two [1.0, 2.0]
+    assert out[("a", 0)]["v"] == 1.0  # non-missing passes through
+    # min_samples too high → stays null
+    out2 = by_key(fill(series, "value", 1, "mean", 1, ["part"], out="v"))
+    assert out2[("a", 2)]["v"] == 2.0  # previous row only
+
+
+def test_forward_fill(series):
+    out = by_key(forward_fill(series, "value", ["part"], out="v"))
+    assert out[("a", 2)]["v"] == 2.0
+    assert out[("a", 3)]["v"] == 4.0
+
+
+def test_rolling_slope_reset_on_gap(spark):
+    # y = 2x exactly; a missing pair at hour 2 must clear the window
+    data = [
+        ("a", ts(0), 0.0, 0.0),
+        ("a", ts(1), 1.0, 2.0),
+        ("a", ts(2), None, 99.0),  # missing x
+        ("a", ts(3), 3.0, 6.0),
+        ("a", ts(4), 4.0, 8.0),
+        ("a", ts(5), 5.0, 10.0),
+    ]
+    df = spark.createDataFrame(data, "part string, time timestamp, x double, y double")
+    out = {r["time"].hour: r["slope"] for r in rolling_slope(df, "x", "y", 2, ["part"]).collect()}
+    assert out[0] is None  # window not yet full
+    assert out[1] == pytest.approx(2.0)
+    assert out[2] is None  # the missing row itself
+    assert out[3] is None  # window cleared — only 1 pair since gap
+    assert out[4] == pytest.approx(2.0)
+    assert out[5] == pytest.approx(2.0)
+
+
+def test_rolling_slope_zero_variance_null(spark):
+    data = [("a", ts(0), 1.0, 1.0), ("a", ts(1), 1.0, 2.0)]
+    df = spark.createDataFrame(data, "part string, time timestamp, x double, y double")
+    out = [r["slope"] for r in rolling_slope(df, "x", "y", 2, ["part"]).collect()]
+    assert out == [None, None]
+
+
+def test_sequence_windows(spark):
+    data = [("a", ts(h), float(h)) for h in range(6)]
+    df = spark.createDataFrame(data, "part string, time timestamp, value double")
+    out = sequence_windows(df, "value", size=2, stride=2, partition_by=["part"], out="seq")
+    got = {r["time"].hour: r["seq"] for r in out.collect()}
+    # full windows at offsets 0,2,4 from start → rows 2,4,6 (hours 1,3,5)
+    assert sorted(got) == [1, 3, 5]
+    assert got[1] == [0.0, 1.0]
+    assert got[3] == [2.0, 3.0]
+    assert got[5] == [4.0, 5.0]
+
+
+def test_sequence_windows_keeps_nulls(spark):
+    data = [("a", ts(0), 1.0), ("a", ts(1), None), ("a", ts(2), 3.0)]
+    df = spark.createDataFrame(data, "part string, time timestamp, value double")
+    out = sequence_windows(df, "value", size=2, stride=1, partition_by=["part"], out="seq")
+    got = {r["time"].hour: r["seq"] for r in out.collect()}
+    assert got[1] == [1.0, None]
+    assert got[2] == [None, 3.0]
