@@ -1,0 +1,632 @@
+"""Core query registry: operator-inventory queries + DuckDB oracle SQL.
+
+Each entry demonstrates one operator from SURVEY.md §2 on the driver test
+tables, with an ANSI-SQL oracle producing identical column names and values.
+
+Conventions for cross-engine determinism:
+- window order is always a TOTAL order: (time, event_id) within user_id;
+- derived floats are rounded (6 dp; money 2 dp) IN BOTH ENGINES so that
+  last-ulp differences in aggregate accumulation order cannot flip a hash;
+- values moved without arithmetic (lag/lead/min/max/fill) stay unrounded —
+  they are bit-identical by construction;
+- events have no nulls, so `value_n` (null where event_type='error') is the
+  deterministic missing-value column used by the gating/reset operators.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_spark import operators as ops
+from datapipeline_spark.functions.time import floor_time_expr, shift_time_expr
+from datapipeline_spark.operators.window import canonical_window
+from datapipeline_spark.tables import load_table
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- base streams
+
+ORDER = ("time", "event_id")  # total order within user_id
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("time"),
+        "value",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_n"),
+    )
+
+
+EVENTS_BASE = """
+base AS (
+  SELECT event_id, user_id, ts AS time, value, event_type,
+         CASE WHEN event_type = 'error' THEN CAST(NULL AS DOUBLE) ELSE value END AS value_n
+  FROM events
+)
+"""
+
+W = "PARTITION BY user_id ORDER BY time, event_id"
+
+
+def hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-floored, collapsed-to-last stream: one row per (user, hour)."""
+    s = events_stream(spark, sf_dir).select("user_id", "time", "value", "event_id")
+    s = ops.floor_time(s, "1h")
+    return ops.collapse(s, ["user_id"], keep="last", arrival_col="event_id").drop("event_id")
+
+
+HOURLY_BASE = """
+hourly AS (
+  SELECT user_id, time, value FROM (
+    SELECT user_id, date_trunc('hour', ts) AS time, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+"""
+
+
+# ------------------------------------------------------------ relational / agg
+
+
+@query(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_orders",
+    """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark TakeOrderedAndProject — per-partition heap + driver merge,
+    no global sort (SURVEY.md §2.4 gap operator)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@query(
+    "revenue_by_nation",
+    """
+SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pipeline with explicit broadcast of the small dims — at 100 TB the
+    orders fact never shuffles for the dim joins."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------- preprocess / projections
+
+
+@query(
+    "where_filter",
+    """
+WITH {base}
+SELECT event_id, user_id, time, value FROM base
+WHERE event_type IN ('click', 'purchase') AND value > 100
+  AND time >= TIMESTAMP '2024-01-10 00:00:00'
+""".format(base=EVENTS_BASE),
+)
+def where_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    s = ops.where(s, "event_type", "in", ["click", "purchase"])
+    s = ops.where(s, "value", "gt", 100)
+    s = ops.where(s, "time", "ge", "2024-01-10T00:00:00Z")
+    return s.select("event_id", "user_id", "time", "value")
+
+
+@query(
+    "floor_shift_time",
+    """
+WITH {base}
+SELECT event_id,
+       make_timestamp((floor(epoch(time) / 600) * 600)::BIGINT * 1000000)  AS bucket_10m,
+       date_trunc('hour', time)                                            AS bucket_1h,
+       time - INTERVAL 1 HOUR                                              AS shifted
+FROM base
+""".format(base=EVENTS_BASE),
+)
+def floor_shift_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    return s.select(
+        "event_id",
+        floor_time_expr("time", "10m").alias("bucket_10m"),
+        floor_time_expr("time", "1h").alias("bucket_1h"),
+        shift_time_expr("time", "-1h").alias("shifted"),
+    )
+
+
+@query(
+    "dedupe_distinct",
+    """
+WITH {base}
+SELECT DISTINCT user_id, event_type, date_trunc('day', time) AS day FROM base
+""".format(base=EVENTS_BASE),
+)
+def dedupe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).select(
+        "user_id", "event_type", floor_time_expr("time", "1d").alias("day")
+    )
+    return ops.dedupe(s)
+
+
+# ------------------------------------------------------------------ window ops
+
+
+@query(
+    "lag_lead",
+    """
+WITH {base}
+SELECT event_id, user_id, time, value,
+       lag(value, 1)  OVER ({w}) AS prev_value,
+       lead(value, 2) OVER ({w}) AS next2_value
+FROM base
+""".format(base=EVENTS_BASE, w=W),
+)
+def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    s = ops.lag(s, "value", 1, ["user_id"], out="prev_value", order_by=ORDER)
+    s = ops.lead(s, "value", 2, ["user_id"], out="next2_value", order_by=ORDER)
+    return s.select("event_id", "user_id", "time", "value", "prev_value", "next2_value")
+
+
+@query(
+    "rolling_mean",
+    """
+WITH {base}
+SELECT event_id, user_id,
+       round(CASE WHEN count(value_n) OVER w4 >= 2
+                  THEN avg(value_n) OVER w4 END, 6) AS roll_mean
+FROM base
+WINDOW w4 AS ({w} ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""".format(base=EVENTS_BASE, w=W),
+)
+def rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    s = ops.rolling(s, "value_n", 4, "mean", 2, ["user_id"], out="roll_mean", order_by=ORDER)
+    return s.select("event_id", "user_id", F.round("roll_mean", 6).alias("roll_mean"))
+
+
+@query(
+    "rolling_median",
+    """
+WITH {base}
+SELECT event_id, user_id,
+       round(CASE WHEN count(value_n) OVER w5 >= 1
+                  THEN quantile_cont(value_n, 0.5) OVER w5 END, 6) AS roll_median
+FROM base
+WINDOW w5 AS ({w} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""".format(base=EVENTS_BASE, w=W),
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    s = ops.rolling(s, "value_n", 5, "median", 1, ["user_id"], out="roll_median", order_by=ORDER)
+    return s.select("event_id", "user_id", F.round("roll_median", 6).alias("roll_median"))
+
+
+@query(
+    "rolling_minmax_sum",
+    """
+WITH {base}
+SELECT event_id, user_id,
+       CASE WHEN count(value_n) OVER w6 >= 1 THEN min(value_n) OVER w6 END AS roll_min,
+       CASE WHEN count(value_n) OVER w6 >= 1 THEN max(value_n) OVER w6 END AS roll_max,
+       round(CASE WHEN count(value_n) OVER w3 >= 3 THEN sum(value_n) OVER w3 END, 6) AS roll_sum
+FROM base
+WINDOW w6 AS ({w} ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+       w3 AS ({w} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""".format(base=EVENTS_BASE, w=W),
+)
+def rolling_minmax_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    s = ops.rolling(s, "value_n", 6, "min", 1, ["user_id"], out="roll_min", order_by=ORDER)
+    s = ops.rolling(s, "value_n", 6, "max", 1, ["user_id"], out="roll_max", order_by=ORDER)
+    s = ops.rolling(s, "value_n", 3, "sum", 3, ["user_id"], out="roll_sum", order_by=ORDER)
+    return s.select(
+        "event_id", "user_id", "roll_min", "roll_max", F.round("roll_sum", 6).alias("roll_sum")
+    )
+
+
+@query(
+    "rolling_stdev",
+    """
+WITH {base}
+SELECT event_id, user_id,
+       round(CASE WHEN count(value_n) OVER w5 >= 2 THEN stddev_samp(value_n) OVER w5 END, 6) AS roll_sd,
+       round(CASE WHEN count(value_n) OVER w5 >= 2 THEN stddev_pop(value_n)  OVER w5 END, 6) AS roll_psd
+FROM base
+WINDOW w5 AS ({w} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""".format(base=EVENTS_BASE, w=W),
+)
+def rolling_stdev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    s = ops.rolling(s, "value_n", 5, "stdev", 2, ["user_id"], out="roll_sd", order_by=ORDER)
+    s = ops.rolling(s, "value_n", 5, "pstdev", 2, ["user_id"], out="roll_psd", order_by=ORDER)
+    return s.select(
+        "event_id",
+        "user_id",
+        F.round("roll_sd", 6).alias("roll_sd"),
+        F.round("roll_psd", 6).alias("roll_psd"),
+    )
+
+
+@query(
+    "rolling_slope",
+    """
+WITH {base},
+runs AS (
+  SELECT *, (epoch(time) - 1704067200)::DOUBLE AS x,
+         sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END)
+           OVER ({w} ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM base
+)
+SELECT event_id, user_id,
+       round(CASE WHEN count(value_n) OVER wr >= 3
+                  THEN covar_pop(x, value_n) OVER wr / nullif(var_pop(x) OVER wr, 0)
+             END, 6) AS slope
+FROM runs
+WINDOW wr AS (PARTITION BY user_id, run_id ORDER BY time, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""".format(base=EVENTS_BASE, w=W),
+)
+def rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    # x = seconds since 2024-01-01 (rebased for numerical stability)
+    s = s.withColumn(
+        "x", (F.col("time").cast("double") - F.lit(1704067200.0))
+    )
+    s = ops.rolling_slope(s, "x", "value_n", 3, ["user_id"], out="slope", order_by=ORDER)
+    return s.select("event_id", "user_id", F.round("slope", 6).alias("slope"))
+
+
+@query(
+    "forward_sum",
+    """
+WITH {base}
+SELECT event_id, user_id,
+       round(CASE WHEN count(*) OVER wf = 3 AND count(value_n) OVER wf = 3
+                  THEN sum(value_n) OVER wf END, 6) AS fwd_sum
+FROM base
+WINDOW wf AS ({w} ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+""".format(base=EVENTS_BASE, w=W),
+)
+def forward_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    s = ops.forward_sum(s, "value_n", 3, ["user_id"], out="fwd_sum", order_by=ORDER)
+    return s.select("event_id", "user_id", F.round("fwd_sum", 6).alias("fwd_sum"))
+
+
+@query(
+    "fill_missing",
+    """
+WITH {base}
+SELECT event_id, user_id,
+       round(coalesce(value_n, CASE WHEN count(value_n) OVER wp >= 1
+                                    THEN avg(value_n) OVER wp END), 6)           AS filled_mean,
+       round(coalesce(value_n, CASE WHEN count(value_n) OVER wp >= 2
+                                    THEN quantile_cont(value_n, 0.5) OVER wp END), 6) AS filled_median,
+       last_value(value_n IGNORE NULLS) OVER ({w} ROWS UNBOUNDED PRECEDING)      AS ffilled
+FROM base
+WINDOW wp AS ({w} ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+""".format(base=EVENTS_BASE, w=W),
+)
+def fill_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    s = ops.fill(s, "value_n", 4, "mean", 1, ["user_id"], out="filled_mean", order_by=ORDER)
+    s = ops.fill(s, "value_n", 4, "median", 2, ["user_id"], out="filled_median", order_by=ORDER)
+    s = ops.forward_fill(s, "value_n", ["user_id"], out="ffilled", order_by=ORDER)
+    return s.select(
+        "event_id",
+        "user_id",
+        F.round("filled_mean", 6).alias("filled_mean"),
+        F.round("filled_median", 6).alias("filled_median"),
+        "ffilled",
+    )
+
+
+@query(
+    "derive_log",
+    """
+WITH {base}
+SELECT event_id,
+       round(value * 2 + 1, 6)              AS derived,
+       round(ln(value), 6)                  AS log_value,
+       round(ln(1 + value_n), 6)            AS log1p_value,
+       round(value / nullif(value_n, 0), 6) AS ratio
+FROM base
+""".format(base=EVENTS_BASE),
+)
+def derive_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    s = ops.derive(s, "value", "mul", 2, out="derived")
+    s = ops.derive(s, "derived", "add", 1, out="derived")
+    s = ops.log_op(s, "value", out="log_value")
+    s = ops.log1p_op(s, "value_n", out="log1p_value")
+    s = s.withColumn("value_n", F.nullif(F.col("value_n"), F.lit(0.0)))
+    s = ops.derive(s, "value", "div", "value_n", out="ratio")
+    return s.select(
+        "event_id",
+        F.round("derived", 6).alias("derived"),
+        F.round("log_value", 6).alias("log_value"),
+        F.round("log1p_value", 6).alias("log1p_value"),
+        F.round("ratio", 6).alias("ratio"),
+    )
+
+
+# --------------------------------------------------------- collapse / cadence
+
+
+@query(
+    "collapse_last",
+    """
+WITH {hourly}
+SELECT user_id, time, value FROM hourly
+""".format(hourly=HOURLY_BASE),
+)
+def collapse_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_stream(spark, sf_dir)
+
+
+@query(
+    "ensure_cadence",
+    """
+WITH {hourly},
+lagged AS (
+  SELECT user_id, time, value,
+         lag(time) OVER (PARTITION BY user_id ORDER BY time) AS prev
+  FROM hourly
+),
+gaps AS (
+  SELECT user_id,
+         unnest(generate_series(prev + INTERVAL 1 HOUR, time - INTERVAL 1 SECOND,
+                                INTERVAL 1 HOUR)) AS time,
+         CAST(NULL AS DOUBLE) AS value
+  FROM lagged WHERE prev IS NOT NULL
+)
+SELECT user_id, time, value FROM hourly
+UNION ALL SELECT user_id, time, value FROM gaps
+""".format(hourly=HOURLY_BASE),
+)
+def ensure_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.ensure_cadence(hourly_stream(spark, sf_dir), "1h", ["user_id"])
+
+
+# ----------------------------------------------------------- align / broadcast
+
+
+@query(
+    "align_streams",
+    """
+WITH {base},
+clicks AS (
+  SELECT user_id, date_trunc('hour', time) AS time, round(sum(value), 6) AS click_sum
+  FROM base WHERE event_type = 'click' GROUP BY 1, 2
+),
+views AS (
+  SELECT user_id, date_trunc('hour', time) AS time, round(sum(value), 6) AS view_sum
+  FROM base WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.user_id, c.time, c.click_sum, v.view_sum
+FROM clicks c JOIN views v ON c.user_id = v.user_id AND c.time = v.time
+""".format(base=EVENTS_BASE),
+)
+def align_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+
+    def agg(kind: str, out: str) -> DataFrame:
+        return (
+            s.filter(F.col("event_type") == kind)
+            .groupBy("user_id", floor_time_expr("time", "1h").alias("time"))
+            .agg(F.round(F.sum("value"), 6).alias(out))
+        )
+
+    aligned = ops.align_streams(
+        {"click": agg("click", "s"), "view": agg("view", "s")}, ["user_id"]
+    )
+    return aligned.select(
+        "user_id", "time",
+        F.col("click_s").alias("click_sum"), F.col("view_s").alias("view_sum"),
+    )
+
+
+@query(
+    "broadcast_center",
+    """
+WITH {hourly},
+g_avg AS (
+  SELECT time, round(avg(value), 6) AS g_mean FROM hourly GROUP BY time
+)
+SELECT h.user_id, h.time, round(h.value - g.g_mean, 6) AS centered
+FROM hourly h JOIN g_avg g ON h.time = g.time
+""".format(hourly=HOURLY_BASE),
+)
+def broadcast_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = hourly_stream(spark, sf_dir)
+    glob = h.groupBy("time").agg(F.round(F.avg("value"), 6).alias("g_mean"))
+    joined = ops.broadcast_stream(h, glob, time_field="time", prefix="g_", strict=True)
+    return joined.select(
+        "user_id", "time", F.round(F.col("value") - F.col("g_g_mean"), 6).alias("centered")
+    )
+
+
+# -------------------------------------------------- dataset layer (pivot etc.)
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "sample_pivot",
+    """
+WITH {base}
+SELECT user_id, date_trunc('day', time) AS time,
+       round(avg(CASE WHEN event_type = 'click'    THEN value END), 6) AS ev_click,
+       round(avg(CASE WHEN event_type = 'error'    THEN value END), 6) AS ev_error,
+       round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS ev_purchase,
+       round(avg(CASE WHEN event_type = 'signup'   THEN value END), 6) AS ev_signup,
+       round(avg(CASE WHEN event_type = 'view'     THEN value END), 6) AS ev_view
+FROM base GROUP BY 1, 2
+""".format(base=EVENTS_BASE),
+)
+def sample_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample assembly: long series → wide row per (key, bucket) via pivot
+    (reference operations/artifacts/series.py:216-333)."""
+    s = events_stream(spark, sf_dir)
+    wide = (
+        s.groupBy("user_id", floor_time_expr("time", "1d").alias("time"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.avg("value"), 6))
+    )
+    renames = {t: f"ev_{t}" for t in EVENT_TYPES}
+    return wide.withColumnsRenamed(renames)
+
+
+@query(
+    "scaler_standardize",
+    """
+WITH {base},
+stats AS (
+  SELECT event_type, avg(value) AS mean, greatest(stddev_pop(value), 1e-12) AS std
+  FROM base GROUP BY event_type
+)
+SELECT b.event_id, b.event_type, round((b.value - s.mean) / s.std, 6) AS z
+FROM base b JOIN stats s ON b.event_type = s.event_type
+""".format(base=EVENTS_BASE),
+)
+def scaler_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard scaler: fit = one agg pass, apply = broadcast join of the tiny
+    stats table (reference transforms/vector/scaler.py:34-79, std clamped ≥ε)."""
+    s = events_stream(spark, sf_dir)
+    stats = s.groupBy("event_type").agg(
+        F.avg("value").alias("mean"),
+        F.greatest(F.stddev_pop("value"), F.lit(1e-12)).alias("std"),
+    )
+    return (
+        s.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mean")) / F.col("std"), 6).alias("z"),
+        )
+    )
+
+
+@query(
+    "split_time_label",
+    """
+WITH {base}
+SELECT event_id,
+       CASE WHEN time < TIMESTAMP '2024-01-15 00:00:00' THEN 'train'
+            WHEN time < TIMESTAMP '2024-01-23 00:00:00' THEN 'validation'
+            ELSE 'test' END AS label
+FROM base
+""".format(base=EVENTS_BASE),
+)
+def split_time_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeLabeler: interval membership by boundary chain
+    (reference pipelines/dataset/split.py:42-63)."""
+    s = events_stream(spark, sf_dir)
+    label = (
+        F.when(F.col("time") < F.lit(datetime(2024, 1, 15)), "train")
+        .when(F.col("time") < F.lit(datetime(2024, 1, 23)), "validation")
+        .otherwise("test")
+    )
+    return s.select("event_id", label.alias("label"))
+
+
+@query(
+    "split_hash_label",
+    """
+WITH {base},
+keys AS (SELECT DISTINCT user_id FROM base),
+hashed AS (
+  SELECT user_id,
+         (('0x' || substr(sha256('42|' || user_id::VARCHAR), 1, 13))::UBIGINT)::BIGINT AS h
+  FROM keys
+)
+SELECT user_id, CASE WHEN h % 10 < 8 THEN 'train' ELSE 'eval' END AS label
+FROM hashed
+""".format(base=EVENTS_BASE),
+)
+def split_hash_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashLabeler: deterministic sha256 bucket of the sample key
+    (reference pipelines/dataset/split.py:14-39) — 52-bit prefix arithmetic,
+    bit-identical across engines."""
+    s = events_stream(spark, sf_dir).select("user_id").distinct()
+    h = F.conv(F.substring(F.sha2(F.concat(F.lit("42|"), F.col("user_id").cast("string")), 256), 1, 13), 16, 10).cast("long")
+    label = F.when(h % 10 < 8, "train").otherwise("eval")
+    return s.select("user_id", label.alias("label"))

@@ -59,7 +59,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_columns(path):
-        df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+        # integer DIV — float division loses precision on epoch-nano magnitudes
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
     return df
 
 

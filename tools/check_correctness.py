@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's correctness gate.
+
+Runs every entry in __spark_entry__.queries() on Spark and the matching
+oracle_sql() on DuckDB over the same parquet tables, then compares
+row count, column names, and order-insensitive values (column-name-sorted,
+like the driver's hash compare — see repo README "driver contract").
+
+Usage: python tools/check_correctness.py [--sf-dir /root/testdata/sf0.01] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _normalize(df, float_round=None):
+    """pandas DataFrame → sorted list of value tuples with canonical types."""
+    import pandas as pd
+    import numpy as np
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif s.dtype == object:
+            df[c] = s.map(
+                lambda v: tuple(np.asarray(v).tolist()) if isinstance(v, (list, np.ndarray)) else v
+            )
+    rows = []
+    for t in df.itertuples(index=False, name=None):
+        norm = []
+        for v in t:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    norm.append(None)
+                elif float_round is not None:
+                    norm.append(round(v, float_round))
+                else:
+                    norm.append(v)
+            elif v is None or v != v:  # NaT / NaN objects
+                norm.append(None)
+            else:
+                norm.append(v)
+        rows.append(tuple(norm))
+    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument("--float-round", type=int, default=None, help="extra rounding before compare")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from datapipeline_spark.session import get_spark
+    from datapipeline_spark.tables import TABLE_NAMES
+
+    spark = get_spark(app_name="correctness-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    passed, failed, skipped = [], [], []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir).toPandas()
+        except Exception as e:
+            failed.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            skipped.append(name)
+            print(f"skip  {name}: no oracle (rows-only: {len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(sql).df()
+        except Exception as e:
+            failed.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            continue
+
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            failed.append((name, f"columns {sorted(sdf.columns)} != {sorted(ddf.columns)}"))
+            print(f"FAIL  {name}: columns spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+            continue
+        if len(sdf) != len(ddf):
+            failed.append((name, f"rowcount {len(sdf)} != {len(ddf)}"))
+            print(f"FAIL  {name}: rowcount spark={len(sdf)} duck={len(ddf)}")
+            continue
+        s_rows = _normalize(sdf, args.float_round)
+        d_rows = _normalize(ddf, args.float_round)
+        if s_rows != d_rows:
+            mism = sum(1 for a, b in zip(s_rows, d_rows) if a != b)
+            failed.append((name, f"{mism}/{len(s_rows)} rows mismatch"))
+            print(f"FAIL  {name}: {mism}/{len(s_rows)} rows differ")
+            for a, b in zip(s_rows, d_rows):
+                if a != b:
+                    print(f"      spark: {a}\n      duck : {b}")
+                    break
+        else:
+            passed.append(name)
+            print(f"PASS  {name} ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+
+    print(
+        f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only "
+        f"of {len(queries)} queries at {args.sf_dir}"
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
