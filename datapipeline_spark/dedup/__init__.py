@@ -1,0 +1,24 @@
+from datapipeline_spark.dedup.exact import exact_dedup, text_fingerprints
+from datapipeline_spark.dedup.minhash import (
+    MinHashParams,
+    char_shingles,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    word_shingles,
+)
+from datapipeline_spark.dedup.simhash import simhash
+
+__all__ = [
+    "exact_dedup",
+    "text_fingerprints",
+    "MinHashParams",
+    "char_shingles",
+    "word_shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "minhash_dedup_pairs",
+    "simhash",
+]

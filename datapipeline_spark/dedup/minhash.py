@@ -1,0 +1,180 @@
+"""MinHash + LSH near-duplicate detection, cross-engine deterministic.
+
+Pipeline (each stage a narrow DataFrame op; shuffles only on group-bys/joins):
+  shingle → 48-bit md5 hash → k permuted min-hashes (signature)
+  → band buckets → candidate pairs (equi-join on band signature)
+  → exact jaccard verification on candidates only.
+
+Determinism: the base hash is the first 12 hex chars of md5 (identical in
+any engine), permutations are (a_j·h + b_j) mod P with constants generated
+from a seeded PRNG at module import — the SQL oracle embeds the same
+constants, so signatures are bit-identical.
+
+Scale: the candidate join is the only quadratic-risk step and it is bounded
+by band-bucket size; banding keeps buckets tiny for non-duplicates, and a
+bucket-size cap (`max_bucket`) drops degenerate buckets (boilerplate) the
+same way production dedup pipelines do.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_HEX_LEN = 12  # 48-bit base hash: products with a<2^15 stay in int64
+MOD = (1 << 31) - 1
+
+
+@dataclass(frozen=True)
+class MinHashParams:
+    num_hashes: int = 8
+    seed: int = 42
+    coeffs: tuple[tuple[int, int], ...] = field(default=())
+
+    def __post_init__(self):
+        if not self.coeffs:
+            rng = random.Random(self.seed)
+            object.__setattr__(
+                self,
+                "coeffs",
+                tuple(
+                    (rng.randrange(1, 1 << 15) | 1, rng.randrange(0, MOD))
+                    for _ in range(self.num_hashes)
+                ),
+            )
+
+
+def hash48(col) -> F.Column:
+    """48-bit integer hash of a string column via md5 prefix (engine-neutral)."""
+    return F.conv(F.substring(F.md5(col), 1, HASH_HEX_LEN), 16, 10).cast("long")
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Distinct character k-grams per document → (id, shingle)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+    return (
+        df.select(id_col, F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Distinct word n-grams per document → (id, shingle)."""
+    joined = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    grams = F.expr(
+        f"transform(sequence(0, size(w) - {n}), i -> {joined})"
+    )
+    return (
+        df.select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
+        .filter(F.size("w") >= n)
+        .select(id_col, F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, params: MinHashParams = MinHashParams()
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) — one aggregation pass over the shingle stream."""
+    h = hash48(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MOD)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(params.coeffs)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    params: MinHashParams = MinHashParams(),
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate (id_a < id_b) pairs.
+
+    rows_per_band = num_hashes // bands. Buckets larger than `max_bucket`
+    are dropped (degenerate boilerplate guard — prevents the quadratic
+    blowup that would otherwise dominate at corpus scale).
+    """
+    rows = params.num_hashes // bands
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                        ).alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+    counts = banded.groupBy("band", "sig").count().filter(F.col("count") <= max_bucket)
+    small = banded.join(counts.select("band", "sig"), ["band", "sig"])
+    a = small.select(F.col("band"), F.col("sig"), F.col(id_col).alias("id_a"))
+    b = small.select(F.col("band"), F.col("sig"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact jaccard over distinct shingles; restricted to `candidates` when
+    given (the LSH path), else all co-shingled pairs (small corpora only)."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "leftsemi")
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: MinHashParams = MinHashParams(),
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_words: int = 2,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle → minhash → LSH → verified jaccard."""
+    sh = word_shingles(df, id_col, text_col, shingle_words)
+    sig = minhash_signatures(sh, id_col, params)
+    cand = lsh_candidate_pairs(sig, id_col, params, bands)
+    return jaccard_pairs(sh, id_col, cand, threshold)

@@ -1,0 +1,141 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Spark-side design (the part that matters at 100 TB):
+- media rows are (id, media: binary, media_type, meta: struct) — binary stays
+  opaque through shuffles; metadata is columnar and prunable;
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  `mapInPandas` stages so bytes move Python-side once per batch, not per row;
+- partitioning: blobs are large → `spark.sql.files.maxPartitionBytes` governs
+  scan parallelism; repartition by id before UDF stages to balance batches.
+
+The actual codec calls are STUBBED: image/audio libraries are not available
+in this environment. `decode_media(..., codec="real")` raises
+NotImplementedError at the exact integration point; the default
+deterministic fake decoder exercises the full schema/batching path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image | audio | video
+        StructField("media", BinaryType(), True),  # opaque encoded bytes
+        StructField("source_uri", StringType(), True),
+        StructField("byte_len", LongType(), True),
+    ]
+)
+
+
+def fake_media_table(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media rows (bytes = sha256 stream) for tests."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        blob = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        rows.append((i, kinds[i % 3], bytearray(blob), f"synthetic://media/{i}", len(blob)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def attach_media_metadata(df: DataFrame) -> DataFrame:
+    """Cheap JVM-side metadata: byte length + content digest (no Python)."""
+    return df.withColumns(
+        {
+            "byte_len": F.length(F.col("media")).cast("long"),
+            "content_sha": F.sha2(F.col("media"), 256),
+        }
+    )
+
+
+def _fake_decode(media_type: str, blob: bytes) -> dict:
+    """Deterministic stand-in for a codec: derives plausible dimensions from
+    a content digest. Replace with PIL/torchaudio/ffmpeg in production."""
+    h = hashlib.sha256(blob or b"").digest()
+    if media_type == "image":
+        return {"width": 64 + h[0], "height": 64 + h[1], "n_frames": 1, "sample_rate": None}
+    if media_type == "audio":
+        return {"width": None, "height": None, "n_frames": 1000 + h[2] * 4, "sample_rate": 16000}
+    return {"width": 128 + h[0], "height": 128 + h[1], "n_frames": 24 + h[3], "sample_rate": None}
+
+
+DECODED_SCHEMA = (
+    "media_id long, media_type string, width int, height int, n_frames int, sample_rate int"
+)
+
+
+def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode blobs → typed dimensions. Arrow-batched mapInPandas.
+
+    codec="real" marks where PIL/ffmpeg/torchaudio would be invoked; it
+    raises NotImplementedError (libraries unavailable in this environment).
+    """
+    if codec == "real":
+        raise NotImplementedError(
+            "real media codecs (PIL/ffmpeg/torchaudio) are not available in "
+            "this environment; use codec='fake' to exercise the pipeline"
+        )
+
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            meta = [
+                _fake_decode(t, bytes(b) if b is not None else b"")
+                for t, b in zip(pdf["media_type"], pdf["media"])
+            ]
+            out = pd.DataFrame(meta)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            yield out
+
+    return df.select("media_id", "media_type", "media").mapInPandas(gen, DECODED_SCHEMA)
+
+
+FEATURE_SCHEMA = "media_id long, feature array<float>"
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Content-derived fixed-dim feature vector (fake embedding): the batch
+    shape, schema and partition behavior match a real encoder."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["media"]:
+                h = hashlib.sha256(bytes(b) if b is not None else b"").digest()
+                feats.append(np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype="<u4").astype("float32") / 2**32)
+            yield pd.DataFrame({"media_id": pdf["media_id"].values, "feature": [f.tolist() for f in feats]})
+
+    return df.select("media_id", "media").mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 8) -> DataFrame:
+    """Video frame sampling plan: one output row per sampled frame index.
+
+    JVM-side: decode metadata (n_frames) is already columnar, so the frame
+    lattice is a `sequence` + `explode` — the real frame *decode* would be a
+    follow-up mapInPandas over (media_id, frame_idx) batches."""
+    decoded = decode_media(df)
+    frames = decoded.filter(F.col("media_type") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+    return frames

@@ -1,0 +1,279 @@
+"""Training-data operator queries (dedup / similarity / text analysis) with
+DuckDB oracles, on the `documents` and `embeddings` tables.
+
+Determinism notes:
+- all content hashing is md5-prefix-48bit → identical integers in any engine;
+- minhash permutation constants come from MinHashParams(seed=42) and are
+  embedded into the oracle SQL from the same Python object;
+- cosine scores are computed in DOUBLE with sequential folds and rounded to
+  4 dp in both engines before ranking/threshold.
+LSH-accelerated variants (`minhash_lsh_pairs`, `lsh_knn`) are approximate by
+design → rows-only checks (no oracle); their exact counterparts
+(`ngram_jaccard_pairs`, `knn_cosine`) are the oracle-verified ground truth.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_spark.dedup import (
+    MinHashParams,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+from datapipeline_spark.similarity import (
+    brute_force_knn,
+    embedding_similar_pairs,
+    lsh_knn,
+)
+from datapipeline_spark.tables import load_table
+from datapipeline_spark.text import LANG_MARKERS, lang_scores, quality_score, text_stats
+from datapipeline_spark.text.analysis import winnow_fingerprints
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+PARAMS = MinHashParams()  # seed=42, 8 hashes
+MOD = (1 << 31) - 1
+
+H48 = "(('0x' || substr(md5({col}), 1, 12))::UBIGINT)::BIGINT"
+
+WORDS = "string_split_regex(trim(text), '\\s+')"
+
+BIGRAMS = """
+d AS (SELECT doc_id, {words} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS s
+    FROM d CROSS JOIN generate_series(1, 1000) g(i)
+    WHERE g.i < len(w)
+  )
+)
+""".format(words=WORDS)
+
+
+# ------------------------------------------------------------- text analysis
+
+
+@query(
+    "text_stats",
+    """
+WITH d AS (SELECT doc_id, text, {words} AS w FROM documents)
+SELECT doc_id,
+       length(text)::BIGINT                                        AS n_chars_calc,
+       len(w)::BIGINT                                              AS n_tokens,
+       len(list_distinct(w))::BIGINT                               AS n_distinct_tokens,
+       round(len(list_distinct(w)) * 1.0 / len(w), 6)              AS ttr,
+       round(length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / len(w), 6) AS mean_token_len,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT      AS n_alnum_runs
+FROM d
+""".format(words=WORDS),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = text_stats(d)
+    out = out.withColumn(
+        "n_alnum_runs", F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))").cast("long")
+    )
+    return out.select(
+        "doc_id", "n_chars_calc", "n_tokens", "n_distinct_tokens", "ttr", "mean_token_len", "n_alnum_runs"
+    )
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        score_cols.append(
+            f"round(len(list_filter(w, x -> list_contains({arr}, x))) * 1.0 / len(w), 6) AS score_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} >= {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH d AS (SELECT doc_id, {WORDS} AS w FROM documents),
+scored AS (SELECT doc_id, {", ".join(score_cols)} FROM d)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)}, {case} AS pred_lang
+FROM scored
+"""
+
+
+@query("lang_id", _lang_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = lang_scores(d)
+    return out.select("doc_id", *[f"score_{lang}" for lang in LANG_MARKERS], "pred_lang")
+
+
+@query(
+    "quality_score",
+    """
+WITH d AS (SELECT doc_id, text, {words} AS w FROM documents)
+SELECT doc_id,
+       round(0.3 * least(len(w) / 100.0, 1.0)
+           + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
+           + 0.4 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)), 6) AS quality
+FROM d
+""".format(words=WORDS),
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return quality_score(d).select("doc_id", "quality")
+
+
+# --------------------------------------------------------------------- dedup
+
+
+@query(
+    "exact_dedup",
+    """
+SELECT md5(text) AS fingerprint, min(doc_id) AS rep_id, count(*) AS n_dupes
+FROM documents GROUP BY md5(text)
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d)
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MOD}) AS mh{j}" for j, (a, b) in enumerate(PARAMS.coeffs)
+    )
+    return f"""
+WITH {BIGRAMS},
+hashed AS (SELECT doc_id, {H48.format(col='s')} AS h FROM sh)
+SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+"""
+
+
+@query("minhash_signatures", _minhash_sql())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", 2)
+    return minhash_signatures(sh, "doc_id", PARAMS)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    """
+WITH {bigrams},
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+""".format(bigrams=BIGRAMS),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", 2)
+    return jaccard_pairs(sh, "doc_id", candidates=None, threshold=0.5)
+
+
+@query("minhash_lsh_pairs")  # approximate (LSH recall) → rows-only check
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, params=PARAMS, bands=4, threshold=0.5)
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {WORDS} AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tok FROM d),
+hashed AS (SELECT doc_id, {H48.format(col='tok')} AS h FROM tok),
+votes AS (
+  SELECT doc_id, g.i, sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed CROSS JOIN generate_series(0, 31) g(i) GROUP BY 1, 2
+)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+@query("simhash", _simhash_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, bits=32)
+
+
+@query("winnow_fingerprints")  # sequential rolling-hash state → rows-only check
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d)
+
+
+# ---------------------------------------------------------------- similarity
+
+
+@query(
+    "knn_cosine",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v) /
+               nullif(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)), 0),
+               4) AS score
+  FROM q JOIN e ON e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= 3
+""",
+)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    out = brute_force_knn(e, queries, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "embedding_similar_pairs",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
+             4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0), 4) >= 0.3
+""",
+)
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_similar_pairs(e, threshold=0.3)
+
+
+@query("lsh_knn")  # approximate (bucket recall) → rows-only check
+def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return lsh_knn(e, queries, k=3)

@@ -1,0 +1,15 @@
+from datapipeline_spark.similarity.ann import (
+    brute_force_knn,
+    cosine_similarity_expr,
+    embedding_similar_pairs,
+    lsh_knn,
+    random_hyperplane_signature,
+)
+
+__all__ = [
+    "brute_force_knn",
+    "cosine_similarity_expr",
+    "embedding_similar_pairs",
+    "lsh_knn",
+    "random_hyperplane_signature",
+]

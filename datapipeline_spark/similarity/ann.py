@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `brute_force_knn`: exact cosine top-k — broadcast the (small) query set
+  against the corpus; one narrow map + per-partition top-k via window rank.
+  The baseline and the verifier for approximate paths.
+- `lsh_knn`: random-hyperplane (sign) LSH — banding over sign bits buckets
+  the corpus so each query only scans its buckets. The 100 TB path: bucket
+  assignment is a map; the join is an equi-join on (band, bucket).
+- All float math is done in DOUBLE with sequential `aggregate` folds so
+  results are deterministic and engine-comparable.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / F.nullif(norm_expr(a) * norm_expr(b), F.lit(0.0))
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, neighbor_id, rank, score).
+
+    The query side is broadcast — corpus never shuffles; ranking is a window
+    over query_id (top-k per query via row_number, ties broken by rounded
+    score then neighbor id for cross-engine determinism).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score", F.round(cosine_similarity_expr(F.col("q_vec"), F.col("c_vec")), round_digits)
+        )
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def random_hyperplane_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 16,
+    seed: int = 42,
+    out: str = "rh_sig",
+) -> DataFrame:
+    """Sign-LSH signature: bit p = [v · h_p > 0] with h_p a deterministic
+    pseudo-random ±1 hyperplane. Pure map stage."""
+    rng = random.Random(seed)
+    hyper = [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)] for _ in range(planes)]
+    sig = F.lit(0).cast("long")
+    v = _to_double(F.col(vec_col))
+    for p, plane in enumerate(hyper):
+        arr = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(F.zip_with(v, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        sig = sig + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out, sig)
+
+
+def lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one LSH band with the
+    query, then exact cosine re-rank. At corpus scale each band bucket holds
+    ~corpus/2^(planes/bands) vectors — the scan per query is bounded."""
+    bits = planes // bands
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        s = random_hyperplane_signature(df, vec_col, dim, planes, seed)
+        return s.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            (
+                                F.shiftright(F.col("rh_sig"), b * bits)
+                                .bitwiseAND(F.lit((1 << bits) - 1))
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"{role}_id", f"{role}_vec", "bb.band", "bb.bucket")
+
+    cand = (
+        banded(corpus, "neighbor")
+        .join(banded(queries, "query"), ["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "score", F.round(cosine_similarity_expr(F.col("query_vec"), F.col("neighbor_vec")), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def embedding_similar_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup surface).
+
+    Brute-force O(n²) formulation for bounded corpora / verification; the
+    scale path is `lsh_knn` or sign-signature blocking first.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity_expr(F.col("va"), F.col("vb")), round_digits))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot-path computation is built-in column expressions (JVM, whole-stage
+codegen); only the winnowing fingerprint drops to an Arrow-batched
+mapInPandas. Designed so every per-document statistic is one narrow
+projection — no shuffle at all until an aggregation is requested, which is
+what lets these run on a 100 TB documents table as a pure map stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny deterministic stopword marker sets (ASCII only, by design: the
+#: heuristic must be reproducible in any engine, incl. the SQL oracle).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "les", "des", "et", "un"],
+}
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document surface statistics: chars, tokens, distinct tokens,
+    type-token ratio, mean token length. Pure projection — map-only."""
+    w = _words(text_col)
+    n_tokens = F.size(w)
+    n_chars = F.length(F.col(text_col))
+    distinct_tokens = F.size(F.array_distinct(w))
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars.cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "n_distinct_tokens": distinct_tokens.cast("long"),
+            "ttr": F.round(distinct_tokens / n_tokens, 6),
+            "mean_token_len": F.round(
+                F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")) / n_tokens, 6
+            ),
+        }
+    )
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-free language-ID heuristic: marker-stopword hit rate per
+    language; prediction = argmax with deterministic tie order (marker
+    insertion order). Columns: score_<lang>… + pred_lang."""
+    w = _words(text_col)
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+        out = out.withColumn(f"score_{lang}", F.round(hits / F.size(w), 6))
+    scores = [F.col(f"score_{lang}") for lang in LANG_MARKERS]
+    best = F.greatest(*scores)
+    pred = F.lit(None).cast("string")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(F.col(f"score_{lang}") >= best, F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality heuristic in [0,1]: length saturation, lexical
+    diversity, and alphabetic-character ratio (a cheap boilerplate/noise
+    proxy). Weights mirror common web-corpus filters."""
+    w = _words(text_col)
+    n_tokens = F.size(w)
+    distinct_ratio = F.size(F.array_distinct(w)) / n_tokens
+    len_sat = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", "")) / F.length(F.col(text_col))
+    )
+    q = 0.3 * len_sat + 0.3 * distinct_ratio + 0.4 * alpha_ratio
+    return df.withColumn("quality", F.round(q, 6))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    polynomial rolling hash over k-grams, keep the min hash of each sliding
+    window (rightmost on ties) → sparse position-robust fingerprint set.
+
+    Arrow-batched mapInPandas: the per-document state machine is inherently
+    sequential, but documents are independent, so this parallelizes
+    perfectly across partitions. Output: (id, fingerprint bigint, pos int).
+    """
+    import pandas as pd
+
+    B, M = 257, (1 << 31) - 1
+    out_schema = f"{id_col} long, fingerprint long, pos int"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps, poss = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                s = text or ""
+                n = len(s)
+                if n < k:
+                    continue
+                # rolling k-gram hashes
+                h = 0
+                top = pow(B, k - 1, M)
+                hashes = []
+                for i, ch in enumerate(s):
+                    h = (h * B + ord(ch)) % M
+                    if i >= k:
+                        h = (h - ord(s[i - k]) * top * B) % M
+                    if i >= k - 1:
+                        hashes.append(h)
+                # winnow: min of each window, rightmost min wins
+                last = None
+                for wstart in range(0, len(hashes) - window + 1):
+                    win = hashes[wstart : wstart + window]
+                    mval = min(win)
+                    mpos = wstart + max(i for i, v in enumerate(win) if v == mval)
+                    if last != (mval, mpos):
+                        last = (mval, mpos)
+                        ids.append(doc_id)
+                        fps.append(mval)
+                        poss.append(mpos)
+            yield pd.DataFrame({id_col: ids, "fingerprint": fps, "pos": poss})
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)

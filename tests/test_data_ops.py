@@ -1,0 +1,168 @@
+"""Unit tests for dedup / similarity / text-analysis / multimodal operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_spark.dedup import (
+    MinHashParams,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+from datapipeline_spark.dedup.simhash import simhash_near_pairs
+from datapipeline_spark.multimodal import (
+    decode_media,
+    extract_features,
+    fake_media_table,
+    frame_sample,
+)
+from datapipeline_spark.similarity import brute_force_knn, embedding_similar_pairs, lsh_knn
+from datapipeline_spark.text import lang_scores, quality_score, text_stats
+from datapipeline_spark.text.analysis import winnow_fingerprints
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["rep_id"]: r["n_dupes"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 3 share content
+    assert out[1] == 1 and out[2] == 1
+
+
+def test_word_shingles(docs):
+    sh = word_shingles(docs, "doc_id", "text", 2)
+    got = {r["shingle"] for r in sh.filter(F.col("doc_id") == 0).collect()}
+    assert "the quick" in got and "lazy dog" in got
+    assert len(got) == 8  # 9 tokens → 8 bigrams, all distinct
+
+def test_jaccard_exact_and_near(docs):
+    sh = word_shingles(docs, "doc_id", "text", 2)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(sh, "doc_id", threshold=0.5).collect()}
+    assert pairs[(0, 3)] == 1.0  # identical
+    assert pairs[(0, 1)] == pytest.approx(7 / 9, abs=0.01)  # 7 shared of 9 distinct
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_finds_dups(docs):
+    params = MinHashParams(num_hashes=8)
+    sh = word_shingles(docs, "doc_id", "text", 2)
+    sig = minhash_signatures(sh, "doc_id", params)
+    assert sig.count() == 4 and len(sig.columns) == 9
+    cand = lsh_candidate_pairs(sig, "doc_id", params, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (0, 3) in got  # exact dup always collides
+
+
+def test_simhash_similar_docs_close(docs):
+    sig = simhash(docs, bits=32)
+    vals = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert vals[0] == vals[3]  # identical text → identical simhash
+    ham01 = bin(vals[0] ^ vals[1]).count("1")
+    ham02 = bin(vals[0] ^ vals[2]).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(sig, max_hamming=0).collect()}
+    assert (0, 3) in pairs
+
+
+def test_text_stats_and_quality(docs):
+    out = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert out[0]["n_tokens"] == 9
+    assert out[0]["n_distinct_tokens"] == 8  # "the" twice
+    assert out[0]["ttr"] == pytest.approx(8 / 9, abs=1e-6)
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert 0 < q[0] <= 1
+
+
+def test_lang_scores(spark):
+    rows = [(0, "the cat and the dog of the house"), (1, "der hund und die katze ist da")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_scores(df).collect()}
+    assert out[0] == "en" and out[1] == "de"
+
+
+def test_winnow_fingerprints_deterministic(docs):
+    fp1 = sorted(tuple(r) for r in winnow_fingerprints(docs, k=4, window=3).collect())
+    fp2 = sorted(tuple(r) for r in winnow_fingerprints(docs, k=4, window=3).collect())
+    assert fp1 == fp2 and len(fp1) > 0
+    by_doc = {}
+    for doc_id, fp, pos in fp1:
+        by_doc.setdefault(doc_id, set()).add(fp)
+    assert by_doc[0] == by_doc[3]  # identical docs → identical fingerprint sets
+    # near-dups share most fingerprints
+    inter = len(by_doc[0] & by_doc[1]) / len(by_doc[0] | by_doc[1])
+    assert inter > 0.5
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_knn(vectors):
+    out = brute_force_knn(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_embedding_similar_pairs(vectors):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in embedding_similar_pairs(vectors, threshold=0.9).collect()}
+    assert (0, 1) in pairs and len(pairs) == 1
+
+
+def test_lsh_knn_recovers_close_neighbor(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows.append((100, [float(x * 1.01 + 0.001) for x in base[5]]))  # near-clone of 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_knn(df, df.filter(F.col("vec_id") == 100), dim=16, planes=8, bands=4, k=1)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.collect()]
+    assert got == [(5, 1)]
+
+
+def test_multimodal_pipeline(spark):
+    media = fake_media_table(spark, n=12)
+    decoded = decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == 12
+    for r in rows:
+        if r["media_type"] == "image":
+            assert r["width"] >= 64 and r["height"] >= 64 and r["n_frames"] == 1
+        if r["media_type"] == "audio":
+            assert r["sample_rate"] == 16000
+    # deterministic across runs
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, decode_media(media).collect()))
+
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 12 and all(len(r["feature"]) == 16 for r in feats)
+
+    frames = frame_sample(media, every_n=8)
+    fr = frames.collect()
+    assert len(fr) > 0 and all(r["frame_idx"] % 8 == 0 for r in fr)
+
+    with pytest.raises(NotImplementedError):
+        decode_media(media, codec="real")
