@@ -19,12 +19,11 @@ def _registry():
     from datapipeline_spark.queries_core import REGISTRY as core
 
     merged = dict(core)
-    try:
-        from datapipeline_spark.queries_data import REGISTRY as data
+    from datapipeline_spark.queries_data import REGISTRY as data
+    from datapipeline_spark.queries_dataset import REGISTRY as dataset
 
-        merged.update(data)
-    except ImportError:
-        pass
+    merged.update(data)
+    merged.update(dataset)
     return merged
 
 

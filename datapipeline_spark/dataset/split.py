@@ -1,0 +1,86 @@
+"""Dataset split labelers + fold routing.
+
+Reference: pipelines/dataset/split.py —
+- TimeLabeler (split.py:42-63): first interval whose `until` exceeds the
+  sample time (bisect over ordered boundaries);
+- HashLabeler (split.py:14-39): sha256(f"{seed}|{key}") → first 8 bytes
+  big-endian mod 2^53, scaled to [0,1), thresholded by cumulative ratios.
+Walk-forward fold plans route labels to fold outputs with purge intervals
+belonging to no fold (config/dataset/split.py:151-222).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TWO_53 = 1 << 53
+
+
+def time_split_label(
+    time_col: str | Column,
+    intervals: Sequence[tuple[str, datetime | None]],
+) -> Column:
+    """Label = first interval whose `until` is after the time; the final
+    interval may have until=None (open). Intervals must be ordered."""
+    c = F.col(time_col) if isinstance(time_col, str) else time_col
+    expr = None
+    last_label = None
+    for label, until in intervals:
+        if until is None:
+            last_label = label
+            continue
+        cond = c < F.lit(until)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    if expr is None:
+        return F.lit(last_label)
+    return expr.otherwise(F.lit(last_label)) if last_label is not None else expr
+
+
+def hash_split_value(key_col: Column, seed: int = 42) -> Column:
+    """Deterministic uniform [0,1): sha256("{seed}|{key}") first-8-bytes
+    big-endian mod 2^53 / 2^53 — bit-exact vs the reference formula
+    (split.py:14-39): low 53 bits live in the low 56 bits = hex chars 3..16.
+    """
+    digest = F.sha2(F.concat(F.lit(f"{seed}|"), key_col.cast("string")), 256)
+    low56 = F.conv(F.substring(digest, 3, 14), 16, 10).cast("long")
+    low53 = low56.bitwiseAND(F.lit(TWO_53 - 1))
+    return low53 / F.lit(float(TWO_53))
+
+
+def hash_split_label(
+    key_col: str | Column,
+    ratios: Mapping[str, float],
+    seed: int = 42,
+) -> Column:
+    """Bucket by cumulative ratio thresholds over the hash value."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    v = hash_split_value(c, seed)
+    expr = None
+    acc = 0.0
+    labels = list(ratios.items())
+    for label, ratio in labels[:-1]:
+        acc += ratio
+        cond = v < F.lit(acc)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last_label = labels[-1][0]
+    return expr.otherwise(F.lit(last_label)) if expr is not None else F.lit(last_label)
+
+
+def route_folds(
+    df: DataFrame,
+    label_col: str,
+    fold_plan: Mapping[str, Mapping[str, Sequence[str]]],
+) -> dict[tuple[str, str], DataFrame]:
+    """fold_plan: fold → role → labels (purge labels appear in no role).
+    Returns {(fold, role): filtered df} — each output is a filter over the
+    labeled frame, so one upstream computation feeds all fold writes
+    (reference pipelines/dataset/pipeline.py:127-246 batch router)."""
+    outputs: dict[tuple[str, str], DataFrame] = {}
+    for fold, roles in fold_plan.items():
+        for role, labels in roles.items():
+            outputs[(fold, role)] = df.filter(F.col(label_col).isin(list(labels)))
+    return outputs
