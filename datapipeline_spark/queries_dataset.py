@@ -257,6 +257,22 @@ def sequence_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "synthetic_ticks",
+    """
+SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                              TIMESTAMP '2024-03-01 00:00:00',
+                              INTERVAL 10 MINUTE)) AS time
+""",
+)
+def synthetic_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded synthetic tick source (reference
+    sources/synthetic/time/loader.py:9-44), generated distributed."""
+    from datapipeline_spark.sources import time_ticks
+
+    return time_ticks(spark, "2024-01-01T00:00:00Z", "2024-03-01T00:00:00Z", "10m")
+
+
+@query(
     "ensure_ticks_grid",
     """
 WITH {hourly},

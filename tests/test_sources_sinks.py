@@ -1,0 +1,112 @@
+from __future__ import annotations
+
+import gzip
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_spark.io import materialize, run_output_path, write_csv, write_jsonl, write_parquet
+from datapipeline_spark.sources import (
+    read_csv,
+    read_json,
+    read_jsonl,
+    temporal_csv,
+    time_ticks,
+)
+
+
+def test_read_csv_semicolon_strict(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("time;value\n2024-01-01T00:00:00;1.5\n2024-01-01T01:00:00;2.5\n")
+    df = read_csv(spark, str(p))
+    assert df.columns == ["time", "value"]
+    assert df.count() == 2
+
+
+def test_read_csv_duplicate_header_rejected(spark, tmp_path):
+    p = tmp_path / "dup.csv"
+    p.write_text("a;b;a\n1;2;3\n")
+    with pytest.raises(ValueError, match="duplicate header"):
+        read_csv(spark, str(p))
+
+
+def test_read_csv_bad_delimiter(spark):
+    with pytest.raises(ValueError, match="single character"):
+        read_csv(spark, "/nonexistent", delimiter=";;")
+
+
+def test_temporal_csv_decimal_comma(spark, tmp_path):
+    p = tmp_path / "el.csv"
+    p.write_text(
+        'HourUTC;PriceArea;SpotPriceDKK\n'
+        '2022-01-01 03:00;DK1;124,51\n'
+        '2022-01-01 04:00;DK1;"1.234,56"\n'
+    )
+    df = temporal_csv(
+        spark,
+        str(p),
+        time_field="HourUTC",
+        time_format="yyyy-MM-dd HH:mm",
+        value_fields={"price": "SpotPriceDKK"},
+        attrs=["PriceArea"],
+        decimal=",",
+    )
+    rows = {r["time"].hour: r for r in df.collect()}
+    assert rows[3]["price"] == 124.51
+    assert rows[3]["PriceArea"] == "DK1"
+
+
+def test_gzip_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    out = str(tmp_path / "out")
+    write_jsonl(df, out, gzip=True)
+    files = [f for f in os.listdir(out) if f.endswith(".json.gz")]
+    assert files
+    back = read_jsonl(spark, out, schema="id long, s string")
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_read_json_array_field(spark, tmp_path):
+    p = tmp_path / "doc.json"
+    p.write_text('{"meta": "x", "records": [{"v": 1}, {"v": 2}]}')
+    df = read_json(spark, str(p), array_field="records")
+    assert sorted(r["v"] for r in df.collect()) == [1, 2]
+
+
+def test_time_ticks_bounds_and_count(spark):
+    df = time_ticks(spark, "2024-01-01T00:00:00Z", "2024-01-01T04:00:00Z", "1h")
+    times = sorted(r["time"] for r in df.collect())
+    assert len(times) == 5
+    assert times[0] == datetime(2024, 1, 1, 0) and times[-1] == datetime(2024, 1, 1, 4)
+
+
+def test_time_ticks_large_distributed(spark):
+    # a year of minutes: 525k+ ticks without driver materialization
+    df = time_ticks(spark, "2024-01-01T00:00:00Z", "2024-12-31T23:59:00Z", "1min")
+    assert df.count() == 527040
+
+
+def test_materialize_checkpoint(spark, tmp_path):
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    back = materialize(df, str(tmp_path / "chk"), format="parquet")
+    assert sorted(r["v"] for r in back.collect()) == [1.0, 2.0]
+
+
+def test_run_output_layout(tmp_path):
+    p = run_output_path(str(tmp_path), "r1", "prices", fold="f0", role="train", ext="parquet")
+    assert p.endswith("runs/r1/dataset/prices.f0.train.parquet")
+    assert os.path.isdir(os.path.dirname(p))
+    assert os.readlink(os.path.join(tmp_path, "runs", "latest")) == "r1"
+    p2 = run_output_path(str(tmp_path), "r2", "prices")
+    assert p2.endswith("runs/r2/dataset/prices.parquet")
+    assert os.readlink(os.path.join(tmp_path, "runs", "latest")) == "r2"
+
+
+def test_write_csv_parquet(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2.0)], "a long, b double")
+    write_csv(df, str(tmp_path / "c"))
+    write_parquet(df, str(tmp_path / "p"))
+    assert spark.read.option("header", True).csv(str(tmp_path / "c")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "p")).count() == 1
