@@ -35,6 +35,17 @@ def parse_timecode_seconds(value: str) -> int:
     return int(m.group(1)) * _SECONDS_PER_UNIT[m.group(2)]
 
 
+def parse_datetime_utc(value: str):
+    """ISO-8601 (Z suffix ok) → tz-aware datetime, naive assumed UTC
+    (reference utils/time.py:64-79)."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(value.replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
+
+
 def _as_col(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 

@@ -1,0 +1,258 @@
+"""Compile a validated project into a lazy DataFrame graph.
+
+Reference: services/runtime_compiler.py:78-111 compiles YAML into
+`Runtime.streams` (four stream kinds, runtime.py:21-60) and pipelines execute
+as chained generators. Here each stream compiles to a **lazy DataFrame** —
+Catalyst is the plan IR, so derived streams are chained transformations,
+aligned streams are multi-way sort-merge joins, broadcast streams are
+broadcast hash joins, and the dataset is one pivot + postprocess plan. Nothing
+executes until an action; the whole project is a single optimizable DAG.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_spark.operators.align import align_streams, broadcast_stream
+from datapipeline_spark.operators.record import (
+    collapse,
+    dedupe,
+    derive,
+    floor_time,
+    log1p_op,
+    log_op,
+    shift_time,
+)
+from datapipeline_spark.operators.ticks import ensure_cadence
+from datapipeline_spark.operators.where import where
+from datapipeline_spark.operators.window import (
+    fill,
+    forward_fill,
+    forward_sum,
+    lag,
+    lead,
+    rolling,
+    rolling_slope,
+)
+from datapipeline_spark.plans import registry
+from datapipeline_spark.plans.config import (
+    AlignFrom,
+    BroadcastFrom,
+    EntryPoint,
+    LoaderConfig,
+    SourceConfig,
+    SourceFrom,
+    StreamConfig,
+    StreamFrom,
+    TransformSpec,
+)
+from datapipeline_spark.plans.project import ProjectDefinition
+
+TIME = "time"
+
+
+def _sanitize(stream_id: str) -> str:
+    return stream_id.replace(".", "_").replace("-", "_")
+
+
+def load_source(
+    spark: SparkSession, cfg: SourceConfig, definition: ProjectDefinition
+) -> DataFrame:
+    """Loader + parser for one source (reference sources/source.py:12-30)."""
+    from datapipeline_spark.sources import readers
+
+    if isinstance(cfg.loader, EntryPoint):
+        loader_fn = registry.resolve("loader", cfg.loader.entrypoint)
+        df = loader_fn(spark, cfg, definition, cfg.loader.args)
+    else:
+        loader: LoaderConfig = cfg.loader
+        reader = loader.reader
+        fmt = reader.format if reader else "jsonl"
+        if loader.transport == "http":
+            df = readers.http_source(
+                spark,
+                loader.url,
+                format=fmt,
+                headers=loader.headers or None,
+                params=loader.params or None,
+            )
+        else:
+            path = definition.data_path(loader.path)
+            if fmt == "csv":
+                df = readers.read_csv(
+                    spark,
+                    path,
+                    delimiter=reader.delimiter if reader else ";",
+                    schema=reader.schema_ddl if reader else None,
+                )
+            elif fmt == "jsonl":
+                df = readers.read_jsonl(
+                    spark, path, schema=reader.schema_ddl if reader else None
+                )
+            elif fmt == "json":
+                df = readers.read_json(
+                    spark, path, array_field=reader.array_field if reader else None
+                )
+            elif fmt == "parquet":
+                df = readers.read_parquet_glob(spark, path)
+            else:  # pragma: no cover - pydantic enforces the literal set
+                raise ValueError(f"unsupported reader format {fmt!r}")
+
+    if cfg.parser is not None:
+        parser_fn = registry.resolve("parser", cfg.parser.entrypoint)
+        df = parser_fn(df, cfg.parser.args)
+    return df
+
+
+def apply_transform(
+    df: DataFrame, spec: TransformSpec, partition_by: list[str]
+) -> DataFrame:
+    """Dispatch one declarative transform onto the operator library. Window
+    ops share the canonical `Window.partitionBy(*partition_by).orderBy(time)`
+    so Catalyst reuses a single sort/shuffle across consecutive steps."""
+    op = spec.operation
+    if op == "where":
+        return where(df, spec.field, spec.operator, spec.comparand)
+    if op == "floor_time":
+        return floor_time(df, spec.cadence)
+    if op == "shift_time":
+        return shift_time(df, spec.by)
+    if op == "dedupe":
+        return dedupe(df)
+    if op == "lag":
+        return lag(df, spec.field, spec.periods, partition_by, out=spec.to)
+    if op == "lead":
+        return lead(df, spec.field, spec.periods, partition_by, out=spec.to)
+    if op == "rolling":
+        return rolling(
+            df,
+            spec.field,
+            spec.window,
+            statistic=spec.statistic or "mean",
+            min_samples=spec.min_samples,
+            partition_by=partition_by,
+            out=spec.to,
+        )
+    if op == "rolling_slope":
+        return rolling_slope(
+            df, spec.x, spec.y, spec.window, partition_by, out=spec.to
+        )
+    if op == "forward_sum":
+        return forward_sum(
+            df, spec.field, spec.window, partition_by, out=spec.to
+        )
+    if op == "fill":
+        return fill(
+            df,
+            spec.field,
+            spec.window,
+            statistic=spec.statistic or "mean",
+            min_samples=spec.min_samples or 1,
+            partition_by=partition_by,
+            out=spec.to,
+        )
+    if op == "forward_fill":
+        return forward_fill(df, spec.field, partition_by, out=spec.to)
+    if op == "log":
+        return log_op(df, spec.field, out=spec.to)
+    if op == "log1p":
+        return log1p_op(df, spec.field, out=spec.to)
+    if op == "derive":
+        other = spec.right_field if spec.right_field is not None else spec.right_value
+        return derive(df, spec.left, spec.operator, other, out=spec.to)
+    if op == "collapse":
+        return collapse(df, partition_by, keep=spec.keep)
+    if op == "ensure_cadence":
+        return ensure_cadence(df, spec.cadence, partition_by)
+    if op == "ensure_ticks":
+        raise NotImplementedError(
+            "ensure_ticks requires a tick-grid artifact; build it via the "
+            "artifact layer (datapipeline_spark.plans.artifacts) first"
+        )
+    raise ValueError(f"unknown transform operation {op!r}")  # pragma: no cover
+
+
+@dataclass
+class CompiledProject:
+    """Memoized stream-id → DataFrame resolver over a loaded project."""
+
+    spark: SparkSession
+    definition: ProjectDefinition
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+    _partitions: dict[str, list[str]] = field(default_factory=dict)
+
+    def partition_by(self, stream_id: str) -> list[str]:
+        if stream_id not in self._partitions:
+            self.stream(stream_id)
+        return self._partitions[stream_id]
+
+    def stream(self, stream_id: str) -> DataFrame:
+        if stream_id in self._cache:
+            return self._cache[stream_id]
+        cfg = self.definition.streams.get(stream_id)
+        if cfg is None:
+            raise KeyError(f"unknown stream {stream_id!r}")
+        df, partition_by = self._build(cfg)
+        self._cache[stream_id] = df
+        self._partitions[stream_id] = partition_by
+        return df
+
+    # ----------------------------------------------------------------- #
+
+    def _build(self, cfg: StreamConfig) -> tuple[DataFrame, list[str]]:
+        frm = cfg.from_
+        if isinstance(frm, SourceFrom):
+            df = load_source(self.spark, self.definition.sources[frm.source], self.definition)
+            partition_by = list(cfg.partition_by)
+            df = self._map(df, cfg)
+        elif isinstance(frm, StreamFrom):
+            df = self.stream(frm.stream)
+            partition_by = cfg.partition_by or self.partition_by(frm.stream)
+            df = self._map(df, cfg)
+        elif isinstance(frm, BroadcastFrom):
+            primary = self.stream(frm.stream)
+            global_df = self.stream(frm.broadcast)
+            partition_by = cfg.partition_by or self.partition_by(frm.stream)
+            prefix = _sanitize(frm.broadcast) + "_"
+            joined = broadcast_stream(primary, global_df, prefix=prefix)
+            refs = {frm.stream: "", frm.broadcast: prefix}
+            df = self._combine(joined, refs, cfg)
+        elif isinstance(frm, AlignFrom):
+            inputs = {sid: self.stream(sid) for sid in frm.align}
+            parts = [tuple(self.partition_by(sid)) for sid in frm.align]
+            if len(set(parts)) != 1:
+                raise ValueError(
+                    f"stream {cfg.id}: aligned inputs disagree on partition_by {parts}"
+                )
+            partition_by = cfg.partition_by or list(parts[0])
+            named = {_sanitize(sid): df for sid, df in inputs.items()}
+            joined = align_streams(named, partition_by)
+            refs = {sid: _sanitize(sid) + "_" for sid in frm.align}
+            df = self._combine(joined, refs, cfg)
+        else:  # pragma: no cover
+            raise TypeError(f"unsupported from: {frm!r}")
+
+        for spec in cfg.preprocess:
+            df = apply_transform(df, spec, partition_by)
+        for spec in cfg.transforms:
+            df = apply_transform(df, spec, partition_by)
+        return df, partition_by
+
+    def _map(self, df: DataFrame, cfg: StreamConfig) -> DataFrame:
+        if cfg.map is None:
+            return df
+        mapper = registry.resolve("mapper", cfg.map.entrypoint)
+        return mapper(df, cfg.map.args)
+
+    def _combine(
+        self, df: DataFrame, refs: Mapping[str, str], cfg: StreamConfig
+    ) -> DataFrame:
+        combiner = registry.resolve("combiner", cfg.combine.entrypoint)
+        return combiner(df, refs, cfg.combine.args)
+
+
+def compile_project(spark: SparkSession, definition: ProjectDefinition) -> CompiledProject:
+    return CompiledProject(spark=spark, definition=definition)

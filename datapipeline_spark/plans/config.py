@@ -1,0 +1,428 @@
+"""Pydantic config models for the YAML project grammar.
+
+Same surface as the reference's config package (schema_version 3):
+- project.yaml  → ProjectConfig   (reference config/project.py, fixture
+  tests/fixtures/*/project.yaml)
+- sources/*.yaml → SourceConfig   (reference config/sources.py:1-200)
+- streams/*.yaml → StreamConfig   (reference config/streams.py:30-120)
+- dataset.yaml  → DatasetConfig   (reference config/dataset/*)
+- profiles/*.yaml → ProfileConfig
+
+Validation stance matches the reference: `extra="forbid"` everywhere, ids are
+dotted identifiers, cadences/timecodes parsed eagerly at load time.
+"""
+
+from __future__ import annotations
+
+from typing import Annotated, Any, Literal, Optional, Union
+
+from pydantic import (
+    BaseModel,
+    ConfigDict,
+    Field,
+    StringConstraints,
+    field_validator,
+    model_validator,
+)
+
+from datapipeline_spark.functions.time import (
+    parse_cadence_seconds,
+    parse_timecode_seconds,
+)
+
+DottedId = Annotated[
+    str,
+    StringConstraints(
+        strip_whitespace=True,
+        min_length=1,
+        pattern=r"^[A-Za-z0-9_-]+(?:\.[A-Za-z0-9_-]+)*$",
+    ),
+]
+NonEmpty = Annotated[str, StringConstraints(strip_whitespace=True, min_length=1)]
+
+
+class _Strict(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+
+
+# --------------------------------------------------------------------------- #
+# project.yaml
+# --------------------------------------------------------------------------- #
+
+
+class ProjectPaths(_Strict):
+    streams: str = "streams"
+    sources: str = "sources"
+    dataset: str = "dataset.yaml"
+    artifacts: str = "build"
+    profiles: str = "profiles"
+    data: str = "."
+
+
+class ProjectConfig(_Strict):
+    schema_version: int = 3
+    artifact_revision: int = 1
+    name: NonEmpty
+    paths: ProjectPaths = Field(default_factory=ProjectPaths)
+    globals: dict[str, Any] = Field(default_factory=dict)
+
+
+# --------------------------------------------------------------------------- #
+# sources/*.yaml
+# --------------------------------------------------------------------------- #
+
+
+class EntryPoint(_Strict):
+    entrypoint: NonEmpty
+    args: dict[str, Any] = Field(default_factory=dict)
+
+
+class ReaderConfig(_Strict):
+    format: Literal["csv", "json", "jsonl", "parquet"]
+    encoding: NonEmpty = "utf-8"
+    delimiter: Annotated[str, StringConstraints(min_length=1, max_length=1)] = ";"
+    array_field: NonEmpty | None = None
+    schema_ddl: NonEmpty | None = None
+
+
+class LoaderConfig(_Strict):
+    """File/HTTP loader (reference sources/adapters/fs.py, http.py)."""
+
+    transport: Literal["fs", "http"] = "fs"
+    path: NonEmpty | None = None
+    url: NonEmpty | None = None
+    headers: dict[str, str] = Field(default_factory=dict)
+    params: dict[str, Any] = Field(default_factory=dict)
+    reader: ReaderConfig | None = None
+
+    @model_validator(mode="after")
+    def validate_target(self) -> "LoaderConfig":
+        if self.transport == "fs" and not self.path:
+            raise ValueError("fs loader requires 'path'")
+        if self.transport == "http" and not self.url:
+            raise ValueError("http loader requires 'url'")
+        return self
+
+
+class SourceConfig(_Strict):
+    id: DottedId
+    parser: EntryPoint | None = None
+    loader: LoaderConfig | EntryPoint
+
+    @property
+    def is_synthetic(self) -> bool:
+        return isinstance(self.loader, EntryPoint)
+
+
+# --------------------------------------------------------------------------- #
+# transforms (shared by streams preprocess/transforms)
+# --------------------------------------------------------------------------- #
+
+_WHERE_OPS = ("eq", "ne", "lt", "le", "gt", "ge", "in", "not_in")
+
+
+class TransformSpec(_Strict):
+    """One declarative transform step (reference config/transforms.py:25-252).
+
+    A single permissive model with per-operation validation keeps the YAML
+    grammar identical to the reference while staying one class (the compiler
+    dispatches on `operation`).
+    """
+
+    operation: Literal[
+        "where",
+        "floor_time",
+        "shift_time",
+        "dedupe",
+        "lag",
+        "lead",
+        "rolling",
+        "rolling_slope",
+        "forward_sum",
+        "fill",
+        "forward_fill",
+        "log",
+        "log1p",
+        "derive",
+        "collapse",
+        "ensure_cadence",
+        "ensure_ticks",
+    ]
+    # where
+    operator: str | None = None
+    field: NonEmpty | None = None
+    comparand: Any = None
+    # time ops
+    cadence: NonEmpty | None = None
+    by: NonEmpty | None = None
+    # window ops
+    periods: int | None = None
+    window: int | None = None
+    statistic: str | None = None
+    min_samples: int | None = None
+    to: NonEmpty | None = None
+    # rolling_slope
+    x: NonEmpty | None = None
+    y: NonEmpty | None = None
+    # derive
+    left: NonEmpty | None = None
+    right_field: NonEmpty | None = None
+    right_value: Union[int, float, None] = None
+    # collapse
+    keep: Literal["first", "last"] = "last"
+    # ensure_ticks
+    grid: NonEmpty | None = None
+
+    @model_validator(mode="after")
+    def validate_per_operation(self) -> "TransformSpec":
+        op = self.operation
+        if op == "where":
+            if self.operator not in _WHERE_OPS:
+                raise ValueError(f"where operator must be one of {_WHERE_OPS}")
+            if not self.field:
+                raise ValueError("where requires 'field'")
+        elif op in ("floor_time", "ensure_cadence"):
+            if not self.cadence:
+                raise ValueError(f"{op} requires 'cadence'")
+            parse_cadence_seconds(self.cadence)
+        elif op == "shift_time":
+            if not self.by:
+                raise ValueError("shift_time requires 'by'")
+            parse_timecode_seconds(self.by)
+        elif op in ("lag", "lead"):
+            if not self.field or not self.periods or self.periods < 1:
+                raise ValueError(f"{op} requires 'field' and positive 'periods'")
+        elif op == "rolling":
+            if not self.field or not self.window or self.window < 1:
+                raise ValueError("rolling requires 'field' and positive 'window'")
+            stat = self.statistic or "mean"
+            if stat not in ("mean", "median", "stdev", "pstdev", "max", "min"):
+                raise ValueError(f"unsupported rolling statistic {stat!r}")
+            ms = self.window if self.min_samples is None else self.min_samples
+            if ms > self.window:
+                raise ValueError("rolling min_samples cannot exceed window")
+            if stat == "stdev" and ms < 2:
+                raise ValueError("rolling stdev needs min_samples >= 2")
+        elif op == "rolling_slope":
+            if not self.x or not self.y or not self.to:
+                raise ValueError("rolling_slope requires 'x', 'y' and 'to'")
+            if not self.window or self.window < 2:
+                raise ValueError("rolling_slope window must be >= 2")
+        elif op == "forward_sum":
+            if not self.field or not self.window or not self.to:
+                raise ValueError("forward_sum requires 'field', 'window', 'to'")
+        elif op == "fill":
+            if not self.field or not self.window:
+                raise ValueError("fill requires 'field' and 'window'")
+            if self.statistic not in ("mean", "median"):
+                raise ValueError("fill statistic must be mean|median")
+            if (self.min_samples or 1) > self.window:
+                raise ValueError("fill min_samples cannot exceed window")
+        elif op == "forward_fill":
+            if not self.field:
+                raise ValueError("forward_fill requires 'field'")
+        elif op in ("log", "log1p"):
+            if not self.field or not self.to:
+                raise ValueError(f"{op} requires 'field' and 'to'")
+        elif op == "derive":
+            if not self.left or not self.to:
+                raise ValueError("derive requires 'left' and 'to'")
+            if self.operator not in ("add", "sub", "mul", "div"):
+                raise ValueError("derive operator must be add|sub|mul|div")
+            has_f = self.right_field is not None
+            has_v = self.right_value is not None
+            if has_f == has_v:
+                raise ValueError("derive needs exactly one of right_field/right_value")
+        elif op == "ensure_ticks":
+            if not self.grid:
+                raise ValueError("ensure_ticks requires 'grid' (tick artifact id)")
+        return self
+
+
+# --------------------------------------------------------------------------- #
+# streams/*.yaml
+# --------------------------------------------------------------------------- #
+
+
+class SourceFrom(_Strict):
+    source: DottedId
+
+
+class StreamFrom(_Strict):
+    stream: DottedId
+
+
+class BroadcastFrom(_Strict):
+    stream: DottedId
+    broadcast: DottedId
+
+    @model_validator(mode="after")
+    def distinct(self) -> "BroadcastFrom":
+        if self.stream == self.broadcast:
+            raise ValueError("from.stream and from.broadcast must differ")
+        return self
+
+
+class AlignFrom(_Strict):
+    align: list[DottedId] = Field(min_length=2)
+
+    @model_validator(mode="after")
+    def unique(self) -> "AlignFrom":
+        if len(set(self.align)) != len(self.align):
+            raise ValueError("align inputs must be unique")
+        return self
+
+
+class StreamConfig(_Strict):
+    id: DottedId
+    from_: Union[SourceFrom, StreamFrom, BroadcastFrom, AlignFrom] = Field(alias="from")
+    partition_by: list[NonEmpty] = Field(default_factory=list)
+    map: EntryPoint | None = None
+    combine: EntryPoint | None = None
+    preprocess: list[TransformSpec] = Field(default_factory=list)
+    transforms: list[TransformSpec] = Field(default_factory=list)
+
+    @field_validator("partition_by")
+    @classmethod
+    def no_time(cls, value: list[str]) -> list[str]:
+        if "time" in value:
+            raise ValueError("'time' is reserved and cannot be a partition field")
+        if len(set(value)) != len(value):
+            raise ValueError("partition_by fields must be unique")
+        return value
+
+    @model_validator(mode="after")
+    def validate_combine(self) -> "StreamConfig":
+        if isinstance(self.from_, (BroadcastFrom, AlignFrom)) and self.combine is None:
+            raise ValueError(f"stream {self.id}: align/broadcast requires 'combine'")
+        for spec in self.preprocess:
+            if spec.operation not in ("where", "floor_time", "shift_time"):
+                raise ValueError(
+                    f"preprocess only allows where/floor_time/shift_time, "
+                    f"got {spec.operation!r}"
+                )
+        return self
+
+
+# --------------------------------------------------------------------------- #
+# dataset.yaml
+# --------------------------------------------------------------------------- #
+
+
+class SequenceSpec(_Strict):
+    size: Annotated[int, Field(ge=1)]
+    stride: Annotated[int, Field(ge=1)] = 1
+
+
+class FeatureSpec(_Strict):
+    id: DottedId
+    stream: DottedId
+    field: NonEmpty = "value"
+    scale: bool = False
+    sequence: SequenceSpec | None = None
+
+
+class SampleSpec(_Strict):
+    cadence: NonEmpty
+    keys: list[NonEmpty] = Field(default_factory=list)
+
+    @field_validator("cadence")
+    @classmethod
+    def valid_cadence(cls, value: str) -> str:
+        parse_cadence_seconds(value)
+        return value
+
+
+class TimeIntervalSpec(_Strict):
+    id: NonEmpty
+    until: NonEmpty | None = None
+
+
+class FoldSpec(_Strict):
+    id: NonEmpty
+    train: list[NonEmpty] = Field(min_length=1)
+    validation: list[NonEmpty] = Field(default_factory=list)
+    test: list[NonEmpty] = Field(default_factory=list)
+
+    @model_validator(mode="after")
+    def disjoint(self) -> "FoldSpec":
+        roles = [set(self.train), set(self.validation), set(self.test)]
+        if (roles[0] & roles[1]) | (roles[0] & roles[2]) | (roles[1] & roles[2]):
+            raise ValueError("fold labels must belong to exactly one role")
+        return self
+
+
+class TimeSplitSpec(_Strict):
+    mode: Literal["time"] = "time"
+    intervals: list[TimeIntervalSpec] = Field(min_length=1)
+    folds: list[FoldSpec] = Field(min_length=1)
+
+    @model_validator(mode="after")
+    def open_tail(self) -> "TimeSplitSpec":
+        for iv in self.intervals[:-1]:
+            if iv.until is None:
+                raise ValueError("only the final interval may omit 'until'")
+        return self
+
+
+class HashSplitSpec(_Strict):
+    mode: Literal["hash"] = "hash"
+    ratios: dict[NonEmpty, Annotated[float, Field(gt=0.0, le=1.0)]]
+    folds: list[FoldSpec] = Field(min_length=1)
+    seed: int = 42
+
+    @model_validator(mode="after")
+    def ratios_sum(self) -> "HashSplitSpec":
+        total = sum(self.ratios.values())
+        if not (0.999999 <= total <= 1.000001):
+            raise ValueError("hash split ratios must sum to 1.0")
+        return self
+
+
+class PostprocessThreshold(_Strict):
+    threshold: Annotated[float, Field(ge=0.0, le=1.0)]
+
+
+class PostprocessSamples(_Strict):
+    features: PostprocessThreshold | None = None
+    targets: PostprocessThreshold | None = None
+
+
+class PostprocessSpec(_Strict):
+    columns: PostprocessSamples | None = None
+    samples: PostprocessSamples | None = None
+
+
+class DatasetConfig(_Strict):
+    sample: SampleSpec
+    features: list[FeatureSpec] = Field(min_length=1)
+    targets: list[FeatureSpec] = Field(default_factory=list)
+    split: Optional[Union[TimeSplitSpec, HashSplitSpec]] = Field(
+        default=None, discriminator="mode"
+    )
+    postprocess: PostprocessSpec | None = None
+
+    @model_validator(mode="after")
+    def unique_ids(self) -> "DatasetConfig":
+        ids = [f.id for f in self.features] + [t.id for t in self.targets]
+        if len(set(ids)) != len(ids):
+            raise ValueError("feature/target ids must be unique")
+        return self
+
+
+# --------------------------------------------------------------------------- #
+# profiles/*.yaml
+# --------------------------------------------------------------------------- #
+
+
+class OutputSpec(_Strict):
+    transport: Literal["fs", "stdout"] = "fs"
+    format: Literal["jsonl", "csv", "parquet"] = "jsonl"
+    directory: NonEmpty = "output"
+    gzip: bool = False
+
+
+class ProfileConfig(_Strict):
+    operation: Literal["dataset", "materialize", "inspect"] = "dataset"
+    output: OutputSpec = Field(default_factory=OutputSpec)
+    limit: int | None = None

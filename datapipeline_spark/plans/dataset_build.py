@@ -1,0 +1,267 @@
+"""Dataset assembly over a compiled project: features → series → samples →
+postprocess → split/scale → fold outputs.
+
+Reference lifecycle (pipelines/dataset/pipeline.py:69-246): assemble samples
+from the series artifact, label splits, fit/apply leakage-free per-fold
+scalers, run the fixed postprocess order, route folds. Here every step is a
+lazy DataFrame transformation; fold outputs are filters over one labeled
+plan, so Spark computes the expensive pivot once and fans out the writes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datapipeline_spark.dataset.postprocess import (
+    drop_rows_by_coverage,
+    select_columns_by_coverage,
+)
+from datapipeline_spark.dataset.sample import assemble_samples
+from datapipeline_spark.dataset.scaler import apply_scaler, fit_scaler
+from datapipeline_spark.dataset.series import project_series
+from datapipeline_spark.dataset.split import time_split_label, hash_split_label
+from datapipeline_spark.functions.time import parse_datetime_utc
+from datapipeline_spark.operators.window import sequence_windows
+from datapipeline_spark.plans.compiler import CompiledProject
+from datapipeline_spark.plans.config import DatasetConfig, FeatureSpec
+
+LABEL = "__split__"
+
+
+def _long_frame(
+    compiled: CompiledProject, spec: FeatureSpec, entity_keys: Sequence[str]
+) -> DataFrame:
+    """One feature/target → long series rows (series_id, time, *keys, value,
+    base_id). Sequence specs window the field into arrays first."""
+    df = compiled.stream(spec.stream)
+    partition_by = compiled.partition_by(spec.stream)
+    field = spec.field
+    if spec.sequence is not None:
+        df = sequence_windows(
+            df,
+            field,
+            size=spec.sequence.size,
+            stride=spec.sequence.stride,
+            partition_by=partition_by,
+            out="__seq__",
+        )
+        field = "__seq__"
+    long_df = project_series(
+        df,
+        base_id=spec.id,
+        partition_by=partition_by,
+        entity_keys=entity_keys,
+        value_field=field,
+    )
+    return long_df.withColumn("base_id", F.lit(spec.id))
+
+
+def _series_ids(long_df: DataFrame) -> list[str]:
+    """Distinct encoded ids for the pivot list. Tiny metadata-style scan at
+    plan-build time (the reference reads the same set from its series
+    artifact manifest); at 100 TB this comes from the metadata artifact
+    instead — see plans/artifacts.py."""
+    return sorted(r[0] for r in long_df.select("series_id").distinct().collect())
+
+
+@dataclass
+class DatasetBuild:
+    samples: DataFrame  # wide frame: time, *keys, one column per series id (+ label)
+    feature_columns: list[str]
+    target_columns: list[str]
+    column_base: dict[str, str]  # wide column → base feature/target id
+    scaler_stats: DataFrame | None  # (fold?, base_id, mean, std, count)
+    fold_plan: dict[str, dict[str, list[str]]]  # fold → role → labels
+
+    def outputs(self) -> dict[tuple[str, str], DataFrame]:
+        """(fold, role) → scaled frame; single-fold 'all/full' when no split."""
+        if not self.fold_plan:
+            return {("all", "full"): self._scaled(self.samples, None).drop(LABEL)}
+        outs: dict[tuple[str, str], DataFrame] = {}
+        for fold, roles in self.fold_plan.items():
+            scaled = self._scaled(self.samples, fold)
+            for role, labels in roles.items():
+                if labels:
+                    outs[(fold, role)] = scaled.filter(
+                        F.col(LABEL).isin(list(labels))
+                    ).drop(LABEL)
+        return outs
+
+    def _scaled(self, df: DataFrame, fold: str | None) -> DataFrame:
+        if self.scaler_stats is None:
+            return df
+        stats = self.scaler_stats
+        if fold is not None:
+            stats = stats.filter(F.col("fold") == fold).drop("fold")
+        scaled_cols = [c for c, b in self.column_base.items() if b in self._scaled_bases]
+        if not scaled_cols:
+            return df
+        # rename stats to wide column names (driver-side: both maps are tiny)
+        rows = {r["series_id"]: r for r in stats.collect()}
+        out = df
+        for col in scaled_cols:
+            r = rows.get(self.column_base[col])
+            if r is None:
+                continue
+            out = out.withColumn(
+                col,
+                F.when(
+                    F.col(col).isNotNull(),
+                    (F.col(col) - F.lit(r["mean"])) / F.lit(r["std"]),
+                ),
+            )
+        return out
+
+    _scaled_bases: set[str] = None  # populated by build_dataset
+
+
+def build_dataset(compiled: CompiledProject) -> DatasetBuild:
+    cfg = compiled.definition.dataset
+    if cfg is None:
+        raise ValueError("project has no dataset.yaml")
+    return _build(compiled, cfg)
+
+
+def _build(compiled: CompiledProject, cfg: DatasetConfig) -> DatasetBuild:
+    keys = list(cfg.sample.keys)
+    cadence = cfg.sample.cadence
+
+    specs = [(s, "feature") for s in cfg.features] + [(s, "target") for s in cfg.targets]
+    scalar_longs: list[DataFrame] = []
+    seq_longs: list[DataFrame] = []
+    for spec, _kind in specs:
+        long_df = _long_frame(compiled, spec, keys)
+        (seq_longs if spec.sequence is not None else scalar_longs).append(long_df)
+
+    col_base: dict[str, str] = {}
+    col_kind: dict[str, str] = {}
+
+    def union_all(frames: list[DataFrame]) -> DataFrame | None:
+        out = None
+        for f in frames:
+            out = f if out is None else out.unionByName(f)
+        return out
+
+    wide: DataFrame | None = None
+    scalar_long = union_all(scalar_longs)
+    base_of_scalar: dict[str, str] = {}
+    if scalar_long is not None:
+        ids = _series_ids(scalar_long)
+        for sid in ids:
+            base = sid.split("__", 1)[0]
+            col_base[sid] = base
+            base_of_scalar[sid] = base
+        wide = assemble_samples(scalar_long, cadence, keys, series_ids=ids)
+
+    if seq_longs:
+        seq_long = union_all(seq_longs)
+        ids = _series_ids(seq_long)
+        for sid in ids:
+            col_base[sid] = sid.split("__", 1)[0]
+        seq_wide = assemble_samples(seq_long, cadence, keys, series_ids=ids)
+        wide = (
+            seq_wide
+            if wide is None
+            else wide.join(seq_wide, on=["time", *keys], how="full_outer")
+        )
+
+    assert wide is not None
+    kind_of = {s.id: k for s, k in specs}
+    for col, base in col_base.items():
+        col_kind[col] = kind_of[base]
+    feature_cols = [c for c, k in col_kind.items() if k == "feature"]
+    target_cols = [c for c, k in col_kind.items() if k == "target"]
+
+    # ---- postprocess: vertical column selection, then horizontal row drop --- #
+    if cfg.postprocess is not None:
+        if cfg.postprocess.columns is not None:
+            pc = cfg.postprocess.columns
+            if pc.features is not None and feature_cols:
+                keep = select_columns_by_coverage(wide, feature_cols, pc.features.threshold)
+                dropped = [c for c in feature_cols if c not in keep]
+                wide = wide.drop(*dropped)
+                feature_cols = keep
+            if pc.targets is not None and target_cols:
+                keep = select_columns_by_coverage(wide, target_cols, pc.targets.threshold)
+                dropped = [c for c in target_cols if c not in keep]
+                wide = wide.drop(*dropped)
+                target_cols = keep
+        if cfg.postprocess.samples is not None:
+            ps = cfg.postprocess.samples
+            if ps.features is not None and feature_cols:
+                wide = drop_rows_by_coverage(wide, feature_cols, ps.features.threshold)
+            if ps.targets is not None and target_cols:
+                wide = drop_rows_by_coverage(wide, target_cols, ps.targets.threshold)
+
+    # ---- split labeling ---------------------------------------------------- #
+    fold_plan: dict[str, dict[str, list[str]]] = {}
+    if cfg.split is not None:
+        if cfg.split.mode == "time":
+            intervals = [
+                (iv.id, parse_datetime_utc(iv.until) if iv.until else None)
+                for iv in cfg.split.intervals
+            ]
+            wide = wide.withColumn(LABEL, time_split_label("time", intervals))
+        else:
+            key_col = F.concat_ws(
+                "|", F.col("time").cast("string"), *[F.col(k) for k in keys]
+            )
+            wide = wide.withColumn(
+                LABEL, hash_split_label(key_col, cfg.split.ratios, cfg.split.seed)
+            )
+        for fold in cfg.split.folds:
+            fold_plan[fold.id] = {
+                "train": list(fold.train),
+                "validation": list(fold.validation),
+                "test": list(fold.test),
+            }
+    else:
+        wide = wide.withColumn(LABEL, F.lit("train"))
+
+    # ---- leakage-free scaler fit (train labels only, per fold) ------------- #
+    scaled_bases = {s.id for s, _ in specs if s.scale}
+    stats: DataFrame | None = None
+    if scaled_bases and scalar_long is not None:
+        # label long rows by the same split rule (applied to raw series times)
+        if cfg.split is not None and cfg.split.mode == "time":
+            label_col = time_split_label("time", intervals)
+        elif cfg.split is not None:
+            key_col = F.concat_ws(
+                "|", F.col("time").cast("string"), *[F.col(k) for k in keys]
+            )
+            label_col = hash_split_label(key_col, cfg.split.ratios, cfg.split.seed)
+        else:
+            label_col = F.lit("train")
+        labeled = scalar_long.filter(F.col("base_id").isin(list(scaled_bases))).withColumn(
+            LABEL, label_col
+        )
+        if fold_plan:
+            per_fold = []
+            for fold_id, roles in fold_plan.items():
+                s = fit_scaler(
+                    labeled,
+                    id_col="base_id",
+                    train_filter=F.col(LABEL).isin(roles["train"]),
+                ).withColumn("fold", F.lit(fold_id))
+                per_fold.append(s)
+            stats = union_all(per_fold)
+        else:
+            stats = fit_scaler(
+                labeled, id_col="base_id", train_filter=F.col(LABEL) == "train"
+            )
+        stats = stats.withColumnRenamed("base_id", "series_id")
+
+    build = DatasetBuild(
+        samples=wide,
+        feature_columns=sorted(feature_cols),
+        target_columns=sorted(target_cols),
+        column_base=col_base,
+        scaler_stats=stats,
+        fold_plan=fold_plan,
+    )
+    build._scaled_bases = scaled_bases
+    return build
