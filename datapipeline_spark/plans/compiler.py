@@ -26,7 +26,7 @@ from datapipeline_spark.operators.record import (
     log_op,
     shift_time,
 )
-from datapipeline_spark.operators.ticks import ensure_cadence
+from datapipeline_spark.operators.ticks import ensure_cadence, ensure_ticks, tick_grid
 from datapipeline_spark.operators.where import where
 from datapipeline_spark.operators.window import (
     fill,
@@ -168,10 +168,11 @@ def apply_transform(
     if op == "ensure_cadence":
         return ensure_cadence(df, spec.cadence, partition_by)
     if op == "ensure_ticks":
-        raise NotImplementedError(
-            "ensure_ticks requires a tick-grid artifact; build it via the "
-            "artifact layer (datapipeline_spark.plans.artifacts) first"
-        )
+        # grid_by == partition_by (reference ensure_ticks.py:42-92); the grid
+        # spans each partition's observed bounds at the given cadence — the
+        # same grid the ticks artifact persists (plans/artifacts.py TICKS)
+        grid = tick_grid(df, spec.grid, partition_by)
+        return ensure_ticks(df, grid, partition_by)
     raise ValueError(f"unknown transform operation {op!r}")  # pragma: no cover
 
 

@@ -235,7 +235,8 @@ class TransformSpec(_Strict):
                 raise ValueError("derive needs exactly one of right_field/right_value")
         elif op == "ensure_ticks":
             if not self.grid:
-                raise ValueError("ensure_ticks requires 'grid' (tick artifact id)")
+                raise ValueError("ensure_ticks requires 'grid' (a cadence)")
+            parse_cadence_seconds(self.grid)
         return self
 
 
