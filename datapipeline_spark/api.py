@@ -1,0 +1,192 @@
+"""Python API: samples and NumPy model batches from a project directory.
+
+Reference: integrations/ml.py — `iter_samples(project_yaml, output_id, limit)`
+(ml.py:137-146) and `iter_model_batches(...)` (ml.py:149-316) load the
+definition, compile the runtime, hydrate artifacts, then stream `Sample`s /
+metadata-ordered numpy batches with strict finite checks.
+
+Spark shape: the wide DataFrame IS the sample table; batches come off
+`toLocalIterator` over Arrow-coalesced record batches so the driver holds at
+most one batch, and executors feed the iterator pipeline-parallel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_spark.plans.compiler import CompiledProject, compile_project
+from datapipeline_spark.plans.dataset_build import DatasetBuild, build_dataset
+from datapipeline_spark.plans.project import load_project
+
+
+def open_project(spark: SparkSession, project_dir: str | Path) -> CompiledProject:
+    return compile_project(spark, load_project(project_dir))
+
+
+def dataset_frame(
+    spark: SparkSession,
+    project_dir: str | Path,
+    fold: str | None = None,
+    role: str | None = None,
+) -> DataFrame:
+    """The wide sample DataFrame (scaled; filtered to fold/role if given)."""
+    build = build_dataset(open_project(spark, project_dir))
+    outs = build.outputs()
+    if fold is None and role is None:
+        if len(outs) == 1:
+            return next(iter(outs.values()))
+        raise ValueError(f"project has folds {sorted(outs)}; pass fold= and role=")
+    key = (fold or "all", role or "full")
+    if key not in outs:
+        raise KeyError(f"no output {key}; available: {sorted(outs)}")
+    return outs[key]
+
+
+def iter_samples(
+    spark: SparkSession,
+    project_dir: str | Path,
+    fold: str | None = None,
+    role: str | None = None,
+    limit: int | None = None,
+) -> Iterator[dict]:
+    """Stream sample rows as dicts (reference iter_samples, ml.py:137-146).
+    `toLocalIterator` keeps one partition on the driver at a time."""
+    df = dataset_frame(spark, project_dir, fold, role)
+    if limit is not None:
+        df = df.limit(limit)
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        yield row.asDict(recursive=True)
+
+
+@dataclass
+class ModelBatch:
+    """One bounded batch in stable column order (reference ml.py:211-316)."""
+
+    columns: list[str]
+    features: "object"  # numpy (batch, n_features) float array
+    targets: "object | None"
+    target_columns: list[str]
+
+
+def iter_model_batches(
+    spark: SparkSession,
+    project_dir: str | Path,
+    fold: str | None = None,
+    role: str | None = None,
+    batch_size: int = 4096,
+    dtype: str = "float32",
+    strict_finite: bool = True,
+) -> Iterator[ModelBatch]:
+    """Metadata-ordered NumPy batches (reference iter_model_batches,
+    ml.py:149-208: bounded batches, nulls/non-finite rejected, float32/64).
+
+    Arrow does the columnar transfer (`toArrow`-style batching via
+    `toLocalIterator` over an Arrow-friendly projection); scalar columns only
+    (sequence features become `(batch, len)` slabs when fixed-length).
+    """
+    import numpy as np
+
+    compiled = open_project(spark, project_dir)
+    build = build_dataset(compiled)
+    outs = build.outputs()
+    key = (fold or "all", role or "full")
+    if fold is None and role is None and len(outs) == 1:
+        key = next(iter(outs))
+    if key not in outs:
+        raise KeyError(f"no output {key}; available: {sorted(outs)}")
+    df = outs[key]
+
+    feat_cols = [c for c in build.feature_columns if c in df.columns]
+    targ_cols = [c for c in build.target_columns if c in df.columns]
+    np_dtype = np.dtype(dtype)
+    if np_dtype not in (np.dtype("float32"), np.dtype("float64")):
+        raise ValueError("dtype must be float32 or float64")
+
+    def to_matrix(rows: list, cols: list[str]):
+        if not cols:
+            return None
+        mats = []
+        for r in rows:
+            vals = []
+            for c in cols:
+                v = r[c]
+                if isinstance(v, (list, tuple)):
+                    vals.extend(v)
+                else:
+                    vals.append(v)
+            mats.append(vals)
+        m = np.asarray(
+            [[np.nan if v is None else float(v) for v in row] for row in mats],
+            dtype=np_dtype,
+        )
+        if strict_finite and not np.isfinite(m).all():
+            raise ValueError(
+                "non-finite value in model batch (reference ml.py:249-316 "
+                "rejects nulls/NaN/Inf); use postprocess thresholds or fill"
+            )
+        return m
+
+    buffer: list = []
+    ordered = df.select(*feat_cols, *targ_cols)
+    for row in ordered.toLocalIterator(prefetchPartitions=True):
+        buffer.append(row)
+        if len(buffer) >= batch_size:
+            yield ModelBatch(
+                columns=feat_cols,
+                features=to_matrix(buffer, feat_cols),
+                targets=to_matrix(buffer, targ_cols),
+                target_columns=targ_cols,
+            )
+            buffer = []
+    if buffer:
+        yield ModelBatch(
+            columns=feat_cols,
+            features=to_matrix(buffer, feat_cols),
+            targets=to_matrix(buffer, targ_cols),
+            target_columns=targ_cols,
+        )
+
+
+def serve(
+    spark: SparkSession,
+    project_dir: str | Path,
+    profile: str = "serve",
+    run_id: str | None = None,
+) -> dict[tuple[str, str], str]:
+    """Build the dataset and write every fold output under the run-scoped
+    layout (reference `jerry serve`, operations/runtime/dataset.py:471 →
+    io/output.py:94-160). Returns {(fold, role): path}."""
+    import datetime as _dt
+
+    from datapipeline_spark.io.writers import (
+        run_output_path,
+        write_csv,
+        write_jsonl,
+        write_parquet,
+    )
+
+    defn = load_project(project_dir)
+    compiled = compile_project(spark, defn)
+    build = build_dataset(compiled)
+    prof = defn.profiles.get(profile)
+    fmt = prof.output.format if prof else "jsonl"
+    out_dir = str(Path(project_dir) / (prof.output.directory if prof else "output"))
+    run_id = run_id or _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%dT%H%M%SZ")
+
+    written: dict[tuple[str, str], str] = {}
+    for (fold, role), df in build.outputs().items():
+        if prof and prof.limit:
+            df = df.limit(prof.limit)
+        path = run_output_path(out_dir, run_id, profile, fold, role, ext=fmt)
+        if fmt == "jsonl":
+            write_jsonl(df, path, gzip=prof.output.gzip if prof else False)
+        elif fmt == "csv":
+            write_csv(df, path)
+        else:
+            write_parquet(df, path)
+        written[(fold, role)] = path
+    return written

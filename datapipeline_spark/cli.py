@@ -1,0 +1,126 @@
+"""CLI: serve / build / inspect / materialize over a project directory.
+
+Reference surface (`jerry <cmd>`, cli/app.py:122 + cli/command_router.py):
+- serve        build dataset + write fold outputs (run-scoped layout)
+- build        construct/refresh artifacts (fingerprint-skipped; --force)
+- inspect      show compiled streams, dataset columns, artifact freshness
+- materialize  persist one stream to jsonl/parquet
+
+Usage: python -m datapipeline_spark.cli <cmd> <project_dir> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from datapipeline_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"datapipeline-{args.command}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def cmd_serve(args) -> int:
+    from datapipeline_spark.api import serve
+
+    written = serve(_spark(args), args.project, profile=args.profile, run_id=args.run_id)
+    for (fold, role), path in sorted(written.items()):
+        print(f"{fold}.{role}\t{path}")
+    return 0
+
+
+def cmd_build(args) -> int:
+    from datapipeline_spark.plans import compile_project, load_project
+    from datapipeline_spark.plans.artifacts import build_artifacts
+
+    compiled = compile_project(_spark(args), load_project(args.project))
+    results = build_artifacts(compiled, force=args.force)
+    for key, res in sorted(results.items()):
+        state = "fresh (skipped)" if res.skipped else "built"
+        print(f"{key}\t{state}\t{res.fingerprint[:12]}\t{res.path}")
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    from datapipeline_spark.plans import compile_project, load_project
+
+    defn = load_project(args.project)
+    compiled = compile_project(_spark(args), defn)
+    info: dict = {"project": defn.project.name, "streams": {}, "sources": sorted(defn.sources)}
+    for sid in sorted(defn.streams):
+        df = compiled.stream(sid)
+        info["streams"][sid] = {
+            "partition_by": compiled.partition_by(sid),
+            "schema": df.schema.simpleString(),
+        }
+    if defn.dataset:
+        info["dataset"] = {
+            "cadence": defn.dataset.sample.cadence,
+            "keys": defn.dataset.sample.keys,
+            "features": [f.id for f in defn.dataset.features],
+            "targets": [t.id for t in defn.dataset.targets],
+            "split": defn.dataset.split.mode if defn.dataset.split else None,
+        }
+    print(json.dumps(info, indent=2))
+    if args.show:
+        compiled.stream(args.show).show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_materialize(args) -> int:
+    from datapipeline_spark.io.writers import materialize
+    from datapipeline_spark.plans import compile_project, load_project
+
+    compiled = compile_project(_spark(args), load_project(args.project))
+    df = compiled.stream(args.stream)
+    if args.limit:
+        df = df.limit(args.limit)
+    materialize(df, args.out, format=args.format, gzip=args.gzip)
+    print(args.out)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="datapipeline-spark")
+    p.add_argument("--master", default=None, help="Spark master (default: local[*])")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("serve", help="build dataset and write fold outputs")
+    s.add_argument("project")
+    s.add_argument("--profile", default="serve")
+    s.add_argument("--run-id", default=None)
+    s.set_defaults(fn=cmd_serve)
+
+    b = sub.add_parser("build", help="build/refresh artifacts")
+    b.add_argument("project")
+    b.add_argument("--force", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    i = sub.add_parser("inspect", help="show compiled project info")
+    i.add_argument("project")
+    i.add_argument("--show", default=None, help="stream id to preview")
+    i.add_argument("--limit", type=int, default=10)
+    i.set_defaults(fn=cmd_inspect)
+
+    m = sub.add_parser("materialize", help="persist one stream")
+    m.add_argument("project")
+    m.add_argument("stream")
+    m.add_argument("out")
+    m.add_argument("--format", default="jsonl", choices=["jsonl", "parquet"])
+    m.add_argument("--gzip", action="store_true")
+    m.add_argument("--limit", type=int, default=None)
+    m.set_defaults(fn=cmd_materialize)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,172 @@
+"""Python API + CLI tests (reference integrations/ml.py + cli/app.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+def _write(path, text):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(text, encoding="utf-8")
+
+
+@pytest.fixture()
+def project(tmp_path):
+    root = tmp_path / "proj"
+    data = [
+        {"time": f"2024-01-01T{h:02d}:00:00Z", "loc": loc, "value": float(h + (10 if loc == "b" else 0))}
+        for h in range(6)
+        for loc in ("a", "b")
+    ]
+    _write(root / "data" / "m.jsonl", "\n".join(json.dumps(r) for r in data))
+    _write(root / "project.yaml", "schema_version: 3\nname: api_demo\n")
+    _write(
+        root / "sources" / "m.yaml",
+        """id: src.m
+parser: { entrypoint: core.temporal_record }
+loader: { transport: fs, path: data/m.jsonl, reader: { format: jsonl } }
+""",
+    )
+    _write(
+        root / "streams" / "m.yaml",
+        """id: s.m
+from: { source: src.m }
+partition_by: [loc]
+""",
+    )
+    _write(
+        root / "dataset.yaml",
+        """sample:
+  cadence: 1h
+  keys: [loc]
+features:
+  - { id: val, stream: s.m, field: value }
+targets:
+  - { id: tgt, stream: s.m, field: value }
+""",
+    )
+    _write(root / "profiles" / "serve.dataset.yaml", "operation: dataset\n")
+    _write(
+        root / "profiles" / "serve.defaults.yaml",
+        "output: { transport: fs, format: jsonl, directory: output }\n",
+    )
+    return root
+
+
+def test_iter_samples(spark, project):
+    from datapipeline_spark.api import iter_samples
+
+    got = list(iter_samples(spark, project))
+    assert len(got) == 12
+    assert set(got[0]) == {"time", "loc", "val", "tgt"}
+    by_key = {(s["time"].hour, s["loc"]): s["val"] for s in got}
+    assert by_key[(3, "a")] == 3.0 and by_key[(3, "b")] == 13.0
+
+
+def test_iter_samples_limit(spark, project):
+    from datapipeline_spark.api import iter_samples
+
+    assert len(list(iter_samples(spark, project, limit=5))) == 5
+
+
+def test_iter_model_batches(spark, project):
+    import numpy as np
+
+    from datapipeline_spark.api import iter_model_batches
+
+    batches = list(iter_model_batches(spark, project, batch_size=5))
+    assert [b.features.shape[0] for b in batches] == [5, 5, 2]
+    b0 = batches[0]
+    assert b0.features.dtype == np.float32
+    assert b0.columns == ["val"] and b0.target_columns == ["tgt"]
+    assert b0.targets.shape == b0.features.shape
+    all_vals = np.concatenate([b.features[:, 0] for b in batches])
+    assert sorted(all_vals.tolist()) == sorted(
+        float(h + extra) for h in range(6) for extra in (0, 10)
+    )
+
+
+def test_model_batches_reject_nonfinite(spark, tmp_path):
+    from datapipeline_spark.api import iter_model_batches
+
+    root = tmp_path / "p"
+    data = [
+        {"time": "2024-01-01T00:00:00Z", "value": 1.0},
+        {"time": "2024-01-01T02:00:00Z", "value": 2.0},
+    ]
+    _write(root / "data" / "m.jsonl", "\n".join(json.dumps(r) for r in data))
+    _write(root / "project.yaml", "schema_version: 3\nname: nf\n")
+    _write(
+        root / "sources" / "m.yaml",
+        """id: src.m
+parser: { entrypoint: core.temporal_record }
+loader: { transport: fs, path: data/m.jsonl, reader: { format: jsonl } }
+""",
+    )
+    _write(
+        root / "streams" / "m.yaml",
+        """id: s.m
+from: { source: src.m }
+transforms:
+  - { operation: ensure_cadence, cadence: 1h }
+""",
+    )
+    _write(
+        root / "dataset.yaml",
+        """sample:
+  cadence: 1h
+features:
+  - { id: val, stream: s.m, field: value }
+""",
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        list(iter_model_batches(spark, root))
+    # non-strict mode passes NaN through
+    batches = list(iter_model_batches(spark, root, strict_finite=False))
+    assert batches[0].features.shape == (3, 1)
+
+
+def test_cli_serve_and_build(spark, project, capsys):
+    from datapipeline_spark import cli
+
+    rc = cli.main(["build", str(project)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "series\tbuilt" in out
+
+    rc = cli.main(["build", str(project)])
+    assert "fresh (skipped)" in capsys.readouterr().out
+    assert rc == 0
+
+    rc = cli.main(["serve", str(project), "--run-id", "testrun"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "all.full" in out
+    out_path = project / "output" / "runs" / "testrun" / "dataset" / "serve.all.full.jsonl"
+    assert out_path.exists()
+    lines = [
+        json.loads(l)
+        for part in sorted(out_path.glob("part-*"))
+        for l in part.read_text().splitlines()
+        if l.strip()
+    ]
+    assert len(lines) == 12
+    assert (project / "output" / "runs" / "latest").exists()
+
+
+def test_cli_inspect_and_materialize(spark, project, tmp_path, capsys):
+    from datapipeline_spark import cli
+
+    rc = cli.main(["inspect", str(project)])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["project"] == "api_demo"
+    assert info["streams"]["s.m"]["partition_by"] == ["loc"]
+    assert info["dataset"]["features"] == ["val"]
+
+    out = tmp_path / "mat.jsonl"
+    rc = cli.main(["materialize", str(project), "s.m", str(out)])
+    assert rc == 0
+    assert out.exists()
