@@ -1,0 +1,15 @@
+from datapipeline_spark.streaming.ops import (
+    cadence_assembly_stream,
+    dedupe_stream,
+    rolling_mean_stream,
+    sequence_windows_stream,
+    stream_jsonl_source,
+)
+
+__all__ = [
+    "cadence_assembly_stream",
+    "dedupe_stream",
+    "rolling_mean_stream",
+    "sequence_windows_stream",
+    "stream_jsonl_source",
+]

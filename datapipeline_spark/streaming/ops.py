@@ -1,0 +1,195 @@
+"""Structured Streaming equivalents of the reference's stream-shaped batch ops.
+
+Reference mapping (SURVEY.md §2.10): the reference is batch over bounded
+sources but its dataflow is stream-shaped. This module provides the unbounded
+versions:
+
+| reference concept                  | here                                    |
+|------------------------------------|-----------------------------------------|
+| cadence bucket grouping            | tumbling `F.window(time, cadence)` agg  |
+| late/duplicate data (hard errors)  | watermark + `dropDuplicatesWithinWatermark` |
+| per-key generator state (rolling)  | `applyInPandasWithState` per-key state  |
+| sliding sequences                  | stateful trailing-window emitter        |
+
+Scale posture: state is partitioned by key across executors (RocksDB-backed
+state store in production configs); watermarks bound state size; all
+aggregations are incremental. Each op returns a streaming DataFrame — callers
+pick the sink/trigger (tests use file source + availableNow + memory sink).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from datapipeline_spark.functions.time import parse_cadence_seconds
+
+
+def stream_jsonl_source(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source (new files under `path` become batches).
+    Schema is mandatory — streaming reads never infer (plan stability)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def dedupe_stream(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    watermark: str = "1 hour",
+    time_field: str = "time",
+) -> DataFrame:
+    """Drop duplicate `(keys)` rows arriving within the watermark horizon.
+
+    The reference fails hard on duplicates (alignment/engine.py:56-65); a
+    stream can't fail on late arrivals, so the streaming contract is
+    watermarked dedup — state size stays bounded by the watermark.
+    """
+    return sdf.withWatermark(time_field, watermark).dropDuplicatesWithinWatermark(
+        [*keys, time_field]
+    )
+
+
+def cadence_assembly_stream(
+    sdf: DataFrame,
+    cadence: str,
+    entity_keys: Sequence[str],
+    value_cols: Sequence[str],
+    watermark: str = "1 hour",
+    time_field: str = "time",
+) -> DataFrame:
+    """Streaming sample assembly: tumbling cadence window per entity with
+    last-by-time per value column (batch analogue: dataset/sample.py
+    `assemble_samples`). Watermark closes buckets so append-mode sinks emit
+    exactly one final row per (bucket, entity)."""
+    seconds = parse_cadence_seconds(cadence)
+    w = F.window(F.col(time_field), f"{seconds} seconds")
+    aggs = [F.max_by(F.col(c), F.col(time_field)).alias(c) for c in value_cols]
+    return (
+        sdf.withWatermark(time_field, watermark)
+        .groupBy(w.alias("bucket"), *entity_keys)
+        .agg(*aggs)
+        .select(F.col("bucket.start").alias("time"), *entity_keys, *value_cols)
+    )
+
+
+def rolling_mean_stream(
+    sdf: DataFrame,
+    field: str,
+    window: int,
+    entity_keys: Sequence[str],
+    min_samples: int = 1,
+    time_field: str = "time",
+    watermark: str = "1 hour",
+    out: str = "rolling_mean",
+) -> DataFrame:
+    """Per-key trailing `window`-row mean over event-time order — the
+    streaming form of operators/window.rolling (reference
+    transforms/stream/rolling.py:34-77), implemented with
+    `applyInPandasWithState`: state = last `window` values per key, exactly
+    the reference's per-partition generator state made distributed/durable.
+
+    Rows within one micro-batch are processed in event-time order; across
+    batches arrival order applies (use watermarked sources for discipline).
+    """
+    payload = [c for c in sdf.columns]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
+    ) + f", `{out}` double"
+    state_schema = "values array<double>"
+
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            (buf,) = state.get
+            buf = list(buf)
+        else:
+            buf = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(time_field)
+            means = []
+            for v in pdf[field]:
+                buf.append(None if pd.isna(v) else float(v))
+                if len(buf) > window:
+                    buf.pop(0)
+                present = [x for x in buf if x is not None]
+                means.append(
+                    sum(present) / len(present)
+                    if len(present) >= min_samples
+                    else None
+                )
+            pdf = pdf.copy()
+            pdf[out] = pd.Series(means, index=pdf.index, dtype="float64")
+            yield pdf[payload + [out]]
+        state.update((buf,))
+
+    return sdf.groupBy(*entity_keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sequence_windows_stream(
+    sdf: DataFrame,
+    field: str,
+    size: int,
+    entity_keys: Sequence[str],
+    stride: int = 1,
+    time_field: str = "time",
+    out: str = "sequence",
+) -> DataFrame:
+    """Sliding fixed-size sequences per key (streaming form of
+    operators/window.sequence_windows; reference pipelines/series/stages.py:
+    32-60): emit only full windows aligned to `stride` from the series start;
+    state = trailing values + row count per key."""
+    out_schema = (
+        f"`{time_field}` timestamp, "
+        + ", ".join(f"`{k}` string" for k in entity_keys)
+        + f", `{out}` array<double>"
+    )
+    state_schema = "values array<double>, n bigint"
+
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            buf, n = state.get
+            buf = list(buf)
+        else:
+            buf, n = [], 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(time_field)
+            rows = []
+            for t, v in zip(pdf[time_field], pdf[field]):
+                buf.append(None if pd.isna(v) else float(v))
+                n += 1
+                if len(buf) > size:
+                    buf.pop(0)
+                if n >= size and (n - size) % stride == 0:
+                    rows.append((t, *key, list(buf)))
+            if rows:
+                yield pd.DataFrame(rows, columns=[time_field, *entity_keys, out])
+        state.update((buf, n))
+
+    return sdf.groupBy(*entity_keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,121 @@
+"""Structured Streaming ops: file source → availableNow trigger → memory sink.
+
+The reference is batch-only; these verify the streaming equivalents declared
+in SURVEY.md §2.10 produce the same values as their batch counterparts.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+
+
+SCHEMA = "time timestamp, loc string, value double"
+
+
+def _feed(tmp_path, rows, name="batch0.jsonl"):
+    d = tmp_path / "in"
+    d.mkdir(exist_ok=True)
+    (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+    return str(d)
+
+
+def _run(sdf, sort_cols):
+    name = "t" + uuid.uuid4().hex[:8]
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    out = sdf.sparkSession.table(name).orderBy(*sort_cols)
+    return [tuple(r) for r in out.collect()]
+
+
+def _rows(n=6):
+    return [
+        {"time": f"2024-01-01T{h:02d}:00:00Z", "loc": loc, "value": float(h + (10 if loc == "b" else 0))}
+        for h in range(n)
+        for loc in ("a", "b")
+    ]
+
+
+def test_rolling_mean_stream(spark, tmp_path):
+    from datapipeline_spark.streaming import rolling_mean_stream, stream_jsonl_source
+
+    src = stream_jsonl_source(spark, _feed(tmp_path, _rows(4)), SCHEMA)
+    sdf = rolling_mean_stream(src, "value", window=2, entity_keys=["loc"], min_samples=1)
+    got = _run(sdf, ["loc", "time"])
+    a = [(t.hour, rm) for t, loc, v, rm in got if loc == "a"]
+    assert a == [(0, 0.0), (1, 0.5), (2, 1.5), (3, 2.5)]
+    b = [rm for _, loc, _, rm in got if loc == "b"]
+    assert b == [10.0, 10.5, 11.5, 12.5]
+
+
+def test_sequence_windows_stream(spark, tmp_path):
+    from datapipeline_spark.streaming import sequence_windows_stream, stream_jsonl_source
+
+    src = stream_jsonl_source(spark, _feed(tmp_path, _rows(5)), SCHEMA)
+    sdf = sequence_windows_stream(src, "value", size=3, entity_keys=["loc"], stride=2)
+    got = _run(sdf, ["loc", "time"])
+    a = [(t.hour, seq) for t, loc, seq in got if loc == "a"]
+    # full windows at n=3 (hours 0-2) and n=5 (hours 2-4); stride 2
+    assert a == [(2, [0.0, 1.0, 2.0]), (4, [2.0, 3.0, 4.0])]
+
+
+def test_cadence_assembly_stream(spark, tmp_path):
+    from datapipeline_spark.streaming import cadence_assembly_stream, stream_jsonl_source
+
+    rows = [
+        {"time": "2024-01-01T00:10:00Z", "loc": "a", "value": 1.0},
+        {"time": "2024-01-01T00:50:00Z", "loc": "a", "value": 2.0},  # same bucket, later
+        {"time": "2024-01-01T01:20:00Z", "loc": "a", "value": 3.0},
+        {"time": "2024-01-01T09:00:00Z", "loc": "a", "value": 99.0},  # advances watermark
+    ]
+    src = stream_jsonl_source(spark, _feed(tmp_path, rows), SCHEMA)
+    sdf = cadence_assembly_stream(src, "1h", ["loc"], ["value"], watermark="2 hours")
+    got = _run(sdf, ["time"])
+    closed = [(t.hour, v) for t, loc, v in got]
+    # watermark at 07:00 closes buckets 00 and 01; last-by-time wins in bucket 0
+    assert (0, 2.0) in closed and (1, 3.0) in closed
+
+
+def test_dedupe_stream(spark, tmp_path):
+    from datapipeline_spark.streaming import dedupe_stream, stream_jsonl_source
+
+    rows = [
+        {"time": "2024-01-01T00:00:00Z", "loc": "a", "value": 1.0},
+        {"time": "2024-01-01T00:00:00Z", "loc": "a", "value": 1.0},
+        {"time": "2024-01-01T01:00:00Z", "loc": "a", "value": 2.0},
+    ]
+    src = stream_jsonl_source(spark, _feed(tmp_path, rows), SCHEMA)
+    sdf = dedupe_stream(src, ["loc"], watermark="1 hour")
+    got = _run(sdf, ["time"])
+    assert len(got) == 2
+
+
+def test_streaming_matches_batch_rolling(spark, tmp_path):
+    """Metamorphic: streaming rolling mean == batch rolling mean on the same
+    data (the §2.10 equivalence the survey claims)."""
+    from datapipeline_spark.operators.window import rolling
+    from datapipeline_spark.streaming import rolling_mean_stream, stream_jsonl_source
+
+    rows = _rows(6)
+    src = stream_jsonl_source(spark, _feed(tmp_path, rows), SCHEMA)
+    got_stream = _run(
+        rolling_mean_stream(src, "value", window=3, entity_keys=["loc"], min_samples=1),
+        ["loc", "time"],
+    )
+    batch = spark.createDataFrame(
+        [(r["time"].replace("Z", "+00:00"), r["loc"], r["value"]) for r in rows],
+        "time string, loc string, value double",
+    ).selectExpr("cast(time as timestamp) time", "loc", "value")
+    got_batch = [
+        tuple(r)
+        for r in rolling(
+            batch, "value", 3, "mean", 1, ["loc"], out="rolling_mean"
+        )
+        .orderBy("loc", "time")
+        .collect()
+    ]
+    assert [g[-1] for g in got_stream] == pytest.approx([g[-1] for g in got_batch])
