@@ -31,6 +31,10 @@ HEADLINE = [
     "ensure_cadence",
     "align_streams",
     "broadcast_center",
+    "forward_fill",
+    "asof_join",
+    "sessionize",
+    "topk_orders_per_customer",
     "sample_pivot",
     "scaler_standardize",
     # training-data operators (present from round 1+ as implemented)

@@ -630,3 +630,124 @@ def split_hash_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(F.substring(F.sha2(F.concat(F.lit("42|"), F.col("user_id").cast("string")), 256), 1, 13), 16, 10).cast("long")
     label = F.when(h % 10 < 8, "train").otherwise("eval")
     return s.select("user_id", label.alias("label"))
+
+
+# ------------------------------------------------- beyond-reference temporal
+
+
+@query(
+    "forward_fill",
+    """
+WITH {base}
+SELECT event_id, user_id,
+       last_value(value_n IGNORE NULLS)
+         OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill
+FROM base
+""".format(base=EVENTS_BASE, w=W),
+)
+def forward_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carry last non-missing value (reference transforms/stream/fill.py:72-100)."""
+    s = events_stream(spark, sf_dir)
+    s = ops.forward_fill(s, "value_n", ["user_id"], out="ffill", order_by=ORDER)
+    return s.select("event_id", "user_id", "ffill")
+
+
+@query(
+    "asof_join",
+    """
+WITH {base},
+hourly AS (
+  SELECT user_id, time, value FROM (
+    SELECT user_id, date_trunc('hour', ts) AS time, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+shifted AS (SELECT user_id, time + INTERVAL 30 MINUTE AS time, value FROM hourly)
+SELECT b.event_id, b.user_id, b.time, s.value AS hourly_asof
+FROM base b ASOF LEFT JOIN shifted s
+  ON b.user_id = s.user_id AND b.time >= s.time
+""".format(base=EVENTS_BASE),
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: latest half-hour-shifted hourly value at or
+    before each event. The reference reconstructs this with ensure_ticks +
+    forward_fill (docs/dataflow.md); here it is a native single-shuffle
+    union + last-non-null operator (operators/asof.py)."""
+    from datapipeline_spark.operators.asof import asof_join
+
+    left = events_stream(spark, sf_dir).select("event_id", "user_id", "time")
+    right = hourly_stream(spark, sf_dir).select(
+        "user_id", shift_time_expr("time", "30m").alias("time"), "value"
+    )
+    joined = asof_join(left, right, ["user_id"], right_fields=["value"], suffix="_x")
+    return joined.select(
+        "event_id", "user_id", "time", F.col("value_x").alias("hourly_asof")
+    )
+
+
+@query(
+    "sessionize",
+    """
+WITH {base},
+flags AS (
+  SELECT user_id, time, event_id,
+         CASE WHEN lag(time) OVER ({w}) IS NULL
+                OR epoch(time) - epoch(lag(time) OVER ({w})) > 7200
+              THEN 1 ELSE 0 END AS new_s
+  FROM base
+),
+ids AS (
+  SELECT user_id, time, event_id,
+         sum(new_s) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+  FROM flags
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(time) AS session_start,
+       max(time) AS session_end
+FROM ids
+GROUP BY user_id, session_id
+""".format(base=EVENTS_BASE, w=W),
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (2h gap) + per-session aggregates — session
+    windows are absent from the reference (SURVEY.md §2.10)."""
+    from datapipeline_spark.operators.asof import sessionize
+
+    s = events_stream(spark, sf_dir).select("user_id", "time", "event_id")
+    s = sessionize(s, "2h", ["user_id"])
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("time").alias("session_start"),
+        F.max("time").alias("session_end"),
+    )
+
+
+@query(
+    "topk_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
+  FROM orders
+) WHERE rank <= 3
+""",
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — top-k noted absent in the reference
+    (SURVEY.md §2.4); WindowGroupLimit keeps it a partial top-k, no full
+    per-partition sort at scale."""
+    from datapipeline_spark.operators.asof import top_k
+
+    o = load_table(spark, sf_dir, "orders")
+    ranked = top_k(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        3,
+        order_by=["o_totalprice", "o_orderkey"],
+        partition_by=["o_custkey"],
+        descending=True,
+    )
+    return ranked.select("o_custkey", "o_orderkey", "o_totalprice", "rank")

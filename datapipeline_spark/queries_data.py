@@ -277,3 +277,47 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return lsh_knn(e, queries, k=3)
+
+
+@query(
+    "media_metadata",
+    """
+WITH m AS (
+  SELECT id,
+         CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         (4 + id % 7) * 32 AS byte_len
+  FROM range(64) t(id)
+)
+SELECT media_type, count(*) AS n, sum(byte_len) AS total_bytes
+FROM m GROUP BY media_type
+""",
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary column + JVM-side metadata
+    (length/digest) aggregated per media type — the metadata never leaves
+    the JVM; the oracle recomputes byte lengths arithmetically."""
+    from datapipeline_spark.multimodal.blobs import attach_media_metadata, fake_media_table
+
+    m = attach_media_metadata(fake_media_table(spark, n=64))
+    return m.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("byte_len").alias("total_bytes")
+    )
+
+
+@query("media_features")  # Pandas-UDF decode path → rows-only check
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode + feature extraction over binary media
+    (mapInPandas; deterministic fake codec — real codecs stub behind
+    NotImplementedError)."""
+    from datapipeline_spark.multimodal.blobs import (
+        decode_media,
+        extract_features,
+        fake_media_table,
+    )
+
+    media = fake_media_table(spark, n=64)
+    decoded = decode_media(media).select("media_id", "media_type", "width", "n_frames")
+    feats = extract_features(media, dim=8)
+    return decoded.join(feats, "media_id").select(
+        "media_id", "media_type", "width", "n_frames", "feature"
+    )
