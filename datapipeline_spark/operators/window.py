@@ -21,6 +21,14 @@ from pyspark.sql import functions as F
 TIME = "time"
 
 
+def _nn(field: str) -> Column:
+    """Null-if-NaN view of a numeric column: the reference's missing test is
+    `None or NaN` (transforms/utils.py:11-16), Spark's `count`/`avg` treat
+    only null as missing — this closes the gap without an extra pass."""
+    c = F.col(field)
+    return F.when(c.isNotNull() & ~F.isnan(c.cast("double")), c)
+
+
 def canonical_window(
     partition_by: Sequence[str], order_by: Sequence[str] = (TIME,)
 ) -> WindowSpec:
@@ -84,7 +92,7 @@ def rolling_expr(
         raise ValueError("rolling stdev requires min_samples >= 2")
 
     w = canonical_window(partition_by, order_by).rowsBetween(-(window - 1), 0)
-    c = F.col(field)
+    c = _nn(field)
     agg = {
         "mean": F.avg(c),
         # exact median; F.median rejects window frames but percentile(0.5)
@@ -139,7 +147,10 @@ def rolling_slope(
     `count(pair) over frame == window` is exactly the reset semantics.
     slope = covar_pop/var_pop over the frame — two shuffle-free window aggs.
     """
-    missing = F.col(x).isNull() | F.col(y).isNull()
+    # missing = None or NaN (reference transforms/utils.py:11-16)
+    missing = (
+        F.col(x).isNull() | F.col(y).isNull() | F.isnan(F.col(x)) | F.isnan(F.col(y))
+    )
     run_id = F.sum(missing.cast("int")).over(
         canonical_window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -168,7 +179,7 @@ def forward_sum(
     Reference: transforms/stream/forward_sum.py:17-66.
     """
     w = canonical_window(partition_by, order_by).rowsBetween(1, window)
-    c = F.col(field)
+    c = _nn(field)
     full = (F.count(F.lit(1)).over(w) == window) & (F.count(c).over(w) == window)
     return df.withColumn(out or field, F.when(full, F.sum(c).over(w)))
 
@@ -193,7 +204,7 @@ def fill(
     if statistic not in ("mean", "median"):
         raise ValueError(f"Unsupported fill statistic: {statistic!r}")
     w = canonical_window(partition_by, order_by).rowsBetween(-window, -1)
-    c = F.col(field)
+    c = _nn(field)
     agg = (F.avg(c) if statistic == "mean" else F.percentile(c, F.lit(0.5))).over(w)
     gated = F.when(F.count(c).over(w) >= F.lit(min_samples), agg)
     return df.withColumn(out or field, F.coalesce(c, gated))
@@ -209,7 +220,7 @@ def forward_fill(
     """Carry the last non-missing value forward within the partition
     (reference transforms/stream/fill.py:72-100)."""
     w = canonical_window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
-    return df.withColumn(out or field, F.last(field, ignorenulls=True).over(w))
+    return df.withColumn(out or field, F.last(_nn(field), ignorenulls=True).over(w))
 
 
 def sequence_windows(
