@@ -102,3 +102,60 @@ def project_series(
         *[F.col(k) for k in entity_keys],
         F.col(value_field).alias("value"),
     )
+
+
+# ------------------------------------------------------------------ decoding
+
+SERIES_ID_SEPARATOR = "__"
+SERIES_ID_COMPONENT_SEPARATOR = "|"
+
+
+def base_id(series_id: str) -> str:
+    """Base id before the '__' suffix (reference domain/series_id.py:9-16)."""
+    base, separator, suffix = series_id.partition(SERIES_ID_SEPARATOR)
+    if not separator:
+        return series_id
+    if not base or not suffix:
+        raise ValueError(f"Invalid partitioned series id {series_id!r}")
+    return base
+
+
+def decode_series_id(series_id: str) -> tuple[str, tuple[tuple[str, object], ...]]:
+    """(base, ((field, value), ...)) — exact inverse of the encoder, matching
+    the reference's grammar (domain/series_id.py:62-94): `@field:value`
+    components joined by '|', values tagged `!n` / `!b:` / `!i:` / `!f:<hex>`
+    or URL-quoted strings."""
+    from urllib.parse import unquote
+
+    base, separator, suffix = series_id.partition(SERIES_ID_SEPARATOR)
+    if not separator:
+        return series_id, ()
+    if not base or not suffix:
+        raise ValueError(f"Invalid partitioned series id {series_id!r}")
+
+    components: list[tuple[str, object]] = []
+    for comp in suffix.split(SERIES_ID_COMPONENT_SEPARATOR):
+        if not comp.startswith("@"):
+            raise ValueError(f"Invalid series identity component {comp!r}")
+        field_enc, sep, value_enc = comp[1:].partition(":")
+        if not sep or not field_enc:
+            raise ValueError(f"Invalid series identity component {comp!r}")
+        field = unquote(field_enc)
+        value: object
+        if value_enc == "!n":
+            value = None
+        elif value_enc.startswith("!b:"):
+            payload = value_enc[3:]
+            if payload not in {"0", "1"}:
+                raise ValueError(f"Invalid boolean series identity value {value_enc!r}")
+            value = payload == "1"
+        elif value_enc.startswith("!i:"):
+            value = int(value_enc[3:])
+        elif value_enc.startswith("!f:"):
+            value = float.fromhex(value_enc[3:])
+        elif value_enc.startswith("!"):
+            raise ValueError(f"Invalid series identity value {value_enc!r}")
+        else:
+            value = unquote(value_enc)
+        components.append((field, value))
+    return base, tuple(components)
