@@ -1,0 +1,190 @@
+"""Property-based differential tests: Spark operators vs independent pandas
+reference implementations on hypothesis-generated series.
+
+These complement the ported golden values: goldens pin the reference's exact
+cases, properties sweep the input space (missing patterns, partition layouts,
+window sizes) against a second implementation written directly from the
+semantics in SURVEY.md §2.7.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+
+values_strategy = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _df(spark, values):
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("A", t0 + timedelta(hours=i), None if v is None else float(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, "part string, time timestamp, value double")
+
+
+def _ref_rolling(values, window, statistic, min_samples):
+    """Direct transcription of reference rolling semantics: trailing `window`
+    ticks; emit stat over non-missing when count >= min_samples."""
+    out = []
+    for i in range(len(values)):
+        frame = values[max(0, i - window + 1) : i + 1]
+        present = [v for v in frame if v is not None]
+        if len(present) < min_samples:
+            out.append(None)
+        elif statistic == "mean":
+            out.append(sum(present) / len(present))
+        elif statistic == "min":
+            out.append(min(present))
+        elif statistic == "max":
+            out.append(max(present))
+        elif statistic == "pstdev":
+            m = sum(present) / len(present)
+            out.append(math.sqrt(sum((v - m) ** 2 for v in present) / len(present)))
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(values=values_strategy, window=st.integers(1, 6), stat=st.sampled_from(["mean", "min", "max", "pstdev"]))
+def test_rolling_matches_reference_model(spark, values, window, stat):
+    from datapipeline_spark.operators.window import rolling
+
+    min_samples = 1
+    got = [
+        r["out"]
+        for r in rolling(_df(spark, values), "value", window, stat, min_samples, ["part"], out="out")
+        .orderBy("time")
+        .collect()
+    ]
+    expected = _ref_rolling(values, window, stat, min_samples)
+    assert got == pytest.approx(expected, rel=1e-9, abs=1e-9)
+
+
+def _ref_forward_sum(values, window):
+    out = []
+    for i in range(len(values)):
+        nxt = values[i + 1 : i + 1 + window]
+        if len(nxt) < window or any(v is None for v in nxt):
+            out.append(None)
+        else:
+            out.append(sum(nxt))
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(values=values_strategy, window=st.integers(1, 5))
+def test_forward_sum_matches_reference_model(spark, values, window):
+    from datapipeline_spark.operators.window import forward_sum
+
+    got = [
+        r["out"]
+        for r in forward_sum(_df(spark, values), "value", window, ["part"], out="out")
+        .orderBy("time")
+        .collect()
+    ]
+    assert got == pytest.approx(_ref_forward_sum(values, window), rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    left_times=st.lists(st.integers(0, 200), min_size=1, max_size=15, unique=True),
+    right_times=st.lists(st.integers(0, 200), min_size=1, max_size=15, unique=True),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_times, right_times):
+    from datapipeline_spark.operators.asof import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    lpd = pd.DataFrame(
+        {"time": [t0 + timedelta(minutes=m) for m in sorted(left_times)]}
+    )
+    rpd = pd.DataFrame(
+        {
+            "time": [t0 + timedelta(minutes=m) for m in sorted(right_times)],
+            "x": [float(m) for m in sorted(right_times)],
+        }
+    )
+    expected = pd.merge_asof(lpd, rpd, on="time", direction="backward")
+
+    left = spark.createDataFrame(
+        [("g", t.to_pydatetime()) for t in lpd["time"]], "g string, time timestamp"
+    )
+    right = spark.createDataFrame(
+        [("g", t.to_pydatetime(), x) for t, x in zip(rpd["time"], rpd["x"])],
+        "g string, time timestamp, x double",
+    )
+    got = (
+        asof_join(left, right, ["g"], right_fields=["x"])
+        .orderBy("time")
+        .collect()
+    )
+    got_x = [r["x_asof"] for r in got]
+    exp_x = [None if pd.isna(v) else float(v) for v in expected["x"]]
+    assert got_x == exp_x
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    xy=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+            st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    window=st.integers(2, 5),
+)
+def test_rolling_slope_matches_reference_model(spark, xy, window):
+    from datapipeline_spark.operators.window import rolling_slope
+
+    # reference model: run-based reset; emit slope when `window` consecutive
+    # complete pairs are in hand and x-variance is nonzero
+    expected = []
+    run: list[tuple[float, float]] = []
+    for x, y in xy:
+        if x is None or y is None:
+            run = []
+            expected.append(None)
+            continue
+        run.append((x, y))
+        if len(run) < window:
+            expected.append(None)
+            continue
+        cur = run[-window:]
+        mx = sum(p[0] for p in cur) / window
+        my = sum(p[1] for p in cur) / window
+        varx = sum((p[0] - mx) ** 2 for p in cur)
+        if varx == 0.0:
+            expected.append(None)  # Spark yields null; reference raises
+        else:
+            expected.append(
+                sum((p[0] - mx) * (p[1] - my) for p in cur) / varx
+            )
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("A", t0 + timedelta(hours=i), x, y) for i, (x, y) in enumerate(xy)
+    ]
+    df = spark.createDataFrame(rows, "part string, time timestamp, x double, y double")
+    got = [
+        r["out"]
+        for r in rolling_slope(df, "x", "y", window, ["part"], out="out")
+        .orderBy("time")
+        .collect()
+    ]
+    assert got == pytest.approx(expected, rel=1e-6, abs=1e-9)
