@@ -21,9 +21,11 @@ def _registry():
     merged = dict(core)
     from datapipeline_spark.queries_data import REGISTRY as data
     from datapipeline_spark.queries_dataset import REGISTRY as dataset
+    from datapipeline_spark.queries_streaming import REGISTRY as streaming
 
     merged.update(data)
     merged.update(dataset)
+    merged.update(streaming)
     return merged
 
 
