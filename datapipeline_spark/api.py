@@ -190,3 +190,45 @@ def serve(
             write_parquet(df, path)
         written[(fold, role)] = path
     return written
+
+
+def preview(
+    spark: SparkSession,
+    project_dir: str | Path,
+    stage: str,
+    stream: str | None = None,
+) -> DataFrame:
+    """Materialization-point preview (reference preview boundaries,
+    execution/pipeline.py:46-65 + config/preview.py:4-20):
+
+    - ``records``     one compiled stream (requires ``stream=``)
+    - ``series``      the long series frame feeding sample assembly
+    - ``samples``     the wide frame BEFORE postprocess/splits
+    - ``postprocess`` the final dataset frame (single output or labeled)
+    """
+    compiled = open_project(spark, project_dir)
+    if stage == "records":
+        if stream is None:
+            raise ValueError("preview stage 'records' requires stream=")
+        return compiled.stream(stream)
+    if stage == "series":
+        from datapipeline_spark.plans.artifacts import _build_series
+
+        return _build_series(compiled)
+    if stage == "samples":
+        from datapipeline_spark.plans.dataset_build import _build
+
+        cfg = compiled.definition.dataset
+        if cfg is None:
+            raise ValueError("project has no dataset.yaml")
+        stripped = cfg.model_copy(update={"postprocess": None, "split": None})
+        return _build(compiled, stripped).samples.drop("__split__")
+    if stage == "postprocess":
+        build = build_dataset(compiled)
+        outs = build.outputs()
+        if len(outs) == 1:
+            return next(iter(outs.values()))
+        return build.samples
+    raise ValueError(
+        f"unknown preview stage {stage!r}; use records|series|samples|postprocess"
+    )

@@ -118,8 +118,23 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--limit", type=int, default=None)
     m.set_defaults(fn=cmd_materialize)
 
+    v = sub.add_parser("preview", help="show a pipeline materialization point")
+    v.add_argument("project")
+    v.add_argument("stage", choices=["records", "series", "samples", "postprocess"])
+    v.add_argument("--stream", default=None)
+    v.add_argument("--limit", type=int, default=10)
+    v.set_defaults(fn=cmd_preview)
+
     args = p.parse_args(argv)
     return args.fn(args)
+
+
+def cmd_preview(args) -> int:
+    from datapipeline_spark.api import preview
+
+    df = preview(_spark(args), args.project, args.stage, stream=args.stream)
+    df.show(args.limit, truncate=False)
+    return 0
 
 
 if __name__ == "__main__":

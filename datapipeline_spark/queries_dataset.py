@@ -294,3 +294,35 @@ def ensure_ticks_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = hourly_stream(spark, sf_dir)
     grid = tick_grid(h, "1h", ["user_id"])
     return ensure_ticks(h, grid, ["user_id"])
+
+
+@query(
+    "conform_columns",
+    """
+WITH {base}
+SELECT user_id, date_trunc('day', time) AS time,
+       round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS ev_click,
+       CAST(NULL AS DOUBLE)                                         AS ev_absent,
+       round(avg(CASE WHEN event_type = 'view'  THEN value END), 6) AS ev_view
+FROM base GROUP BY 1, 2
+""".format(base=EVENTS_BASE),
+)
+def q_conform_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conform: order columns by the metadata contract, materializing absent
+    ids as typed nulls (reference transforms/vector/conform.py:10-75)."""
+    from datapipeline_spark.dataset.postprocess import conform_columns
+    from datapipeline_spark.functions.time import floor_time_expr
+
+    s = events_stream(spark, sf_dir)
+    wide = (
+        s.groupBy("user_id", floor_time_expr("time", "1d").alias("time"))
+        .pivot("event_type", ["click", "view"])
+        .agg(F.round(F.avg("value"), 6))
+        .withColumnsRenamed({"click": "ev_click", "view": "ev_view"})
+    )
+    contract = [
+        ("ev_click", "scalar", None),
+        ("ev_absent", "scalar", None),
+        ("ev_view", "scalar", None),
+    ]
+    return conform_columns(wide, contract)

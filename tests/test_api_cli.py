@@ -170,3 +170,24 @@ def test_cli_inspect_and_materialize(spark, project, tmp_path, capsys):
     rc = cli.main(["materialize", str(project), "s.m", str(out)])
     assert rc == 0
     assert out.exists()
+
+
+def test_preview_stages(spark, project, capsys):
+    from datapipeline_spark import cli
+    from datapipeline_spark.api import preview
+
+    df = preview(spark, project, "records", stream="s.m")
+    assert set(df.columns) >= {"time", "loc", "value"}
+    series = preview(spark, project, "series")
+    assert set(series.columns) >= {"series_id", "time", "value"}
+    samples = preview(spark, project, "samples")
+    assert "__split__" not in samples.columns
+    final = preview(spark, project, "postprocess")
+    assert final.count() == 12
+
+    rc = cli.main(["preview", str(project), "samples", "--limit", "3"])
+    assert rc == 0
+    assert "val" in capsys.readouterr().out
+
+    with pytest.raises(ValueError, match="requires stream"):
+        preview(spark, project, "records")
