@@ -27,15 +27,11 @@ def open_project(spark: SparkSession, project_dir: str | Path) -> CompiledProjec
     return compile_project(spark, load_project(project_dir))
 
 
-def dataset_frame(
-    spark: SparkSession,
-    project_dir: str | Path,
-    fold: str | None = None,
-    role: str | None = None,
+def _resolve_output(
+    outs: dict[tuple[str, str], DataFrame],
+    fold: str | None,
+    role: str | None,
 ) -> DataFrame:
-    """The wide sample DataFrame (scaled; filtered to fold/role if given)."""
-    build = build_dataset(open_project(spark, project_dir))
-    outs = build.outputs()
     if fold is None and role is None:
         if len(outs) == 1:
             return next(iter(outs.values()))
@@ -44,6 +40,17 @@ def dataset_frame(
     if key not in outs:
         raise KeyError(f"no output {key}; available: {sorted(outs)}")
     return outs[key]
+
+
+def dataset_frame(
+    spark: SparkSession,
+    project_dir: str | Path,
+    fold: str | None = None,
+    role: str | None = None,
+) -> DataFrame:
+    """The wide sample DataFrame (scaled; filtered to fold/role if given)."""
+    build = build_dataset(open_project(spark, project_dir))
+    return _resolve_output(build.outputs(), fold, role)
 
 
 def iter_samples(
@@ -92,13 +99,7 @@ def iter_model_batches(
 
     compiled = open_project(spark, project_dir)
     build = build_dataset(compiled)
-    outs = build.outputs()
-    key = (fold or "all", role or "full")
-    if fold is None and role is None and len(outs) == 1:
-        key = next(iter(outs))
-    if key not in outs:
-        raise KeyError(f"no output {key}; available: {sorted(outs)}")
-    df = outs[key]
+    df = _resolve_output(build.outputs(), fold, role)
 
     feat_cols = [c for c in build.feature_columns if c in df.columns]
     targ_cols = [c for c in build.target_columns if c in df.columns]
@@ -130,25 +131,43 @@ def iter_model_batches(
             )
         return m
 
+    def expanded(row, cols: list[str]) -> list[str]:
+        """Flattened column labels: sequence feature `s` of length 3 becomes
+        s[0], s[1], s[2] so labels align with matrix columns positionally
+        (the reference's metadata-ordered contract, ml.py:211-316)."""
+        names: list[str] = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, (list, tuple)):
+                names.extend(f"{c}[{i}]" for i in range(len(v)))
+            else:
+                names.append(c)
+        return names
+
     buffer: list = []
+    feat_names: list[str] | None = None
+    targ_names: list[str] | None = None
+
+    def flush():
+        nonlocal feat_names, targ_names
+        if feat_names is None:
+            feat_names = expanded(buffer[0], feat_cols)
+            targ_names = expanded(buffer[0], targ_cols)
+        return ModelBatch(
+            columns=feat_names,
+            features=to_matrix(buffer, feat_cols),
+            targets=to_matrix(buffer, targ_cols),
+            target_columns=targ_names,
+        )
+
     ordered = df.select(*feat_cols, *targ_cols)
     for row in ordered.toLocalIterator(prefetchPartitions=True):
         buffer.append(row)
         if len(buffer) >= batch_size:
-            yield ModelBatch(
-                columns=feat_cols,
-                features=to_matrix(buffer, feat_cols),
-                targets=to_matrix(buffer, targ_cols),
-                target_columns=targ_cols,
-            )
+            yield flush()
             buffer = []
     if buffer:
-        yield ModelBatch(
-            columns=feat_cols,
-            features=to_matrix(buffer, feat_cols),
-            targets=to_matrix(buffer, targ_cols),
-            target_columns=targ_cols,
-        )
+        yield flush()
 
 
 def serve(

@@ -35,15 +35,30 @@ def availability_statuses(
     present, like the reference's per-cell upgrade logic); lattice cells with
     no row at all are absent.
     """
+    from datapipeline_spark.functions.time import parse_cadence_seconds
+
     bucketed = series.select(
         floor_time_expr("time", cadence).alias("bucket"),
         "series_id",
         "value",
     )
+    # present requires a non-null, non-NaN value (the operators' missing test)
+    present = F.col("value").isNotNull() & ~F.isnan(F.col("value").cast("double"))
     cells = bucketed.groupBy("bucket", "series_id").agg(
-        F.max(F.when(F.col("value").isNotNull(), 2).otherwise(1)).alias("__code__")
+        F.max(F.when(present, 2).otherwise(1)).alias("__code__")
     )
-    buckets = cells.select("bucket").distinct()
+    # dense bucket axis spans min..max — an all-series outage bucket must
+    # still render (as an all-absent row), so the axis cannot come from
+    # observed cells alone
+    step = parse_cadence_seconds(cadence)
+    buckets = (
+        bucketed.agg(
+            F.min(F.unix_timestamp("bucket")).alias("lo"),
+            F.max(F.unix_timestamp("bucket")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi", F.lit(step))).alias("s"))
+        .select(F.timestamp_seconds("s").alias("bucket"))
+    )
     if series_ids is None:
         ids = cells.select("series_id").distinct()
     else:
@@ -71,13 +86,12 @@ def collect_matrix(
     """Bounded driver-side matrix: (sorted buckets, sorted ids,
     {(bucket, id): status}). Raises if the matrix exceeds `max_cells`
     (reference matrix.py:106-112 guard)."""
-    n = statuses.count()
-    if n > max_cells:
+    rows = statuses.limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
         raise ValueError(
-            f"availability matrix has {n} cells > max_cells={max_cells}; "
+            f"availability matrix exceeds max_cells={max_cells}; "
             "narrow the window or id list"
         )
-    rows = statuses.collect()
     buckets = sorted({r["bucket"] for r in rows})
     ids = sorted({r["series_id"] for r in rows})
     grid = {(r["bucket"], r["series_id"]): r["status"] for r in rows}

@@ -77,7 +77,16 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join a skewed big side against a small side by exploding the small
-    side `salt`× — every hot key spreads over `salt` shuffle partitions."""
+    side `salt`× — every hot key spreads over `salt` shuffle partitions.
+
+    Only big-side-preserving joins are sound: an unmatched small-side row
+    exists `salt` times after the explosion, so right/full outer joins would
+    emit duplicates.
+    """
+    if how not in ("inner", "left", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}"
+        )
     spark = big.sparkSession
     salts = spark.range(salt).select(F.col("id").cast("int").alias(_SALT))
     big_s = big.withColumn(_SALT, (F.rand(seed) * salt).cast("int"))

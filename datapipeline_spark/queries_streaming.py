@@ -33,8 +33,16 @@ def query(name: str, sql: str | None = None):
 
 def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     """Stage the (timestamp-converted) events table once as a single parquet
-    file so the file streaming source sees exactly one deterministic batch."""
-    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    file so the file streaming source sees exactly one deterministic batch.
+    Cache key covers the source file stats, so regenerated driver data
+    invalidates the staging."""
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        stamp = src
+    key = hashlib.sha256(stamp.encode()).hexdigest()[:12]
     staging = f"/tmp/spark_graft_stream_{key}"
     marker = os.path.join(staging, "_SUCCESS")
     if not os.path.exists(marker):
@@ -64,9 +72,15 @@ def streaming_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in batch.schema.fields)
     sdf = spark.readStream.schema(schema).parquet(staging)
     out = rolling_mean_stream(
-        sdf, "value_n", window=4, entity_keys=["user_id"], min_samples=2, out="roll_mean"
+        sdf,
+        "value_n",
+        window=4,
+        entity_keys=["user_id"],
+        min_samples=2,
+        out="roll_mean",
+        order_cols=("time", "event_id"),
     )
-    name = "stream_roll_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    name = "stream_roll_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -74,7 +88,9 @@ def streaming_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_rolling_mean did not finish within 300s")
     return spark.table(name).select(
         "event_id", "user_id", F.round("roll_mean", 6).alias("roll_mean")
     )

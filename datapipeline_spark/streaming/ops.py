@@ -93,6 +93,7 @@ def rolling_mean_stream(
     time_field: str = "time",
     watermark: str = "1 hour",
     out: str = "rolling_mean",
+    order_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Per-key trailing `window`-row mean over event-time order — the
     streaming form of operators/window.rolling (reference
@@ -104,6 +105,7 @@ def rolling_mean_stream(
     batches arrival order applies (use watermarked sources for discipline).
     """
     payload = [c for c in sdf.columns]
+    sort_cols = list(order_cols) if order_cols else [time_field]
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
     ) + f", `{out}` double"
@@ -118,7 +120,7 @@ def rolling_mean_stream(
         else:
             buf = []
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(time_field)
+            pdf = pdf.sort_values(sort_cols)
             means = []
             for v in pdf[field]:
                 buf.append(None if pd.isna(v) else float(v))
@@ -152,17 +154,21 @@ def sequence_windows_stream(
     stride: int = 1,
     time_field: str = "time",
     out: str = "sequence",
+    order_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Sliding fixed-size sequences per key (streaming form of
     operators/window.sequence_windows; reference pipelines/series/stages.py:
     32-60): emit only full windows aligned to `stride` from the series start;
     state = trailing values + row count per key."""
-    out_schema = (
-        f"`{time_field}` timestamp, "
-        + ", ".join(f"`{k}` string" for k in entity_keys)
-        + f", `{out}` array<double>"
+    dtypes = dict(sdf.dtypes)
+    key_fields = ", ".join(f"`{k}` {dtypes[k]}" for k in entity_keys)
+    out_schema = ", ".join(
+        part
+        for part in (f"`{time_field}` timestamp", key_fields, f"`{out}` array<double>")
+        if part
     )
     state_schema = "values array<double>, n bigint"
+    sort_cols = list(order_cols) if order_cols else [time_field]
 
     def fn(
         key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
@@ -173,7 +179,7 @@ def sequence_windows_stream(
         else:
             buf, n = [], 0
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(time_field)
+            pdf = pdf.sort_values(sort_cols)
             rows = []
             for t, v in zip(pdf[time_field], pdf[field]):
                 buf.append(None if pd.isna(v) else float(v))
