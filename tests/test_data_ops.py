@@ -166,3 +166,43 @@ def test_multimodal_pipeline(spark):
 
     with pytest.raises(NotImplementedError):
         decode_media(media, codec="real")
+
+
+# --------------------------------------------------- near-dup clustering (CC)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from datapipeline_spark.dedup.cluster import connected_components
+
+    # chain 1-2-3-4 (diameter 3), pair {10, 11}, self-contained clique {20,21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from datapipeline_spark.dedup.cluster import connected_components
+
+    n = 30
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs, max_iterations=40).collect()}
+    assert set(comp.values()) == {0} and len(comp) == n + 1
+
+
+def test_dedup_representatives(spark):
+    from datapipeline_spark.dedup.cluster import dedup_representatives
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_representatives(docs, pairs).collect())
+    # component {0,1,2} -> keep 0; {4,5} -> keep 4; unpaired 3 kept
+    assert kept == [0, 3, 4]
