@@ -168,6 +168,21 @@ def _build(compiled: CompiledProject, cfg: DatasetConfig) -> DatasetBuild:
             if wide is None
             else wide.join(seq_wide, on=["time", *keys], how="full_outer")
         )
+        # conform: a bucket with no full window materializes [null]*size, not
+        # a scalar null (reference transforms/vector/conform.py:10-75 list
+        # handling, asserted by the identity-alignment fixture)
+        size_of_base = {
+            s.id: s.sequence.size for s, _ in specs if s.sequence is not None
+        }
+        for sid in ids:
+            size = size_of_base[col_base[sid]]
+            wide = wide.withColumn(
+                sid,
+                F.coalesce(
+                    F.col(sid),
+                    F.array(*[F.lit(None).cast("double") for _ in range(size)]),
+                ),
+            )
 
     assert wide is not None
     kind_of = {s.id: k for s, k in specs}
