@@ -100,11 +100,13 @@ class DatasetBuild:
         scaled_cols = [c for c, b in self.column_base.items() if b in self._scaled_bases]
         if not scaled_cols:
             return df
-        # rename stats to wide column names (driver-side: both maps are tiny)
+        # stats are keyed by FULL series id — partitioned columns each scale
+        # with their own statistics (reference vector/scaler.py:144-151:
+        # selection by base_id, lookup by vector_id); stats are tiny
         rows = {r["series_id"]: r for r in stats.collect()}
         out = df
         for col in scaled_cols:
-            r = rows.get(self.column_base[col])
+            r = rows.get(col)
             if r is None:
                 continue
             out = out.withColumn(
@@ -251,6 +253,8 @@ def _build(compiled: CompiledProject, cfg: DatasetConfig) -> DatasetBuild:
             label_col = hash_split_label(key_col, cfg.split.ratios, cfg.split.seed)
         else:
             label_col = F.lit("train")
+        # select which series get scaled by BASE id; fit statistics per FULL
+        # series id so each partition suffix owns its own mean/std
         labeled = scalar_long.filter(F.col("base_id").isin(list(scaled_bases))).withColumn(
             LABEL, label_col
         )
@@ -259,16 +263,15 @@ def _build(compiled: CompiledProject, cfg: DatasetConfig) -> DatasetBuild:
             for fold_id, roles in fold_plan.items():
                 s = fit_scaler(
                     labeled,
-                    id_col="base_id",
+                    id_col="series_id",
                     train_filter=F.col(LABEL).isin(roles["train"]),
                 ).withColumn("fold", F.lit(fold_id))
                 per_fold.append(s)
             stats = union_all(per_fold)
         else:
             stats = fit_scaler(
-                labeled, id_col="base_id", train_filter=F.col(LABEL) == "train"
+                labeled, id_col="series_id", train_filter=F.col(LABEL) == "train"
             )
-        stats = stats.withColumnRenamed("base_id", "series_id")
 
     build = DatasetBuild(
         samples=wide,

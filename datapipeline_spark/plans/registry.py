@@ -105,14 +105,28 @@ def _parse_temporal_record(df: DataFrame, args: dict) -> DataFrame:
 
 
 def _parse_temporal_csv(df: DataFrame, args: dict) -> DataFrame:
+    """Messy real-world temporal CSV (reference parsers `core.temporal.csv`):
+    named time column (naive timestamps = UTC), decimal-comma numerics via
+    ``decimal: ","``, and ``attributes: {out: source_col}`` projections. Only
+    time + value + attributes survive (the reference DTO shape)."""
     time_field = str(args.get("time_field", "time"))
     value_field = str(args.get("value_field", "value"))
+    decimal = str(args.get("decimal", "."))
+    attributes: dict = dict(args.get("attributes", {}))
     out = _coerce_time(df, time_field)
     if value_field in out.columns:
-        out = out.withColumn("value", F.col(value_field).cast("double"))
-        if value_field != "value":
-            out = out.drop(value_field)
-    return out
+        raw = F.col(value_field)
+        if decimal != ".":
+            raw = F.replace(raw.cast("string"), F.lit(decimal), F.lit("."))
+        out = out.withColumn("__value__", raw.cast("double"))
+    else:
+        out = out.withColumn("__value__", F.lit(None).cast("double"))
+    cols = [F.col("time")]
+    cols += [F.col(src).alias(dst) for dst, src in attributes.items()]
+    cols += [F.col("__value__").alias("value")]
+    if attributes or value_field in df.columns:
+        return out.select(*cols)
+    return out.drop("__value__")
 
 
 register_parser("identity", _parse_identity)
