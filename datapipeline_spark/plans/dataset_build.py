@@ -24,7 +24,7 @@ from datapipeline_spark.dataset.sample import assemble_samples
 from datapipeline_spark.dataset.scaler import apply_scaler, fit_scaler
 from datapipeline_spark.dataset.series import project_series
 from datapipeline_spark.dataset.split import time_split_label, hash_split_label
-from datapipeline_spark.functions.time import parse_datetime_utc
+from datapipeline_spark.functions.time import floor_time_expr, parse_datetime_utc
 from datapipeline_spark.operators.window import sequence_windows
 from datapipeline_spark.plans.compiler import CompiledProject
 from datapipeline_spark.plans.config import DatasetConfig, FeatureSpec
@@ -121,22 +121,54 @@ class DatasetBuild:
     _scaled_bases: set[str] = None  # populated by build_dataset
 
 
-def build_dataset(compiled: CompiledProject) -> DatasetBuild:
+def build_dataset(
+    compiled: CompiledProject, window_mode: str | None = None
+) -> DatasetBuild:
     cfg = compiled.definition.dataset
     if cfg is None:
         raise ValueError("project has no dataset.yaml")
-    return _build(compiled, cfg)
+    return _build(compiled, cfg, window_mode=window_mode)
 
 
-def _build(compiled: CompiledProject, cfg: DatasetConfig) -> DatasetBuild:
+def _window_clip(wide, cadence, spec_longs, window_mode: str):
+    """Clip samples to the metadata window (reference operations/artifacts/
+    metadata.py:60-110; serve applies it, default mode 'intersection'):
+    per-base range = [min, max] observed ROW bucket (partitions union within
+    a base); window = intersection (max-of-firsts, min-of-lasts) or union."""
+    bounds = []
+    for spec, long_df in spec_longs:
+        row = long_df.agg(
+            F.min(floor_time_expr("time", cadence)).alias("lo"),
+            F.max(floor_time_expr("time", cadence)).alias("hi"),
+        ).first()
+        if row["lo"] is not None:
+            bounds.append((row["lo"], row["hi"]))
+    if not bounds:
+        return wide
+    if window_mode == "union":
+        start, end = min(b[0] for b in bounds), max(b[1] for b in bounds)
+    elif window_mode == "intersection":
+        start, end = max(b[0] for b in bounds), min(b[1] for b in bounds)
+        if start > end:
+            return wide.filter(F.lit(False))
+    else:
+        raise ValueError(f"window_mode must be union|intersection, got {window_mode!r}")
+    return wide.filter((F.col("time") >= F.lit(start)) & (F.col("time") <= F.lit(end)))
+
+
+def _build(
+    compiled: CompiledProject, cfg: DatasetConfig, window_mode: str | None = None
+) -> DatasetBuild:
     keys = list(cfg.sample.keys)
     cadence = cfg.sample.cadence
 
     specs = [(s, "feature") for s in cfg.features] + [(s, "target") for s in cfg.targets]
     scalar_longs: list[DataFrame] = []
     seq_longs: list[DataFrame] = []
+    spec_longs: list = []
     for spec, _kind in specs:
         long_df = _long_frame(compiled, spec, keys)
+        spec_longs.append((spec, long_df))
         (seq_longs if spec.sequence is not None else scalar_longs).append(long_df)
 
     col_base: dict[str, str] = {}
@@ -187,6 +219,8 @@ def _build(compiled: CompiledProject, cfg: DatasetConfig) -> DatasetBuild:
             )
 
     assert wide is not None
+    if window_mode is not None:
+        wide = _window_clip(wide, cadence, spec_longs, window_mode)
     kind_of = {s.id: k for s, k in specs}
     for col, base in col_base.items():
         col_kind[col] = kind_of[base]
