@@ -394,6 +394,13 @@ class PostprocessSpec(_Strict):
     samples: PostprocessSamples | None = None
 
 
+class MetadataSpec(_Strict):
+    """Serve-time window clipping (reference config/tasks/metadata.py:
+    MetadataTask.window_mode, default 'intersection')."""
+
+    window_mode: Literal["union", "intersection", "strict"] = "intersection"
+
+
 class DatasetConfig(_Strict):
     sample: SampleSpec
     features: list[FeatureSpec] = Field(min_length=1)
@@ -402,6 +409,7 @@ class DatasetConfig(_Strict):
         default=None, discriminator="mode"
     )
     postprocess: PostprocessSpec | None = None
+    metadata: MetadataSpec | None = None
 
     @model_validator(mode="after")
     def unique_ids(self) -> "DatasetConfig":

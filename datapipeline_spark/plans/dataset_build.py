@@ -132,27 +132,39 @@ def build_dataset(
 
 def _window_clip(wide, cadence, spec_longs, window_mode: str):
     """Clip samples to the metadata window (reference operations/artifacts/
-    metadata.py:60-110; serve applies it, default mode 'intersection'):
-    per-base range = [min, max] observed ROW bucket (partitions union within
-    a base); window = intersection (max-of-firsts, min-of-lasts) or union."""
-    bounds = []
-    for spec, long_df in spec_longs:
-        row = long_df.agg(
-            F.min(floor_time_expr("time", cadence)).alias("lo"),
-            F.max(floor_time_expr("time", cadence)).alias("hi"),
-        ).first()
-        if row["lo"] is not None:
-            bounds.append((row["lo"], row["hi"]))
+    metadata.py:36-108; serve applies it, default mode 'intersection'):
+    per-base range = [min, max] observed ROW bucket with partitions unioned
+    within a base; 'intersection' = max-of-firsts/min-of-lasts over base
+    ranges, 'strict' = same over per-partition (full series id) ranges,
+    'union' = min-of-firsts/max-of-lasts. All ranges come from ONE grouped
+    aggregation over the unioned long frames (partial agg map-side, one
+    shuffle on the tiny id domain)."""
+    if window_mode not in {"union", "intersection", "strict"}:
+        raise ValueError(
+            f"window_mode must be union|intersection|strict, got {window_mode!r}"
+        )
+    group = "series_id" if window_mode == "strict" else "base_id"
+    slim = None
+    for _spec, long_df in spec_longs:
+        s = long_df.select(
+            F.col(group).alias("gid"),
+            floor_time_expr("time", cadence).alias("bucket"),
+        )
+        slim = s if slim is None else slim.unionByName(s)
+    rows = (
+        slim.groupBy("gid")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .collect()
+    )
+    bounds = [(r["lo"], r["hi"]) for r in rows if r["lo"] is not None]
     if not bounds:
         return wide
     if window_mode == "union":
         start, end = min(b[0] for b in bounds), max(b[1] for b in bounds)
-    elif window_mode == "intersection":
+    else:
         start, end = max(b[0] for b in bounds), min(b[1] for b in bounds)
         if start > end:
             return wide.filter(F.lit(False))
-    else:
-        raise ValueError(f"window_mode must be union|intersection, got {window_mode!r}")
     return wide.filter((F.col("time") >= F.lit(start)) & (F.col("time") <= F.lit(end)))
 
 
@@ -219,6 +231,9 @@ def _build(
             )
 
     assert wide is not None
+    # explicit argument wins; else the dataset.yaml `metadata:` section
+    if window_mode is None and cfg.metadata is not None:
+        window_mode = cfg.metadata.window_mode
     if window_mode is not None:
         wide = _window_clip(wide, cadence, spec_longs, window_mode)
     kind_of = {s.id: k for s, k in specs}

@@ -181,6 +181,8 @@ postprocess:
   samples:
     features:
       threshold: 0.5
+metadata:
+  window_mode: intersection
 """,
     )
     return root
@@ -211,13 +213,45 @@ COLS = [
 ]
 
 
+def test_window_modes(spark, project):
+    """strict intersects per-PARTITION ranges; intersection unions partitions
+    within a base first (reference operations/artifacts/metadata.py:92-108:
+    base_ranges vs partition_ranges); union spans everything observed."""
+    from datapipeline_spark.plans import compile_project, load_project
+    from datapipeline_spark.plans.dataset_build import build_dataset
+
+    # south humidity starts at hour 0 but drop its first rows: rewrite the
+    # file so south only covers hours 3-5 while north covers 0-5
+    (project / "data" / "humidity.jsonl").write_text(
+        "\n".join(
+            json.dumps(
+                {"time": f"2024-03-01T{h:02d}:00:00Z", "location": p, "value": v}
+            )
+            for h, p, v in HUMIDITY
+            if p == "north" or h >= 3
+        ),
+        encoding="utf-8",
+    )
+    compiled = compile_project(spark, load_project(project))
+
+    def hours(mode):
+        out = build_dataset(compiled, window_mode=mode).outputs()[("all", "full")]
+        return sorted(r["time"].hour for r in out.select("time").collect())
+
+    # base range of humidity = union(north 0-5, south 3-5) = 0-5, so the
+    # base-level intersection is still clipped by other streams only
+    assert hours("intersection") == [0, 1, 2, 3, 4]
+    # strict uses the south partition's 3-5 range
+    assert hours("strict") == [3, 4]
+    # union spans min..max over everything observed (sine reaches bucket 5)
+    assert hours("union") == [0, 1, 2, 3, 4, 5]
+
+
 def test_full_regression_golden(spark, project):
     from datapipeline_spark.plans import compile_project, load_project
     from datapipeline_spark.plans.dataset_build import build_dataset
 
-    build = build_dataset(
-        compile_project(spark, load_project(project)), window_mode="intersection"
-    )
+    build = build_dataset(compile_project(spark, load_project(project)))
     stats = {r["series_id"]: r for r in build.scaler_stats.collect()}
     assert set(stats) == {"linear_scaled"}
     assert stats["linear_scaled"]["mean"] == pytest.approx(15.0)
