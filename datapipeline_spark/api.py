@@ -173,41 +173,34 @@ def iter_model_batches(
 def serve(
     spark: SparkSession,
     project_dir: str | Path,
-    profile: str = "serve",
+    profile: str | None = None,
     run_id: str | None = None,
 ) -> dict[tuple[str, str], str]:
-    """Build the dataset and write every fold output under the run-scoped
-    layout (reference `jerry serve`, operations/runtime/dataset.py:471 →
-    io/output.py:94-160). Returns {(fold, role): path}."""
-    import datetime as _dt
-
-    from datapipeline_spark.io.writers import (
-        run_output_path,
-        write_csv,
-        write_jsonl,
-        write_parquet,
-    )
+    """Run the enabled serve profiles (all, or one by name) and write fold
+    outputs under the run-scoped layout (reference `jerry serve`,
+    profiles/orchestration.py → io/output.py:94-160). Projects without serve
+    profiles get a default jsonl profile named 'dataset'.
+    Returns {(fold, role): path} across the executed profiles."""
+    from datapipeline_spark.plans.config import ServeProfileConfig, ordered_profiles
+    from datapipeline_spark.plans.profiles import _run_serve
 
     defn = load_project(project_dir)
+    profs = [p for p in defn.profiles.values() if p.cmd == "serve" and p.enabled]
+    if profile is not None:
+        profs = [p for p in profs if p.name == profile]
+        if not profs:
+            raise KeyError(f"no enabled serve profile named {profile!r}")
+    if not profs:
+        profs = [ServeProfileConfig(name="dataset")]
     compiled = compile_project(spark, defn)
-    build = build_dataset(compiled)
-    prof = defn.profiles.get(profile)
-    fmt = prof.output.format if prof else "jsonl"
-    out_dir = str(Path(project_dir) / (prof.output.directory if prof else "output"))
-    run_id = run_id or _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%dT%H%M%SZ")
-
+    results = _run_serve(
+        compiled, defn, ordered_profiles(profs), Path(project_dir), run_id
+    )
     written: dict[tuple[str, str], str] = {}
-    for (fold, role), df in build.outputs().items():
-        if prof and prof.limit:
-            df = df.limit(prof.limit)
-        path = run_output_path(out_dir, run_id, profile, fold, role, ext=fmt)
-        if fmt == "jsonl":
-            write_jsonl(df, path, gzip=prof.output.gzip if prof else False)
-        elif fmt == "csv":
-            write_csv(df, path)
-        else:
-            write_parquet(df, path)
-        written[(fold, role)] = path
+    for r in results:
+        if r.output_id and "." in r.output_id:
+            fold, role = r.output_id.split(".", 1)
+            written[(fold, role)] = r.detail
     return written
 
 

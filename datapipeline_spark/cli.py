@@ -35,6 +35,18 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_run(args) -> int:
+    from datapipeline_spark.plans.profiles import run_profiles
+
+    results = run_profiles(_spark(args), args.project, args.cmd, run_id=args.run_id)
+    if not results:
+        print(f"no enabled {args.cmd} profiles", file=sys.stderr)
+        return 1
+    for r in results:
+        print(f"{r.profile}\t{r.action}\t{r.detail}")
+    return 0
+
+
 def cmd_build(args) -> int:
     from datapipeline_spark.plans import compile_project, load_project
     from datapipeline_spark.plans.artifacts import build_artifacts
@@ -94,9 +106,15 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("serve", help="build dataset and write fold outputs")
     s.add_argument("project")
-    s.add_argument("--profile", default="serve")
+    s.add_argument("--profile", default=None, help="serve profile name (default: all)")
     s.add_argument("--run-id", default=None)
     s.set_defaults(fn=cmd_serve)
+
+    r = sub.add_parser("run", help="run all enabled profiles of one command in order")
+    r.add_argument("project")
+    r.add_argument("cmd", choices=["serve", "build", "inspect", "materialize"])
+    r.add_argument("--run-id", default=None)
+    r.set_defaults(fn=cmd_run)
 
     b = sub.add_parser("build", help="build/refresh artifacts")
     b.add_argument("project")

@@ -27,9 +27,17 @@ def write_jsonl(df: DataFrame, path: str, gzip: bool = False, mode: str = "overw
 
 
 def write_csv(
-    df: DataFrame, path: str, header: bool = True, mode: str = "overwrite", sep: str = ","
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    mode: str = "overwrite",
+    sep: str = ",",
+    gzip: bool = False,
 ) -> None:
-    df.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+    w = df.write.mode(mode).option("header", header).option("sep", sep)
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.csv(path)
 
 
 def write_parquet(

@@ -14,7 +14,7 @@ dotted identifiers, cadences/timecodes parsed eagerly at load time.
 
 from __future__ import annotations
 
-from typing import Annotated, Any, Literal, Optional, Union
+from typing import Annotated, Any, Literal, Optional, Sequence, Union
 
 from pydantic import (
     BaseModel,
@@ -420,18 +420,125 @@ class DatasetConfig(_Strict):
 
 
 # --------------------------------------------------------------------------- #
-# profiles/*.yaml
+# profiles/<cmd>.<name>.yaml (+ <cmd>.defaults.yaml)
+#
+# Reference grammar: config/profiles/{base,serve,build,inspect,materialize,
+# output}.py — typed per-command profiles with order/enabled bundling and a
+# validated output target. Formats are restricted to what the Spark writers
+# emit (jsonl/csv/parquet); stdout streams jsonl only.
 # --------------------------------------------------------------------------- #
 
 
 class OutputSpec(_Strict):
     transport: Literal["fs", "stdout"] = "fs"
     format: Literal["jsonl", "csv", "parquet"] = "jsonl"
+    view: Literal["flat", "raw"] | None = None
     directory: NonEmpty = "output"
+    filename: NonEmpty | None = None
     gzip: bool = False
 
+    @model_validator(mode="after")
+    def _rules(self) -> "OutputSpec":
+        # reference config/profiles/output.py:62-100 validation matrix
+        if self.transport == "stdout":
+            if self.filename is not None:
+                raise ValueError("stdout outputs do not support filenames")
+            if self.gzip:
+                raise ValueError("stdout outputs do not support compression")
+            if self.format != "jsonl":
+                raise ValueError("stdout output supports only jsonl format")
+        if self.filename is not None and any(s in self.filename for s in ("/", "\\")):
+            raise ValueError("filename must not contain path separators")
+        if self.format in {"csv", "parquet"} and self.view == "raw":
+            raise ValueError(f"{self.format} output supports only view='flat'")
+        if self.gzip and self.format == "parquet":
+            raise ValueError("gzip compression supports only jsonl and csv output")
+        return self
 
-class ProfileConfig(_Strict):
-    operation: Literal["dataset", "materialize", "inspect"] = "dataset"
+
+class _ProfileBase(_Strict):
+    """Run bundling/policy shared by every profile (reference
+    config/profiles/base.py:Profile)."""
+
+    name: NonEmpty = "default"  # injected by the loader from the file name
+    order: Annotated[int, Field(ge=0)] | None = None
+    enabled: bool = True
+
+    @field_validator("name")
+    @classmethod
+    def _safe_name(cls, value: str) -> str:
+        value = value.strip()
+        if not value or value in {".", ".."}:
+            raise ValueError("profile name must be a plain, non-empty token")
+        return value
+
+
+class ServeProfileConfig(_ProfileBase):
+    cmd: Literal["serve"] = "serve"
+    operation: Literal["dataset"] = "dataset"
     output: OutputSpec = Field(default_factory=OutputSpec)
-    limit: int | None = None
+    include_outputs: list[NonEmpty] | None = Field(default=None, min_length=1)
+    limit: Annotated[int, Field(ge=1)] | None = None
+    preview: Literal["samples", "postprocess"] | None = None
+
+    @field_validator("include_outputs")
+    @classmethod
+    def _unique_outputs(cls, value: list[str] | None) -> list[str] | None:
+        if value is not None and len(set(value)) != len(value):
+            raise ValueError("duplicate dataset output id in include_outputs")
+        return value
+
+
+class BuildProfileConfig(_ProfileBase):
+    cmd: Literal["build"] = "build"
+    operation: NonEmpty  # artifact id (series, metadata, coverage_stats, ...)
+    mode: Literal["AUTO", "FORCE", "OFF"] | None = None
+
+    @field_validator("mode", mode="before")
+    @classmethod
+    def _normalize_mode(cls, value: object) -> object:
+        if value is False:  # YAML 1.1 parses a bare OFF as boolean false
+            return "OFF"
+        return value.strip().upper() if isinstance(value, str) else value
+
+
+class InspectProfileConfig(_ProfileBase):
+    cmd: Literal["inspect"] = "inspect"
+    operation: Literal["coverage", "matrix", "streams"] = "streams"
+    output: OutputSpec | None = None
+
+
+class MaterializeProfileConfig(_ProfileBase):
+    cmd: Literal["materialize"] = "materialize"
+    stream: DottedId
+    output: NonEmpty
+    overwrite: bool = False
+
+    @field_validator("output")
+    @classmethod
+    def _jsonl_only(cls, value: str) -> str:
+        if not value.endswith((".jsonl", ".jsonl.gz")):
+            raise ValueError("materialize output must use a .jsonl or .jsonl.gz path")
+        return value
+
+
+ProfileConfig = Annotated[
+    Union[
+        ServeProfileConfig,
+        BuildProfileConfig,
+        InspectProfileConfig,
+        MaterializeProfileConfig,
+    ],
+    Field(discriminator="cmd"),
+]
+
+
+def ordered_profiles(profiles: Sequence) -> list:
+    """Execution order (reference profiles/loader.py:225-229): explicitly
+    ordered profiles first by (order, name), then unordered by name."""
+    ordered = sorted(
+        (p for p in profiles if p.order is not None), key=lambda p: (p.order, p.name)
+    )
+    return ordered + sorted(
+        (p for p in profiles if p.order is None), key=lambda p: p.name
+    )

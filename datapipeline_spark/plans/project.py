@@ -14,6 +14,7 @@ from pathlib import Path
 from typing import Any
 
 import yaml
+from pydantic import TypeAdapter
 
 from datapipeline_spark.plans.config import (
     DatasetConfig,
@@ -114,14 +115,41 @@ def load_project(project_dir: str | Path) -> ProjectDefinition:
 
     profiles_dir = root / project.paths.profiles
     if profiles_dir.is_dir():
-        # profiles are "<name>.<section>.yaml"; merge sections per name
-        merged: dict[str, dict[str, Any]] = {}
+        # files are "<cmd>.<name>.yaml"; "<cmd>.defaults.yaml" holds per-command
+        # defaults merged beneath each profile of that command — profile values
+        # win, mapping values (e.g. `output`) merge one level deep (reference
+        # profiles/loader.py file layout + config/profiles/defaults.py)
+        known_cmds = {"serve", "build", "inspect", "materialize"}
+        defaults: dict[str, dict[str, Any]] = {}
+        entries: list[tuple[str, str, dict[str, Any]]] = []
         for f in sorted(profiles_dir.glob("*.yaml")):
             parts = f.stem.split(".")
-            name = parts[0]
-            merged.setdefault(name, {}).update(interpolate(_load_yaml(f), g) or {})
-        for name, payload in merged.items():
-            definition.profiles[name] = ProfileConfig.model_validate(payload)
+            if len(parts) != 2 or parts[0] not in known_cmds:
+                raise ValueError(
+                    f"profile file must be named <cmd>.<name>.yaml with cmd in "
+                    f"{sorted(known_cmds)}: {f.name}"
+                )
+            cmd, name = parts
+            payload = interpolate(_load_yaml(f), g) or {}
+            if name == "defaults":
+                defaults[cmd] = payload
+            else:
+                entries.append((cmd, name, payload))
+        adapter = TypeAdapter(ProfileConfig)
+        for cmd, name, payload in entries:
+            merged: dict[str, Any] = dict(defaults.get(cmd, {}))
+            for k, v in payload.items():
+                if isinstance(v, dict) and isinstance(merged.get(k), dict):
+                    merged[k] = {**merged[k], **v}
+                else:
+                    merged[k] = v
+            declared = merged.setdefault("cmd", cmd)
+            if declared != cmd:
+                raise ValueError(
+                    f"profile {f'{cmd}.{name}'} declares cmd={declared!r}"
+                )
+            merged["name"] = name
+            definition.profiles[f"{cmd}.{name}"] = adapter.validate_python(merged)
 
     _validate_references(definition)
     return definition

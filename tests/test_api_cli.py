@@ -144,7 +144,7 @@ def test_cli_serve_and_build(spark, project, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "all.full" in out
-    out_path = project / "output" / "runs" / "testrun" / "dataset" / "serve.all.full.jsonl"
+    out_path = project / "output" / "runs" / "testrun" / "dataset" / "dataset.all.full.jsonl"
     assert out_path.exists()
     lines = [
         json.loads(l)
