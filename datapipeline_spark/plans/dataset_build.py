@@ -247,15 +247,13 @@ def _build(
         if cfg.postprocess.columns is not None:
             pc = cfg.postprocess.columns
             if pc.features is not None and feature_cols:
-                keep = select_columns_by_coverage(wide, feature_cols, pc.features.threshold)
-                dropped = [c for c in feature_cols if c not in keep]
-                wide = wide.drop(*dropped)
-                feature_cols = keep
+                wide, feature_cols = select_columns_by_coverage(
+                    wide, feature_cols, pc.features.threshold
+                )
             if pc.targets is not None and target_cols:
-                keep = select_columns_by_coverage(wide, target_cols, pc.targets.threshold)
-                dropped = [c for c in target_cols if c not in keep]
-                wide = wide.drop(*dropped)
-                target_cols = keep
+                wide, target_cols = select_columns_by_coverage(
+                    wide, target_cols, pc.targets.threshold
+                )
         if cfg.postprocess.samples is not None:
             ps = cfg.postprocess.samples
             if ps.features is not None and feature_cols:

@@ -114,3 +114,25 @@ def test_incomplete_prices_golden(spark, project):
     assert rows[2]["spot_eur_sequence__@area:DK1"] == pytest.approx(
         [37.669998, 39.700001, 40.59], rel=1e-6
     )
+
+
+def test_vertical_drop_counts_absent_sequence_opportunities(spark, project):
+    """Column selection at threshold 1.0 drops the stride-gated sequence
+    columns (absent windows count as missed opportunities) but keeps the
+    fully-covered scalar columns (reference
+    tests/integration/test_integration_vertical_drop_build_metadata.py)."""
+    import yaml
+
+    from datapipeline_spark.plans import compile_project, load_project
+    from datapipeline_spark.plans.dataset_build import build_dataset
+
+    ds = project / "dataset.yaml"
+    cfg = yaml.safe_load(ds.read_text())
+    cfg["postprocess"] = {"columns": {"features": {"threshold": 1.0}}}
+    ds.write_text(yaml.safe_dump(cfg), encoding="utf-8")
+
+    build = build_dataset(compile_project(spark, load_project(project)))
+    out = build.outputs()[("all", "full")]
+    assert "spot_eur_sequence__@area:DK1" not in out.columns
+    assert not any(c.startswith("spot_eur_sequence") for c in out.columns)
+    assert "spot_eur_scaled__@area:DK1" in out.columns
