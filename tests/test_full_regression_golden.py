@@ -213,6 +213,65 @@ COLS = [
 ]
 
 
+def _canonical_rows(spark, project):
+    from datapipeline_spark.plans import compile_project, load_project
+    from datapipeline_spark.plans.dataset_build import build_dataset
+
+    build = build_dataset(compile_project(spark, load_project(project)))
+    out = build.outputs()[("all", "full")]
+    return [
+        json.dumps(r.asDict(recursive=True), default=str, sort_keys=True)
+        for r in out.orderBy("time").collect()
+    ]
+
+
+def test_output_independent_of_input_order_and_layout(spark, project):
+    """The served dataset is byte-identical when raw input lines are
+    reordered or split across glob-matched part files (reference
+    tests/integration/test_regression_invariants.py:57-100)."""
+    import random
+
+    data = project / "data"
+    expected = _canonical_rows(spark, project)
+    originals = {
+        f: (data / f).read_text(encoding="utf-8")
+        for f in ("linear.jsonl", "sine.jsonl", "power.jsonl", "humidity.jsonl")
+    }
+
+    # reversed lines in every input
+    for f, text in originals.items():
+        (data / f).write_text("\n".join(reversed(text.splitlines())), encoding="utf-8")
+    assert _canonical_rows(spark, project) == expected
+
+    # seeded shuffle in every input
+    for i, (f, text) in enumerate(originals.items()):
+        lines = text.splitlines()
+        shuffled = list(lines)
+        random.Random(20260717 + i).shuffle(shuffled)
+        if shuffled == lines:
+            shuffled = [*lines[1:], lines[0]]
+        (data / f).write_text("\n".join(shuffled), encoding="utf-8")
+    assert _canonical_rows(spark, project) == expected
+
+    # restore, then split one input across glob-matched part files
+    for f, text in originals.items():
+        (data / f).write_text(text, encoding="utf-8")
+    lines = originals["linear.jsonl"].splitlines()
+    parts = data / "linear_parts"
+    parts.mkdir()
+    (parts / "00-late.jsonl").write_text("\n".join(lines[:2]), encoding="utf-8")
+    (parts / "05-mid.jsonl").write_text("\n".join(lines[2:4]), encoding="utf-8")
+    (parts / "10-early.jsonl").write_text("\n".join(lines[4:]), encoding="utf-8")
+    src = project / "sources" / "linear.yaml"
+    src.write_text(
+        src.read_text(encoding="utf-8").replace(
+            "data/linear.jsonl", "data/linear_parts/*.jsonl"
+        ),
+        encoding="utf-8",
+    )
+    assert _canonical_rows(spark, project) == expected
+
+
 def test_window_modes(spark, project):
     """strict intersects per-PARTITION ranges; intersection unions partitions
     within a base first (reference operations/artifacts/metadata.py:92-108:
