@@ -228,6 +228,40 @@ def test_inspect_matrix_html(spark, project, tmp_path):
     assert results[0].action == "inspected"
 
 
+def test_serve_parquet_matches_jsonl(spark, project):
+    """Parquet fold outputs carry the same rows/values as jsonl ones
+    (reference tests/integration/test_parquet_dataset_output.py)."""
+    from datapipeline_spark.plans.profiles import run_profiles
+
+    _write(
+        project / "profiles" / "serve.jl.yaml",
+        "output: { directory: out, format: jsonl }\n",
+    )
+    _write(
+        project / "profiles" / "serve.pq.yaml",
+        "output: { directory: out, format: parquet }\n",
+    )
+    results = run_profiles(spark, project, "serve", run_id="r1")
+    by_profile: dict[str, dict[str, str]] = {}
+    for r in results:
+        by_profile.setdefault(r.profile, {})[r.output_id] = r.detail
+    assert set(by_profile) == {"serve.jl", "serve.pq"}
+    assert set(by_profile["serve.jl"]) == set(by_profile["serve.pq"]) != set()
+
+    def canon(df):
+        return sorted(
+            json.dumps(r.asDict(recursive=True), default=str, sort_keys=True)
+            for r in df.collect()
+        )
+
+    for output_id, jl_path in by_profile["serve.jl"].items():
+        pq_path = by_profile["serve.pq"][output_id]
+        pq = spark.read.parquet(pq_path)
+        jl = spark.read.schema(pq.schema).json(jl_path)
+        assert canon(jl) == canon(pq), output_id
+        assert pq.count() > 0
+
+
 def test_output_spec_validation():
     from datapipeline_spark.plans.config import OutputSpec
 
