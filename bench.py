@@ -41,6 +41,7 @@ HEADLINE = [
     "exact_dedup",
     "minhash_signatures",
     "text_stats",
+    "token_count",
     "knn_cosine",
 ]
 

@@ -34,7 +34,14 @@ from datapipeline_spark.similarity import (
     lsh_knn,
 )
 from datapipeline_spark.tables import load_table
-from datapipeline_spark.text import LANG_MARKERS, lang_scores, quality_score, text_stats
+from datapipeline_spark.text import (
+    BPE_PATTERN,
+    LANG_MARKERS,
+    bpe_token_count,
+    lang_scores,
+    quality_score,
+    text_stats,
+)
 from datapipeline_spark.text.analysis import winnow_fingerprints
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
@@ -93,6 +100,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_chars_calc", "n_tokens", "n_distinct_tokens", "ttr", "mean_token_len", "n_alnum_runs"
     )
+
+
+@query(
+    "token_count",
+    f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, $bpe${BPE_PATTERN}$bpe$))::BIGINT AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretokenizer token count (text/analysis.py:BPE_PATTERN) —
+    the same lookahead-free regex runs in Java regex and DuckDB/RE2."""
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_token_count(d).select("doc_id", "n_bpe_tokens")
 
 
 def _lang_sql() -> str:

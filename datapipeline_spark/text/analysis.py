@@ -24,8 +24,27 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+#: BPE-ish pretokenizer regex (GPT-2 style, but lookahead-free so the same
+#: pattern runs under Java regex AND RE2/DuckDB): contraction suffixes,
+#: space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def _words(text_col: str) -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Subword-proxy token count: number of BPE-style pretokenizer matches.
+    Whole-stage-codegen JVM regex — a pure map stage at any scale."""
+    return df.withColumn(
+        out,
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+        ).cast("long"),
+    )
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

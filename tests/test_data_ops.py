@@ -89,6 +89,22 @@ def test_text_stats_and_quality(docs):
     assert 0 < q[0] <= 1
 
 
+def test_bpe_token_count(spark):
+    from datapipeline_spark.text import bpe_token_count
+
+    rows = [
+        (0, "I'll say it's 42 tokens, right?"),
+        (1, "hello"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_count(df).collect()}
+    # "I" "'ll" " say" " it" "'s" " 42" " tokens" "," " right" "?" → 10
+    assert out[0] == 10
+    assert out[1] == 1
+    assert out[2] == 0
+
+
 def test_lang_scores(spark):
     rows = [(0, "the cat and the dog of the house"), (1, "der hund und die katze ist da")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
