@@ -53,6 +53,72 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+    overwrite_partitions: bool = False,
+    sort_by: Sequence[str] = (),
+    max_records_per_file: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Partitioned parquet table sink for the 100 TB posture.
+
+    - ``partition_by``: hive-style directory partitioning, so downstream
+      reads prune partitions from the predicate alone.
+    - ``overwrite_partitions=True``: dynamic partition overwrite — an
+      incremental backfill replaces ONLY the partitions present in ``df``
+      (idempotent re-runs of one day/hour never touch the rest of the
+      table). Plain ``mode="overwrite"`` without it replaces the whole
+      table.
+    - ``sort_by``: sortWithinPartitions before write → clustered row
+      groups, so parquet min/max statistics skip pages on range predicates.
+    - ``max_records_per_file`` bounds output file size (small-file control
+      comes from AQE coalescing upstream; this caps the other extreme).
+    """
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    w = df.write.mode(mode).option("compression", compression)
+    if overwrite_partitions:
+        if not partition_by:
+            raise ValueError("overwrite_partitions requires partition_by")
+        w = w.option("partitionOverwriteMode", "dynamic")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: Sequence[str],
+    num_buckets: int,
+    sort_by: Sequence[str] = (),
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (catalog-backed): rows are hash-distributed
+    into ``num_buckets`` files per partition by ``bucket_by``, optionally
+    sorted within each bucket.
+
+    The scale payoff: equi-joins and aggregations keyed on ``bucket_by``
+    between two tables bucketed the same way read pre-hashed, co-located
+    buckets — Catalyst drops BOTH shuffle exchanges (and with ``sort_by``,
+    the sorts too). At 100 TB this turns the nightly fact-to-fact join from
+    the dominant shuffle into a local merge."""
+    if not bucket_by:
+        raise ValueError("bucket_by must name at least one column")
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
 def materialize(df: DataFrame, path: str, format: str = "jsonl", gzip: bool = False) -> DataFrame:
     """Persist a stream checkpoint and return a reader over it."""
     spark = df.sparkSession
