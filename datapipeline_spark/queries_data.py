@@ -31,6 +31,7 @@ from datapipeline_spark.dedup import (
 from datapipeline_spark.similarity import (
     brute_force_knn,
     embedding_similar_pairs,
+    ivf_knn,
     lsh_knn,
 )
 from datapipeline_spark.tables import load_table
@@ -299,6 +300,15 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return lsh_knn(e, queries, k=3)
+
+
+@query("ivf_knn")  # k-means quantizer → rows-only check (not SQL-expressible)
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search (similarity/ann.py): distributed k-means coarse
+    quantizer, nprobe nearest inverted lists per query, exact re-rank."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return ivf_knn(e, queries, n_centroids=8, nprobe=3, k=3)
 
 
 @query(

@@ -2,6 +2,9 @@ from datapipeline_spark.similarity.ann import (
     brute_force_knn,
     cosine_similarity_expr,
     embedding_similar_pairs,
+    fit_ivf_centroids,
+    ivf_assign,
+    ivf_knn,
     lsh_knn,
     random_hyperplane_signature,
 )
@@ -10,6 +13,9 @@ __all__ = [
     "brute_force_knn",
     "cosine_similarity_expr",
     "embedding_similar_pairs",
+    "fit_ivf_centroids",
+    "ivf_assign",
+    "ivf_knn",
     "lsh_knn",
     "random_hyperplane_signature",
 ]

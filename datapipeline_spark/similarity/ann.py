@@ -149,6 +149,121 @@ def lsh_knn(
     )
 
 
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: distributed k-means (Lloyd's via
+    pyspark.ml, k-means|| init). Centroid count is tiny (~sqrt(n) in
+    practice), so the model itself always fits on the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(_to_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _centroid_dists(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Array of squared L2 distances to each centroid — one JVM expression
+    (centroids ride along inside the plan, i.e. broadcast-by-literal)."""
+    v = _to_double(F.col(vec_col))
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "centroid_id",
+) -> DataFrame:
+    """Nearest-centroid assignment (IVF inverted-list key). Pure map stage:
+    at 100 TB this is the partitioning column for the vector table."""
+    dists = _centroid_dists(vec_col, centroids)
+    return df.withColumn(
+        out, (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 3,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its `nprobe` nearest
+    inverted lists and exact-cosine re-ranks only those candidates.
+
+    Scale shape: corpus assignment is a map stage (then ideally persisted
+    partitioned by centroid_id via write_table); the probe join is an
+    equi-join on centroid_id with the tiny exploded query side broadcast —
+    the corpus never shuffles. `nprobe = n_centroids` degenerates to exact
+    brute force (useful as a correctness gate)."""
+    if centroids is None:
+        centroids = fit_ivf_centroids(corpus, vec_col, n_centroids, seed=seed)
+    assigned = ivf_assign(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        "centroid_id",
+    )
+    # nprobe nearest centroids per query: sort (dist, cid) structs, slice
+    dists = _centroid_dists(vec_col, centroids)
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.zip_with(
+                        dists,
+                        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                        lambda d, i: F.struct(d.alias("dist"), i.alias("cid")),
+                    )
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("probe"),
+    ).select("query_id", "query_vec", F.col("probe.cid").alias("centroid_id"))
+
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "score",
+        F.round(cosine_similarity_expr(F.col("query_vec"), F.col("neighbor_vec")), 4),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def embedding_similar_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -23,7 +23,13 @@ from datapipeline_spark.multimodal import (
     fake_media_table,
     frame_sample,
 )
-from datapipeline_spark.similarity import brute_force_knn, embedding_similar_pairs, lsh_knn
+from datapipeline_spark.similarity import (
+    brute_force_knn,
+    embedding_similar_pairs,
+    fit_ivf_centroids,
+    ivf_knn,
+    lsh_knn,
+)
 from datapipeline_spark.text import lang_scores, quality_score, text_stats
 from datapipeline_spark.text.analysis import winnow_fingerprints
 
@@ -145,6 +151,32 @@ def test_brute_force_knn(vectors):
 def test_embedding_similar_pairs(vectors):
     pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in embedding_similar_pairs(vectors, threshold=0.9).collect()}
     assert (0, 1) in pairs and len(pairs) == 1
+
+
+def test_ivf_full_probe_matches_brute_force(spark):
+    from datapipeline_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cents = fit_ivf_centroids(emb, n_centroids=4, seed=42)
+    assert cents == fit_ivf_centroids(emb, n_centroids=4, seed=42)  # deterministic
+    bf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in brute_force_knn(emb, q, k=3).collect()
+    }
+    # probing every inverted list degenerates to exact search
+    full = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in ivf_knn(emb, q, n_centroids=4, nprobe=4, k=3, centroids=cents).collect()
+    }
+    assert full == bf
+    # partial probe returns a valid bounded result per query
+    part = ivf_knn(emb, q, n_centroids=4, nprobe=1, k=3, centroids=cents).collect()
+    per_q: dict = {}
+    for r in part:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(ranks) == list(range(1, len(ranks) + 1)) for ranks in per_q.values())
 
 
 def test_lsh_knn_recovers_close_neighbor(spark):
