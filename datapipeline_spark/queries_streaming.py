@@ -94,3 +94,56 @@ def streaming_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "event_id", "user_id", F.round("roll_mean", 6).alias("roll_mean")
     )
+
+
+@query(
+    "streaming_sessionize",
+    """
+WITH {base},
+flags AS (
+  SELECT user_id, time, event_id,
+         CASE WHEN lag(time) OVER ({w}) IS NULL
+                OR epoch(time) - epoch(lag(time) OVER ({w})) >= 7200
+              THEN 1 ELSE 0 END AS new_s
+  FROM base
+),
+ids AS (
+  SELECT user_id, time,
+         sum(new_s) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flags
+)
+SELECT user_id,
+       min(time) AS session_start,
+       max(time) + INTERVAL 7200 SECOND AS session_end,
+       count(*) AS n_events
+FROM ids
+GROUP BY user_id, sid
+""".format(base=EVENTS_BASE, w=W),
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation over the events stream (2h gap).
+    Complete output mode so still-open sessions are included, which makes
+    the batch gap-session SQL an exact oracle (session merges when the gap
+    is strictly below 2h — hence >= in the oracle's new-session flag;
+    session_end = last event + gap per Spark's session-window semantics)."""
+    from datapipeline_spark.streaming import sessionize_stream
+
+    staging = _staged_events(spark, sf_dir)
+    batch = spark.read.parquet(staging)
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in batch.schema.fields)
+    sdf = spark.readStream.schema(schema).parquet(staging)
+    out = sessionize_stream(sdf, "2h", ["user_id"], watermark="0 seconds")
+    name = "stream_sess_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_sessionize did not finish within 300s")
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )

@@ -2,6 +2,7 @@ from datapipeline_spark.streaming.ops import (
     cadence_assembly_stream,
     dedupe_stream,
     rolling_mean_stream,
+    sessionize_stream,
     sequence_windows_stream,
     stream_jsonl_source,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "cadence_assembly_stream",
     "dedupe_stream",
     "rolling_mean_stream",
+    "sessionize_stream",
     "sequence_windows_stream",
     "stream_jsonl_source",
 ]

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from datapipeline_spark.functions.time import parse_cadence_seconds
+from datapipeline_spark.functions.time import (
+    parse_cadence_seconds,
+    parse_timecode_seconds,
+)
 
 
 def stream_jsonl_source(
@@ -198,4 +201,38 @@ def sequence_windows_stream(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_stream(
+    sdf: DataFrame,
+    gap: str,
+    entity_keys: Sequence[str],
+    time_field: str = "time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization — the unbounded form of operators/asof.py
+    `sessionize`, using Spark's native ``session_window`` aggregation: a
+    session extends while events arrive within `gap` (timecode) of its end,
+    and closes (emits one row) once the watermark passes session_end.
+
+    Built-in incremental session state (no Python in the loop); state per
+    open session only, bounded by the watermark. Output: (keys...,
+    session_start, session_end, n_events) where session_end is last event
+    time + gap, matching Spark's session-window semantics.
+    """
+    gap_s = parse_timecode_seconds(gap)
+    return (
+        sdf.withWatermark(time_field, watermark)
+        .groupBy(
+            *entity_keys,
+            F.session_window(F.col(time_field), f"{gap_s} seconds"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *entity_keys,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
     )

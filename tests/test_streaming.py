@@ -119,3 +119,42 @@ def test_streaming_matches_batch_rolling(spark, tmp_path):
         .collect()
     ]
     assert [g[-1] for g in got_stream] == pytest.approx([g[-1] for g in got_batch])
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    from datapipeline_spark.operators.asof import sessionize
+    from datapipeline_spark.streaming import sessionize_stream, stream_jsonl_source
+    from pyspark.sql import functions as F
+
+    rows = [
+        {"time": "2024-01-01T00:00:00Z", "loc": "a", "value": 1.0},
+        {"time": "2024-01-01T00:10:00Z", "loc": "a", "value": 2.0},
+        {"time": "2024-01-01T02:00:00Z", "loc": "a", "value": 3.0},  # new session
+        {"time": "2024-01-01T02:20:00Z", "loc": "a", "value": 4.0},
+        {"time": "2024-01-01T00:05:00Z", "loc": "b", "value": 5.0},
+        {"time": "2024-01-01T09:00:00Z", "loc": "b", "value": 6.0},  # new session
+    ]
+    src = stream_jsonl_source(spark, _feed(tmp_path, rows), SCHEMA)
+    sdf = sessionize_stream(src, "30m", ["loc"], watermark="0 seconds")
+    got = _run(sdf, ["loc", "session_start"])
+    sessions = [(loc, s.hour, e.hour, e.minute, n) for loc, s, e, n in got]
+    # session_end = last event + gap (30m). Append mode emits only sessions
+    # CLOSED by the watermark (max event time 09:00): b's 09:00 session ends
+    # at 09:30 > watermark, so it correctly stays open in state.
+    assert sessions == [
+        ("a", 0, 0, 40, 2),
+        ("a", 2, 2, 50, 2),
+        ("b", 0, 0, 35, 1),
+    ]
+
+    # batch sessionize agrees on session membership and counts
+    batch = spark.createDataFrame(
+        [(r["time"].replace("Z", "+00:00"), r["loc"], r["value"]) for r in rows],
+        "time string, loc string, value double",
+    ).select(F.to_timestamp("time").alias("time"), "loc", "value")
+    b = sessionize(batch, "30m", ["loc"])
+    counts = {
+        (r["loc"], r["session_id"]): r["n"]
+        for r in b.groupBy("loc", "session_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {("a", 0): 2, ("a", 1): 2, ("b", 0): 1, ("b", 1): 1}
