@@ -122,7 +122,9 @@ def _parse_temporal_csv(df: DataFrame, args: dict) -> DataFrame:
     else:
         out = out.withColumn("__value__", F.lit(None).cast("double"))
     cols = [F.col("time")]
-    cols += [F.col(src).alias(dst) for dst, src in attributes.items()]
+    # attributes are raw CSV cells → always strings (the reference parser
+    # never types them; schema inference here must not leak through)
+    cols += [F.col(src).cast("string").alias(dst) for dst, src in attributes.items()]
     cols += [F.col("__value__").alias("value")]
     if attributes or value_field in df.columns:
         return out.select(*cols)
