@@ -105,17 +105,19 @@ class DatasetBuild:
         # selection by base_id, lookup by vector_id); stats are tiny
         rows = {r["series_id"]: r for r in stats.collect()}
         out = df
+        dtypes = dict(df.dtypes)
         for col in scaled_cols:
             r = rows.get(col)
             if r is None:
                 continue
-            out = out.withColumn(
-                col,
-                F.when(
-                    F.col(col).isNotNull(),
-                    (F.col(col) - F.lit(r["mean"])) / F.lit(r["std"]),
-                ),
-            )
+            mean, std = F.lit(r["mean"]), F.lit(r["std"])
+            if dtypes[col].startswith("array"):
+                # elementwise with null passthrough (reference
+                # transforms/vector/scaler.py:82-175 list handling)
+                scaled = F.transform(F.col(col), lambda x: (x - mean) / std)
+            else:
+                scaled = (F.col(col) - mean) / std
+            out = out.withColumn(col, F.when(F.col(col).isNotNull(), scaled))
         return out
 
     _scaled_bases: set[str] = None  # populated by build_dataset
@@ -201,7 +203,44 @@ def _build(
             base = sid.split("__", 1)[0]
             col_base[sid] = base
             base_of_scalar[sid] = base
-        wide = assemble_samples(scalar_long, cadence, keys, series_ids=ids)
+        # ---- bucket multiplicity: a series whose buckets hold >1 observation
+        # becomes a fixed-length list column, time-ordered within the bucket
+        # (reference operations/artifacts/series.py:336-367 _assemble_values:
+        # len != 1 → list; artifacts/utils.py:54-82 enforces ONE kind and ONE
+        # length per series). Plan-time decision from one aggregation.
+        mult = (
+            scalar_long.groupBy(
+                floor_time_expr("time", cadence).alias("__b__"), *keys, "series_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("series_id")
+            .agg(F.min("n").alias("lo"), F.max("n").alias("hi"))
+            .collect()
+        )
+        multi_len = {r["series_id"]: r["hi"] for r in mult if r["hi"] > 1}
+        for r in mult:
+            if r["hi"] > 1 and r["lo"] != r["hi"]:
+                raise ValueError(
+                    f"Series {r['series_id']!r} mixes bucket multiplicities "
+                    f"{r['lo']} and {r['hi']} (the metadata contract requires "
+                    "one kind and one fixed list length per series)"
+                )
+        wide = assemble_samples(
+            scalar_long,
+            cadence,
+            keys,
+            series_ids=ids,
+            sequence_ids=sorted(multi_len),
+        )
+        # absent buckets of list-kind series conform to [null]*length
+        for sid, length in multi_len.items():
+            wide = wide.withColumn(
+                sid,
+                F.coalesce(
+                    F.col(sid),
+                    F.array(*[F.lit(None).cast("double") for _ in range(length)]),
+                ),
+            )
 
     if seq_longs:
         seq_long = union_all(seq_longs)

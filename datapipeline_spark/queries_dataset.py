@@ -257,6 +257,50 @@ def sequence_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_multivalue",
+    """
+WITH {base},
+ded AS (
+  SELECT user_id, time, max_by(value, event_id) AS value
+  FROM base WHERE event_type = 'click' GROUP BY 1, 2
+),
+cells AS (
+  SELECT user_id, date_trunc('day', time) AS time,
+         list(value ORDER BY time) AS vs
+  FROM ded GROUP BY 1, 2
+)
+SELECT user_id, time, unnest(range(len(vs))) AS pos, unnest(vs) AS value
+FROM cells
+""".format(base=EVENTS_BASE),
+)
+def sample_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-value bucket assembly (reference operations/artifacts/series.py:
+    336-367 _assemble_values: a cadence bucket holding >1 observation becomes
+    a time-ordered list cell). Exact-time collisions are collapsed to the
+    last arrival first so the in-bucket order is total; the list column is
+    posexploded so the oracle compare is array-free."""
+    s = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "time", "value", "event_id")
+    )
+    s = ops.collapse(s, ["user_id"], keep="last", arrival_col="event_id")
+    long = s.withColumn("series_id", F.lit("clicks"))
+    from datapipeline_spark.dataset.sample import assemble_samples
+
+    wide = assemble_samples(
+        long,
+        cadence="1d",
+        entity_keys=["user_id"],
+        series_ids=["clicks"],
+        sequence_ids=["clicks"],
+    )
+    return wide.select(
+        "user_id", "time", F.posexplode_outer("clicks").alias("pos", "value")
+    )
+
+
+@query(
     "synthetic_ticks",
     """
 SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
