@@ -170,6 +170,61 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rollup_revenue",
+    """
+SELECT r.r_name AS region, n.n_name AS nation,
+       round(sum(o.o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (region, nation)
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via native rollup (SURVEY.md §2.6 last row —
+    grouping sets are absent in the reference but built-in here). One shuffle;
+    the subtotal expansion happens inside the aggregate, not as a self-union."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "set_ops_users",
+    """
+WITH {base}
+SELECT user_id FROM base WHERE event_type = 'click' AND value > 150
+INTERSECT
+SELECT user_id FROM base WHERE event_type = 'purchase' AND value > 150
+EXCEPT
+SELECT user_id FROM base WHERE event_type = 'error' AND value > 150
+""".format(base=EVENTS_BASE),
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct set algebra (SURVEY.md §2.8 — the reference exposes no
+    EXCEPT/INTERSECT surface; Spark's are native). INTERSECT binds tighter
+    than EXCEPT in SQL, mirrored by the call nesting."""
+    s = events_stream(spark, sf_dir)
+    big = s.filter(F.col("value") > 150)
+    clicks = big.filter(F.col("event_type") == "click").select("user_id")
+    buys = big.filter(F.col("event_type") == "purchase").select("user_id")
+    errs = big.filter(F.col("event_type") == "error").select("user_id")
+    return clicks.intersect(buys).subtract(errs)
+
+
 # --------------------------------------------------- preprocess / projections
 
 

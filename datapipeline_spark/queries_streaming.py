@@ -50,6 +50,94 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     return staging
 
 
+def _stream_of(spark: SparkSession, staging: str) -> DataFrame:
+    batch = spark.read.parquet(staging)
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in batch.schema.fields)
+    return spark.readStream.schema(schema).parquet(staging)
+
+
+def _run_to_memory(out: DataFrame, name: str, mode: str) -> None:
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not finish within 300s")
+
+
+@query(
+    "streaming_cadence_buckets",
+    """
+WITH {base},
+ded AS (
+  SELECT user_id, time, max_by(value, event_id) AS value
+  FROM base GROUP BY 1, 2
+)
+SELECT date_trunc('day', time) AS time, user_id,
+       max_by(value, time) AS value
+FROM ded GROUP BY 1, 2
+""".format(base=EVENTS_BASE),
+)
+def streaming_cadence_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cadence-bucket assembly (SURVEY.md §2.10 first row): tumbling
+    1-day window per user, last-by-time value — the streaming analogue of the
+    batch sample assembly. Exact-time collisions are collapsed batch-side at
+    staging (last arrival by event_id) so last-by-time is total; complete
+    output mode emits open buckets too, making the batch GROUP BY an exact
+    oracle."""
+    from datapipeline_spark.operators.record import collapse
+    from datapipeline_spark.streaming import cadence_assembly_stream
+
+    staging = _staged_events(spark, sf_dir)
+    key = hashlib.sha256(staging.encode()).hexdigest()[:8]
+    ded_dir = f"/tmp/spark_graft_stream_ded_{key}"
+    if not os.path.exists(os.path.join(ded_dir, "_SUCCESS")):
+        ded = collapse(
+            spark.read.parquet(staging).select("user_id", "time", "value", "event_id"),
+            ["user_id"],
+            keep="last",
+            arrival_col="event_id",
+        )
+        ded.coalesce(1).write.mode("overwrite").parquet(ded_dir)
+    out = cadence_assembly_stream(
+        _stream_of(spark, ded_dir),
+        cadence="1d",
+        entity_keys=["user_id"],
+        value_cols=["value"],
+        watermark="0 seconds",
+    )
+    name = "stream_cad_" + key
+    _run_to_memory(out, name, "complete")
+    return spark.table(name).select("time", "user_id", "value")
+
+
+@query(
+    "streaming_dedupe",
+    """
+WITH {base}
+SELECT DISTINCT user_id, time FROM base
+""".format(base=EVENTS_BASE),
+)
+def streaming_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (dropDuplicatesWithinWatermark — the
+    bounded-state streaming contract for the reference's fail-on-duplicates
+    alignment, SURVEY.md §2.10 late/duplicate row). Key projection only, so
+    which arrival survives is irrelevant and SELECT DISTINCT is an exact
+    oracle."""
+    from datapipeline_spark.streaming import dedupe_stream
+
+    staging = _staged_events(spark, sf_dir)
+    sdf = _stream_of(spark, staging).select("user_id", "time")
+    out = dedupe_stream(sdf, ["user_id"], watermark="1 hour")
+    name = "stream_ded_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
+    _run_to_memory(out, name, "append")
+    return spark.table(name).select("user_id", "time")
+
+
 @query(
     "streaming_rolling_mean",
     """
