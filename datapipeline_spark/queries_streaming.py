@@ -139,6 +139,43 @@ def streaming_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_interval_join",
+    """
+WITH {base},
+p AS (SELECT user_id, time, event_id FROM base WHERE event_type = 'purchase'),
+c AS (SELECT user_id, time AS time_r, event_id AS event_id_r
+      FROM base WHERE event_type = 'click')
+SELECT p.user_id, p.time, p.event_id, c.time_r, c.event_id_r
+FROM p JOIN c ON p.user_id = c.user_id
+ AND c.time_r BETWEEN p.time - INTERVAL 1 HOUR AND p.time
+""".format(base=EVENTS_BASE),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (each purchase paired with the user's
+    clicks in the preceding hour). Watermarks bound the join state; inner
+    matches emit immediately, so the batch interval join is an exact oracle."""
+    from datapipeline_spark.streaming import interval_join_stream
+
+    staging = _staged_events(spark, sf_dir)
+    purchases = (
+        _stream_of(spark, staging)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "time", "event_id")
+    )
+    clicks = (
+        _stream_of(spark, staging)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "time", "event_id")
+    )
+    out = interval_join_stream(purchases, clicks, ["user_id"], lookback="1h")
+    name = "stream_ij_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
+    _run_to_memory(out, name, "append")
+    return spark.table(name).select(
+        "user_id", "time", "event_id", "time_r", "event_id_r"
+    )
+
+
+@query(
     "streaming_rolling_mean",
     """
 WITH {base}

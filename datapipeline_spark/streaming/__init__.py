@@ -1,6 +1,7 @@
 from datapipeline_spark.streaming.ops import (
     cadence_assembly_stream,
     dedupe_stream,
+    interval_join_stream,
     rolling_mean_stream,
     sessionize_stream,
     sequence_windows_stream,
@@ -10,6 +11,7 @@ from datapipeline_spark.streaming.ops import (
 __all__ = [
     "cadence_assembly_stream",
     "dedupe_stream",
+    "interval_join_stream",
     "rolling_mean_stream",
     "sessionize_stream",
     "sequence_windows_stream",

@@ -204,6 +204,47 @@ def sequence_windows_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    lookback: str,
+    time_field: str = "time",
+    right_suffix: str = "_r",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left row with right rows sharing
+    `keys` whose time falls in ``[left.time - lookback, left.time]``.
+
+    The unbounded analogue of the reference's alignment joins (SURVEY.md §2.5
+    align/broadcast — batch, exact-key) generalized to a time interval: both
+    sides carry watermarks, and the time-range predicate lets Spark expire
+    buffered rows once the watermark passes `lookback`, so join state is
+    bounded. Inner-join results emit as soon as both sides match — no
+    watermark-close wait. All non-key right columns are suffixed with
+    `right_suffix`.
+    """
+    lb_s = parse_timecode_seconds(lookback)
+    l = left.withWatermark(time_field, watermark)
+    renames = {
+        c: c + right_suffix for c in right.columns if c not in keys
+    }
+    r = right.withColumnsRenamed(renames).withWatermark(
+        time_field + right_suffix, watermark
+    )
+    rt = F.col(time_field + right_suffix)
+    join_cond = (
+        rt >= F.col(time_field) - F.expr(f"INTERVAL {lb_s} SECONDS")
+    ) & (rt <= F.col(time_field))
+    for k in keys:
+        join_cond = join_cond & (l[k] == r[k])
+    out = l.join(r, join_cond, "inner")
+    # drop the duplicate key columns from the right side
+    for k in keys:
+        out = out.drop(r[k])
+    return out
+
+
 def sessionize_stream(
     sdf: DataFrame,
     gap: str,

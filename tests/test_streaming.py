@@ -158,3 +158,52 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         for r in b.groupBy("loc", "session_id").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {("a", 0): 2, ("a", 1): 2, ("b", 0): 1, ("b", 1): 1}
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join == batch interval join on the same data."""
+    from datapipeline_spark.streaming import interval_join_stream, stream_jsonl_source
+
+    left_rows = [
+        {"time": "2024-01-01T01:00:00Z", "loc": "a", "value": 1.0},
+        {"time": "2024-01-01T03:00:00Z", "loc": "a", "value": 2.0},
+        {"time": "2024-01-01T01:30:00Z", "loc": "b", "value": 3.0},
+    ]
+    right_rows = [
+        {"time": "2024-01-01T00:30:00Z", "loc": "a", "value": 10.0},  # in 1h of L1
+        {"time": "2024-01-01T01:00:00Z", "loc": "a", "value": 11.0},  # boundary: == L1.time
+        {"time": "2024-01-01T02:30:00Z", "loc": "a", "value": 12.0},  # in 1h of L2
+        {"time": "2024-01-01T01:00:00Z", "loc": "b", "value": 13.0},  # in 1h of Lb
+        {"time": "2024-01-01T02:45:00Z", "loc": "b", "value": 14.0},  # after Lb → no match
+    ]
+    (tmp_path / "l").mkdir()
+    (tmp_path / "r").mkdir()
+    lsrc = stream_jsonl_source(spark, _feed(tmp_path / "l", left_rows), SCHEMA)
+    rsrc = stream_jsonl_source(spark, _feed(tmp_path / "r", right_rows), SCHEMA)
+    sdf = interval_join_stream(lsrc, rsrc, ["loc"], lookback="1h")
+    got = _run(sdf, ["loc", "time", "time_r"])
+    pairs = sorted((loc, v, vr) for (t, loc, v, tr, vr) in got)
+    assert pairs == [
+        ("a", 1.0, 10.0),
+        ("a", 1.0, 11.0),
+        ("a", 2.0, 12.0),
+        ("b", 3.0, 13.0),
+    ]
+
+    # batch equivalence on the same rows
+    from pyspark.sql import functions as F
+
+    l = spark.createDataFrame(
+        [(r["time"], r["loc"], r["value"]) for r in left_rows], "time string, loc string, value double"
+    ).withColumn("time", F.to_timestamp("time"))
+    r = spark.createDataFrame(
+        [(x["time"], x["loc"], x["value"]) for x in right_rows], "time string, loc string, value double"
+    ).withColumn("time", F.to_timestamp("time"))
+    batch = l.join(
+        r.withColumnsRenamed({"time": "time_r", "value": "value_r"}),
+        (F.col("time_r") >= F.col("time") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("time_r") <= F.col("time"))
+        & (l["loc"] == r["loc"]),
+    )
+    bpairs = sorted((row["loc"], row["value"], row["value_r"]) for row in batch.collect())
+    assert bpairs == pairs
