@@ -36,7 +36,11 @@ HEADLINE = [
     "sessionize",
     "topk_orders_per_customer",
     "sample_pivot",
+    "sample_multivalue",
     "scaler_standardize",
+    "q3_shipping_priority",
+    "rollup_revenue",
+    "set_ops_users",
     # training-data operators (present from round 1+ as implemented)
     "exact_dedup",
     "minhash_signatures",

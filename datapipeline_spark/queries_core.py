@@ -186,10 +186,12 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: the lineitem⋈orders fact-fact join shuffles on
-    orderkey with both filters pushed to the scans; customer is a broadcast
-    dim so the big side shuffles once. Top-10 runs as a partial TakeOrdered
-    below the final exchange. Deterministic tiebreak on l_orderkey."""
+    """TPC-H Q3 shape: lineitem⋈orders fact-fact join with both date filters
+    pushed to the scans; customer is explicitly broadcast, while the l⋈o side
+    is left to the planner (broadcast at small SF, shuffle-on-orderkey once
+    orders outgrows the threshold — AQE decides from runtime stats). Top-10
+    runs as TakeOrderedAndProject (partial per-partition top-k, no global
+    sort). Deterministic tiebreak on l_orderkey."""
     cutoff = datetime(1998, 1, 1)
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(cutoff))

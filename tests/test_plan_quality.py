@@ -1,0 +1,47 @@
+"""Physical-plan assertions for the headline analytical queries: filters
+reach the parquet scans, small dims broadcast, top-k never global-sorts, and
+rollup expands inside a single aggregation exchange. These pin the *shape*
+that must survive a 100× scale-up, not timings."""
+
+from __future__ import annotations
+
+import re
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    return len(re.findall(r"(?<!Broadcast)Exchange", plan))
+
+
+def test_q3_plan(spark):
+    from datapipeline_spark.queries_core import q3_shipping_priority
+
+    plan = _plan(q3_shipping_priority(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # partial top-k, no global Sort
+    assert "GreaterThan(l_shipdate" in plan  # filter pushed into lineitem scan
+    assert "LessThan(o_orderdate" in plan  # filter pushed into orders scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed
+    assert "BroadcastHashJoin" in plan
+    assert _shuffles(plan) <= 1  # at most the final aggregation exchange
+
+
+def test_rollup_plan(spark):
+    from datapipeline_spark.queries_core import rollup_revenue
+
+    plan = _plan(rollup_revenue(spark, SF))
+    assert "Expand" in plan  # grouping-set expansion inside the agg
+    assert plan.count("BroadcastHashJoin") == 3  # all three dims broadcast
+    assert _shuffles(plan) == 1  # one hash-agg exchange, no join shuffle
+
+
+def test_set_ops_plan(spark):
+    from datapipeline_spark.queries_core import set_ops_users
+
+    plan = _plan(set_ops_users(spark, SF))
+    # distinct set algebra compiles to semi/anti hash joins over aggregates
+    assert "LeftSemi" in plan and "LeftAnti" in plan
