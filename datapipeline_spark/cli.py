@@ -98,6 +98,40 @@ def cmd_materialize(args) -> int:
     return 0
 
 
+def cmd_list(args) -> int:
+    from datapipeline_spark.plans.scaffold import list_entities
+
+    for name in list_entities(args.kind, project_dir=args.project):
+        print(name)
+    return 0
+
+
+def cmd_create(args) -> int:
+    from datapipeline_spark.plans import scaffold
+
+    fn = {"source": scaffold.create_source, "stream": scaffold.create_stream}[args.command]
+    print(fn(args.project, args.name))
+    return 0
+
+
+def cmd_demo(args) -> int:
+    from datapipeline_spark.plans.scaffold import demo_init
+
+    root = demo_init(args.dir)
+    print(f"{root}\nrun: python -m datapipeline_spark.cli serve {root}")
+    return 0
+
+
+def cmd_clean(args) -> int:
+    from datapipeline_spark.plans.scaffold import clean
+
+    targets = clean(args.project, older_than=args.older_than, yes=args.yes)
+    verb = "removed" if args.yes else "would remove (pass --yes)"
+    for t in targets:
+        print(f"{verb}\t{t}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datapipeline-spark")
     p.add_argument("--master", default=None, help="Spark master (default: local[*])")
@@ -135,6 +169,34 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--gzip", action="store_true")
     m.add_argument("--limit", type=int, default=None)
     m.set_defaults(fn=cmd_materialize)
+
+    ls = sub.add_parser("list", help="list registered entities or project members")
+    ls.add_argument(
+        "kind",
+        choices=["sources", "streams", "loaders", "parsers", "mappers", "combiners", "queries"],
+    )
+    ls.add_argument("--project", default=None, help="required for sources/streams")
+    ls.set_defaults(fn=cmd_list)
+
+    for ent in ("source", "stream"):
+        c = sub.add_parser(ent, help=f"scaffold a {ent}")
+        csub = c.add_subparsers(dest=f"{ent}_cmd", required=True)
+        cc = csub.add_parser("create", help=f"create a {ent} YAML skeleton")
+        cc.add_argument("project")
+        cc.add_argument("name")
+        cc.set_defaults(fn=cmd_create)
+
+    d = sub.add_parser("demo", help="demo project")
+    dsub = d.add_subparsers(dest="demo_cmd", required=True)
+    di = dsub.add_parser("init", help="create a runnable demo project")
+    di.add_argument("dir")
+    di.set_defaults(fn=cmd_demo)
+
+    cl = sub.add_parser("clean", help="inspect or remove stale run outputs/staging")
+    cl.add_argument("--project", default=None)
+    cl.add_argument("--yes", action="store_true", help="delete; default is dry-run")
+    cl.add_argument("--older-than", default="0h", metavar="AGE", help="e.g. 30m, 24h, 7d")
+    cl.set_defaults(fn=cmd_clean)
 
     v = sub.add_parser("preview", help="show a pipeline materialization point")
     v.add_argument("project")
