@@ -122,6 +122,20 @@ def cmd_demo(args) -> int:
     return 0
 
 
+def cmd_plugin(args) -> int:
+    from datapipeline_spark.plans.scaffold import plugin_init
+
+    print(plugin_init(args.dir, args.name))
+    return 0
+
+
+def cmd_version(args) -> int:
+    from datapipeline_spark.plans.scaffold import version_report
+
+    print(version_report())
+    return 0
+
+
 def cmd_clean(args) -> int:
     from datapipeline_spark.plans.scaffold import clean
 
@@ -191,6 +205,16 @@ def main(argv: list[str] | None = None) -> int:
     di = dsub.add_parser("init", help="create a runnable demo project")
     di.add_argument("dir")
     di.set_defaults(fn=cmd_demo)
+
+    pl = sub.add_parser("plugin", help="plugin scaffolding")
+    plsub = pl.add_subparsers(dest="plugin_cmd", required=True)
+    pi = plsub.add_parser("init", help="create a plugin module skeleton")
+    pi.add_argument("dir")
+    pi.add_argument("name")
+    pi.set_defaults(fn=cmd_plugin)
+
+    ver = sub.add_parser("version", help="print engine + pyspark versions")
+    ver.set_defaults(fn=cmd_version)
 
     cl = sub.add_parser("clean", help="inspect or remove stale run outputs/staging")
     cl.add_argument("--project", default=None)

@@ -123,6 +123,55 @@ targets: []
     return root
 
 
+_PLUGIN_TMPL = '''"""Plugin skeleton for datapipeline_spark.
+
+Import this module before compiling a project that references the
+entrypoints (e.g. in your driver script or conftest):
+
+    import {name}  # registers on import
+
+Entrypoints are DataFrame-transform builders — stay on the Catalyst fast
+path (pyspark.sql.functions); drop to mapInPandas only when unavoidable.
+"""
+
+from pyspark.sql import functions as F
+
+from datapipeline_spark.plans.registry import (
+    register_combiner,
+    register_loader,
+    register_mapper,
+    register_parser,
+)
+
+
+def _my_mapper(df, args):
+    """records -> records; args come from the stream YAML."""
+    return df.withColumn("value", F.col("value"))
+
+
+register_mapper("{name}.identity", _my_mapper)
+'''
+
+
+def plugin_init(target_dir: str, name: str) -> Path:
+    """Create a plugin module skeleton that registers entrypoints on import
+    (the Spark-side analogue of the reference's entry-point plugin package,
+    cli/commands/plugin.py)."""
+    if not name.isidentifier():
+        raise ValueError(f"plugin name must be a Python identifier, got {name!r}")
+    return _write_new(
+        Path(target_dir) / f"{name}.py", _PLUGIN_TMPL.replace("{name}", name)
+    )
+
+
+def version_report() -> str:
+    import pyspark
+
+    from datapipeline_spark import __version__
+
+    return f"datapipeline-spark {__version__} (pyspark {pyspark.__version__})"
+
+
 # ------------------------------------------------------------------- cleanup
 
 

@@ -65,3 +65,22 @@ def test_clean_preserves_latest(tmp_path):
     ]
     removed = clean(str(tmp_path), older_than="30m", yes=True)
     assert str(old) in removed and not old.exists() and new.exists()
+
+
+def test_plugin_init_registers(tmp_path):
+    import sys
+
+    from datapipeline_spark.plans.scaffold import plugin_init, version_report
+
+    p = plugin_init(str(tmp_path), "accplug")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        __import__("accplug")
+    finally:
+        sys.path.remove(str(tmp_path))
+    from datapipeline_spark.plans.registry import MAPPERS
+
+    assert "accplug.identity" in MAPPERS
+    with pytest.raises(ValueError, match="identifier"):
+        plugin_init(str(tmp_path), "not-an-identifier")
+    assert version_report().startswith("datapipeline-spark ")
