@@ -36,6 +36,11 @@ def connected_components(
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    if checkpoint:
+        # the loop runs 2 actions per round — without materializing the edge
+        # list here, the (often expensive: LSH / O(n²) cosine) pair
+        # generation upstream would be recomputed every round
+        edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -53,6 +58,22 @@ def connected_components(
             .union(proposals)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping: adopt the label of one's label. Neighbor
+        # propagation alone needs O(diameter) rounds (path graphs are the
+        # worst case); the jump halves the remaining distance every round,
+        # so convergence is O(log diameter) joins total.
+        jump = new_labels.select(
+            F.col("id").alias("jid"), F.col("component").alias("jcomp")
+        )
+        new_labels = (
+            new_labels.join(jump, new_labels.component == jump.jid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("jcomp", "component")
+                ).alias("component"),
+            )
         )
         if checkpoint:
             new_labels = new_labels.localCheckpoint(eager=True)

@@ -295,6 +295,42 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_similar_pairs(e, threshold=0.3)
 
 
+@query(
+    "embedding_near_dup",
+    """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) /
+              nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
+              4) >= 0.3
+),
+bi AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM bi
+  UNION
+  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a
+)
+SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clustering: cosine-threshold pairs →
+    distributed connected components (join-based min-label propagation) →
+    (vec_id, cluster_id = min reachable id). The oracle closes the same
+    pair graph with a recursive CTE."""
+    from datapipeline_spark.dedup.cluster import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_similar_pairs(e, threshold=0.3)
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("id").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+
+
 @query("lsh_knn")  # approximate (bucket recall) → rows-only check
 def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
