@@ -429,10 +429,36 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
 
 
-@query("dedup_representatives")  # graph reduction → rows-only check
+@query(
+    "dedup_representatives",
+    """
+WITH RECURSIVE {bigrams},
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+  WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
+),
+bi AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM bi
+  UNION
+  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a
+),
+clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+""".format(bigrams=BIGRAMS),
+)
 def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus reduction: one representative per near-dup component plus all
-    unpaired documents."""
+    """Corpus reduction: one representative (the min id) per near-dup
+    component plus all unpaired documents. Oracle: the recursive-CTE
+    closure minus every non-minimum cluster member."""
     from datapipeline_spark.dedup.cluster import dedup_representatives
 
     d = load_table(spark, sf_dir, "documents")
