@@ -7,9 +7,12 @@ Determinism notes:
   embedded into the oracle SQL from the same Python object;
 - cosine scores are computed in DOUBLE with sequential folds and rounded to
   4 dp in both engines before ranking/threshold.
-LSH-accelerated variants (`minhash_lsh_pairs`, `lsh_knn`) are approximate by
-design → rows-only checks (no oracle); their exact counterparts
-(`ngram_jaccard_pairs`, `knn_cosine`) are the oracle-verified ground truth.
+"Approximate" here means recall vs ground truth, not nondeterminism: the
+LSH candidate pipeline (`minhash_lsh_pairs`) and winnowing are deterministic
+and get exact SQL oracles. Only `lsh_knn`/`ivf_knn` (top-k under bucketing /
+k-means, where Spark-side float ordering is engine-specific) and the fake
+media codec stay rows-only; their exact counterparts (`ngram_jaccard_pairs`,
+`knn_cosine`) are the oracle-verified ground truth.
 """
 
 from __future__ import annotations
@@ -216,7 +219,50 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, "doc_id", candidates=None, threshold=0.5)
 
 
-@query("minhash_lsh_pairs")  # approximate (LSH recall) → rows-only check
+def _lsh_pairs_sql(bands: int = 4, max_bucket: int = 1000) -> str:
+    """LSH is 'approximate' only w.r.t. true Jaccard recall — the candidate
+    set itself (share ≥1 band, bucket ≤ max_bucket, then exact verify) is
+    deterministic, so the whole pipeline has an exact oracle."""
+    rows = PARAMS.num_hashes // bands
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MOD}) AS mh{j}" for j, (a, b) in enumerate(PARAMS.coeffs)
+    )
+    keys = ", ".join(f"k{r}" for r in range(rows))
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {cols} FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh{b * rows + r} AS k{r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    on = " AND ".join(["a.band = b.band"] + [f"a.k{r} = b.k{r}" for r in range(rows)])
+    ok_on = " AND ".join(["ok.band = a.band"] + [f"ok.k{r} = a.k{r}" for r in range(rows)])
+    return f"""
+WITH {BIGRAMS},
+hashed AS (SELECT doc_id, {H48.format(col='s')} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS (
+  {band_rows}
+),
+ok AS (SELECT band, {keys} FROM bands GROUP BY ALL HAVING count(*) <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON {on} AND a.doc_id < b.doc_id
+  JOIN ok ON {ok_on}
+),
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS cnt
+  FROM cand p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b AND a.s = b.s
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(cnt * 1.0 / (sa.n + sb.n - cnt), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5
+"""
+
+
+@query("minhash_lsh_pairs", _lsh_pairs_sql())
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return minhash_dedup_pairs(d, params=PARAMS, bands=4, threshold=0.5)
@@ -242,7 +288,49 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, bits=32)
 
 
-@query("winnow_fingerprints")  # sequential rolling-hash state → rows-only check
+def _winnow_sql(k: int = 8, window: int = 4) -> str:
+    """The per-document rolling-hash state machine is sequential in Spark
+    (mapInPandas), but the MATH is closed-form: k-gram hash = Σ ord(ch_j) ·
+    B^(k-1-j) mod M, window pick = rightmost min, emission = pick changed vs
+    the previous window (lag). So the oracle is exact SQL."""
+    B, M = 257, (1 << 31) - 1
+    terms = " + ".join(
+        f"unicode(substring(text, g.i + {j}, 1))::BIGINT * {pow(B, k - 1 - j, M)}"
+        for j in range(k)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {k}),
+grams AS (
+  SELECT doc_id, g.i - 1 AS idx, ({terms}) % {M} AS h
+  FROM d CROSS JOIN generate_series(1, 100000) g(i)
+  WHERE g.i <= length(text) - {k - 1}
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+ws AS (SELECT doc_id, unnest(range(n - {window - 1})) AS wstart
+       FROM cnt WHERE n >= {window}),
+wins AS (
+  SELECT ws.doc_id, wstart, min(h) AS mval
+  FROM ws JOIN grams g ON g.doc_id = ws.doc_id
+   AND g.idx BETWEEN wstart AND wstart + {window - 1}
+  GROUP BY 1, 2
+),
+picks AS (
+  SELECT w.doc_id, w.wstart, w.mval, max(g.idx) AS mpos
+  FROM wins w JOIN grams g ON g.doc_id = w.doc_id AND g.h = w.mval
+   AND g.idx BETWEEN w.wstart AND w.wstart + {window - 1}
+  GROUP BY 1, 2, 3
+),
+dd AS (
+  SELECT doc_id, wstart, mval, mpos,
+         lag(mval) OVER w AS pm, lag(mpos) OVER w AS pp
+  FROM picks WINDOW w AS (PARTITION BY doc_id ORDER BY wstart)
+)
+SELECT doc_id, mval AS fingerprint, mpos AS pos
+FROM dd WHERE pm IS NULL OR pm <> mval OR pp <> mpos
+"""
+
+
+@query("winnow_fingerprints", _winnow_sql())
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(d)
