@@ -847,3 +847,122 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         descending=True,
     )
     return ranked.select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+
+
+# --------------------------------------------------- analytics beyond reference
+
+
+@query(
+    "ranking_functions",
+    """
+WITH {base}
+SELECT event_id, user_id,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cdist
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+""".format(base=EVENTS_BASE),
+)
+def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/ntile/cume_dist — noted absent in the reference (SURVEY.md
+    §2.7 last row); native window functions here. Total order (value desc,
+    event_id) makes every rank cross-engine deterministic."""
+    from pyspark.sql import Window
+
+    s = events_stream(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return s.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "cube_revenue",
+    """
+SELECT r.r_name AS region, o.o_orderpriority AS priority,
+       round(sum(o.o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY CUBE (region, priority)
+""",
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-set lattice via native cube (complements rollup_revenue;
+    SURVEY.md §2.6 — grouping sets absent in the reference). Same single
+    shuffle: the Expand happens inside the aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.cube(
+        F.col("r_name").alias("region"), F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "percentile_stats",
+    """
+WITH {base}
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM base GROUP BY event_type
+""".format(base=EVENTS_BASE),
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SURVEY.md §2.6 — absent in the
+    reference). Spark `percentile` ≡ SQL percentile_cont ≡ DuckDB
+    quantile_cont (rank-linear interpolation); single-pass per-group sort
+    aggregate, one shuffle."""
+    s = events_stream(spark, sf_dir)
+    return s.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile(F.col("value"), F.lit(p)), 6).alias(name)
+            for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+        ]
+    )
+
+
+@query(
+    "distinct_daily_users",
+    """
+WITH {base}
+SELECT date_trunc('day', time) AS day, event_type,
+       count(DISTINCT user_id) AS unique_users,
+       count(*) AS n_events
+FROM base GROUP BY day, event_type
+""".format(base=EVENTS_BASE),
+)
+def distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (SURVEY.md §2.6 — distinct absent in the
+    reference). Catalyst plans count(DISTINCT) as a two-stage partial
+    dedup + count, so the shuffle carries (day, type, user) pre-deduped
+    per map task; at 100 TB swap in approx_count_distinct (HLL) when a
+    bounded error is acceptable."""
+    s = events_stream(spark, sf_dir)
+    return s.groupBy(
+        F.date_trunc("day", F.col("time")).alias("day"), "event_type"
+    ).agg(
+        F.count_distinct(F.col("user_id")).alias("unique_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -419,11 +419,62 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("lsh_knn")  # approximate (bucket recall) → rows-only check
+def _lsh_knn_sql(dim: int = 64, planes: int = 16, bands: int = 4, k: int = 3, seed: int = 42) -> str:
+    """Exact oracle for the sign-LSH path: the hyperplanes are deterministic
+    literals (same seed as similarity/ann.random_hyperplane_signature), so the
+    band/bucket assignment — and therefore the candidate set — is reproducible
+    in plain SQL. Bit j of band b's bucket = [v · h_(b*bits+j) > 0]."""
+    import random
+
+    rng = random.Random(seed)
+    hyper = [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)] for _ in range(planes)
+    ]
+    bits = planes // bands
+
+    def bucket_expr(b: int) -> str:
+        terms = []
+        for j in range(bits):
+            arr = "[" + ",".join("1" if x > 0 else "-1" for x in hyper[b * bits + j]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {arr}::DOUBLE[]) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    banded = "\nUNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {bucket_expr(b)} AS bucket FROM e"
+        for b in range(bands)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+banded AS ({banded}),
+pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(list_dot_product(qe.v, ce.v) /
+               nullif(sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)), 0),
+               4) AS score
+  FROM pairs p
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ce ON ce.vec_id = p.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("lsh_knn", _lsh_knn_sql())
 def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
-    return lsh_knn(e, queries, k=3)
+    return lsh_knn(e, queries, k=3).withColumn("rank", F.col("rank").cast("long"))
 
 
 @query("ivf_knn")  # k-means quantizer → rows-only check (not SQL-expressible)

@@ -45,3 +45,49 @@ def test_set_ops_plan(spark):
     plan = _plan(set_ops_users(spark, SF))
     # distinct set algebra compiles to semi/anti hash joins over aggregates
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_cube_plan(spark):
+    from datapipeline_spark.queries_core import cube_revenue
+
+    plan = _plan(cube_revenue(spark, SF))
+    assert "Expand" in plan  # full grouping-set lattice inside the agg
+    assert plan.count("BroadcastHashJoin") == 3
+    assert _shuffles(plan) == 1
+
+
+def test_ranking_plan(spark):
+    from datapipeline_spark.queries_core import ranking_functions
+
+    plan = _plan(ranking_functions(spark, SF))
+    assert "Window" in plan
+    assert _shuffles(plan) == 1  # one partition exchange feeds every rank fn
+    assert plan.count("Sort") <= 2  # a single per-partition sort (± AQE copy)
+
+
+def test_percentile_distinct_plans(spark):
+    from datapipeline_spark.queries_core import distinct_daily_users, percentile_stats
+
+    plan = _plan(percentile_stats(spark, SF))
+    assert "percentile" in plan
+    assert _shuffles(plan) == 1
+
+    plan = _plan(distinct_daily_users(spark, SF))
+    # count(DISTINCT) plans as partial dedup below the exchange: the shuffle
+    # carries (day, type, user) already deduped per map task
+    assert "partial_count(distinct user_id" in plan
+    assert "HashAggregate" in plan
+
+
+def test_ranking_values(spark):
+    from datapipeline_spark.queries_core import ranking_functions
+
+    out = ranking_functions(spark, SF)
+    one_user = out.filter("user_id = 1").orderBy("rnk", "event_id").collect()
+    n = len(one_user)
+    assert n > 0
+    assert one_user[0].rnk == 1 and one_user[0].pct_rank == 0.0
+    assert one_user[-1].cdist == 1.0
+    assert {r.quartile for r in one_user} == {1, 2, 3, 4}
+    # rank ties share rnk but drnk stays dense
+    assert all(r.drnk <= r.rnk for r in one_user)
