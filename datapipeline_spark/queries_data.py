@@ -604,3 +604,96 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = word_shingles(d, "doc_id", "text", 2)
     pairs = jaccard_pairs(sh, "doc_id", candidates=None, threshold=0.5)
     return dedup_representatives(d.select("doc_id", "text"), pairs).select("doc_id")
+
+
+# ------------------------------------------- deterministic sampling / shuffle
+
+
+def _sha_long(prefix: str, col) -> "F.Column":
+    """52-bit big-endian prefix of sha256('{prefix}{key}') as BIGINT —
+    same arithmetic as dataset/split.hash_split_value (reference
+    pipelines/dataset/split.py:14-39), reproducible in any engine."""
+    return F.conv(
+        F.substring(F.sha2(F.concat(F.lit(prefix), col.cast("string")), 256), 1, 13),
+        16,
+        10,
+    ).cast("long")
+
+
+_SHA_SQL = "(('0x' || substr(sha256('{prefix}' || {col}::VARCHAR), 1, 13))::UBIGINT)::BIGINT"
+
+
+@query(
+    "corpus_sample",
+    """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {h} % 100 < 20
+""".format(h=_SHA_SQL.format(prefix="13|", col="doc_id")),
+)
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 20% corpus sample by key hash — the training-data answer
+    to `TABLESAMPLE` (which is partition/row-order dependent): membership is
+    a pure function of doc_id, so the sample is stable across reruns,
+    engines, and repartitioning. Pure map stage — no shuffle, filter runs
+    beside the scan at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(_sha_long("13|", F.col("doc_id")) % 100 < 20).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "corpus_shuffle",
+    """
+WITH hashed AS (
+  SELECT doc_id, {h} AS h FROM documents
+)
+SELECT row_number() OVER (ORDER BY h, doc_id) AS pos, doc_id
+FROM hashed
+""".format(h=_SHA_SQL.format(prefix="7|", col="doc_id")),
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle for training-example order: position =
+    rank in seeded-hash order, independent of input layout. At 100 TB this
+    is a range-partitioned sort on the hash (Spark samples range bounds),
+    then each output shard is internally shuffled and the shard sequence is
+    deterministic — no single-point sort."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", _sha_long("7|", F.col("doc_id")).alias("h"))
+    w = Window.orderBy("h", "doc_id")
+    return h.select(F.row_number().over(w).cast("long").alias("pos"), "doc_id")
+
+
+@query(
+    "balance_labels",
+    """
+WITH hashed AS (
+  SELECT label, vec_id, {h} AS h FROM embeddings
+),
+ranked AS (
+  SELECT label, vec_id,
+         row_number() OVER (PARTITION BY label ORDER BY h, vec_id) AS rn
+  FROM hashed
+)
+SELECT label, vec_id FROM ranked WHERE rn <= 30
+""".format(h=_SHA_SQL.format(prefix="21|", col="vec_id")),
+)
+def q_balance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: at most n examples per label, chosen by
+    seeded hash so the kept subset is reproducible and unbiased w.r.t. input
+    order. Compiles to WindowGroupLimit — each map task keeps its local
+    top-30 per label before the exchange, so shuffle volume is
+    O(labels × 30 × tasks), not O(rows)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    h = e.select("label", "vec_id", _sha_long("21|", F.col("vec_id")).alias("h"))
+    w = Window.partitionBy("label").orderBy("h", "vec_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .select("label", "vec_id")
+    )

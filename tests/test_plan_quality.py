@@ -91,3 +91,23 @@ def test_ranking_values(spark):
     assert {r.quartile for r in one_user} == {1, 2, 3, 4}
     # rank ties share rnk but drnk stays dense
     assert all(r.drnk <= r.rnk for r in one_user)
+
+
+def test_sampling_plans(spark):
+    from datapipeline_spark.queries_data import (
+        q_balance_labels,
+        q_corpus_sample,
+        q_corpus_shuffle,
+    )
+
+    # hash-membership sampling is a pure map: filter beside the scan, 0 shuffles
+    plan = _plan(q_corpus_sample(spark, SF))
+    assert _shuffles(plan) == 0 and "Exchange" not in plan
+
+    # balanced downsampling keeps local top-n per label before the exchange
+    plan = _plan(q_balance_labels(spark, SF))
+    assert "WindowGroupLimit" in plan
+
+    # reproducible shuffle = one global sort (range partition at scale)
+    plan = _plan(q_corpus_shuffle(spark, SF))
+    assert "Sort" in plan
