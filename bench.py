@@ -47,6 +47,14 @@ HEADLINE = [
     "text_stats",
     "token_count",
     "knn_cosine",
+    "cube_revenue",
+    "ranking_functions",
+    "percentile_stats",
+    "distinct_daily_users",
+    "corpus_sample",
+    "corpus_shuffle",
+    "balance_labels",
+    "lsh_knn",
 ]
 
 

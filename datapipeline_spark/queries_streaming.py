@@ -272,3 +272,33 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "user_id", "session_start", "session_end", "n_events"
     )
+
+
+@query(
+    "streaming_enrich",
+    """
+WITH {base}
+SELECT b.event_id, b.user_id, n.n_name AS nation, b.value
+FROM base b
+JOIN customer c ON b.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+""".format(base=EVENTS_BASE),
+)
+def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the event stream joins two static
+    dims (customer → nation) that Spark plans as broadcast hash joins — the
+    stream is never shuffled and needs no watermark (map-side, stateless).
+    The production shape for attaching slowly-changing metadata to a live
+    feed; at 100 TB/day the static side refreshes per micro-batch without
+    restarting the query."""
+    staging = _staged_events(spark, sf_dir)
+    stream = _stream_of(spark, staging)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    out = (
+        stream.join(dim, stream.user_id == dim.c_custkey)
+        .select("event_id", "user_id", F.col("n_name").alias("nation"), "value")
+    )
+    _run_to_memory(out, "streaming_enrich_mem", "append")
+    return spark.table("streaming_enrich_mem")

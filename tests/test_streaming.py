@@ -207,3 +207,26 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     )
     bpairs = sorted((row["loc"], row["value"], row["value_r"]) for row in batch.collect())
     assert bpairs == pairs
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """Stream-static broadcast enrichment equals the batch join, and the
+    stream side is never shuffled (stateless map-side join)."""
+    from datapipeline_spark.queries_streaming import streaming_enrich
+    from datapipeline_spark.queries_core import events_stream
+    from datapipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_enrich(spark, sf)
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    batch = (
+        events_stream(spark, sf)
+        .join(F.broadcast(c), F.col("user_id") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("event_id", "user_id", F.col("n_name").alias("nation"), "value")
+    )
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert a == b and len(a) > 0
