@@ -55,6 +55,7 @@ HEADLINE = [
     "corpus_shuffle",
     "balance_labels",
     "lsh_knn",
+    "ivf_knn_fixed",
 ]
 
 

@@ -697,3 +697,64 @@ def q_balance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 30)
         .select("label", "vec_id")
     )
+
+
+def _ivf_fixed_sql(n_seeds: int = 8, nprobe: int = 3, k: int = 3) -> str:
+    """Exact oracle for the IVF probe path with a fixed codebook: centroids
+    are the embeddings of vec_id < n_seeds (a pretrained-codebook stand-in),
+    so assignment, probing, and re-ranking are all plain SQL."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_seeds}),
+dist AS (
+  SELECT e.vec_id, e.v, s.cid,
+         list_sum(list_transform(list_zip(e.v, s.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM e CROSS JOIN seeds s
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist
+  ) WHERE rn <= {nprobe} AND vec_id < 10
+),
+cand AS (
+  SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v AS nv
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id != p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, nv) /
+               nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)), 0),
+               4) AS score
+  FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("ivf_knn_fixed", _ivf_fixed_sql())
+def q_ivf_knn_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search with a fixed codebook (centroids = embeddings of
+    vec_id < 8), exercising exactly the scale path of similarity/ann.ivf_knn
+    — map-stage assignment, broadcast probe join, exact re-rank — with a
+    fully SQL-expressible oracle. The k-means variant (ivf_knn) keeps the
+    learned quantizer; this one pins the distributed plumbing bit-for-bit."""
+    from datapipeline_spark.similarity.ann import ivf_knn
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    queries = e.filter(F.col("vec_id") < 10)
+    out = ivf_knn(e, queries, nprobe=3, k=3, centroids=seeds)
+    return out.withColumn("rank", F.col("rank").cast("long"))
