@@ -63,8 +63,12 @@ def attach_media_metadata(df: DataFrame) -> DataFrame:
 
 def _fake_decode(media_type: str, blob: bytes) -> dict:
     """Deterministic stand-in for a codec: derives plausible dimensions from
-    a content digest. Replace with PIL/torchaudio/ffmpeg in production."""
-    h = hashlib.sha256(blob or b"").digest()
+    a content digest. Replace with PIL/torchaudio/ffmpeg in production.
+
+    The digest hashes the blob's lowercase-hex string (not the raw bytes) so
+    the fake decode is reproducible in engines whose hash functions only
+    accept strings — which is what makes `media_features` oracle-checkable."""
+    h = hashlib.sha256((blob or b"").hex().encode()).digest()
     if media_type == "image":
         return {"width": 64 + h[0], "height": 64 + h[1], "n_frames": 1, "sample_rate": None}
     if media_type == "audio":
@@ -118,7 +122,7 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             feats = []
             for b in pdf["media"]:
-                h = hashlib.sha256(bytes(b) if b is not None else b"").digest()
+                h = hashlib.sha256((bytes(b) if b is not None else b"").hex().encode()).digest()
                 feats.append(np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype="<u4").astype("float32") / 2**32)
             yield pd.DataFrame({"media_id": pdf["media_id"].values, "feature": [f.tolist() for f in feats]})
 

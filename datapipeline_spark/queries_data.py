@@ -511,7 +511,43 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_features")  # Pandas-UDF decode path → rows-only check
+def _media_features_sql(n: int = 64, dim: int = 8, seed: int = 42) -> str:
+    """Exact oracle for the Arrow-batched decode path. The fake codec hashes
+    the blob's lowercase-hex string, and the blob itself is a repeated sha256
+    digest — so blob_hex = repeat(sha256('{seed}:{id}'), reps) and every
+    derived dimension/feature is plain string/arithmetic SQL. Feature j =
+    little-endian uint32 of digest bytes [4j..4j+4) / 2^32 as float32
+    (rounding commutes with the exact power-of-two scale)."""
+
+    def byte(k: int) -> str:  # k-th byte (0-based) of the hex digest d
+        return f"(('0x' || substr(d, {2 * k + 1}, 2))::BIGINT)"
+
+    feats = []
+    for j in range(dim):
+        b0, b1, b2, b3 = (byte(4 * j + i) for i in range(4))
+        feats.append(
+            f"(({b0} + 256 * {b1} + 65536 * {b2} + 16777216 * {b3}) / 4294967296.0)::FLOAT"
+        )
+    feature = "[" + ",\n         ".join(feats) + "]"
+    return f"""
+WITH m AS (
+  SELECT id AS media_id,
+         CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         sha256(repeat(sha256('{seed}:' || id), 4 + id % 7)) AS d
+  FROM range({n}) t(id)
+)
+SELECT media_id, media_type,
+       CASE media_type WHEN 'image' THEN (64 + {byte(0)})::INT
+                       WHEN 'video' THEN (128 + {byte(0)})::INT END AS width,
+       CASE media_type WHEN 'image' THEN 1
+                       WHEN 'audio' THEN (1000 + {byte(2)} * 4)::INT
+                       ELSE (24 + {byte(3)})::INT END AS n_frames,
+       {feature} AS feature
+FROM m
+"""
+
+
+@query("media_features", _media_features_sql())
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode + feature extraction over binary media
     (mapInPandas; deterministic fake codec — real codecs stub behind
