@@ -56,6 +56,9 @@ HEADLINE = [
     "balance_labels",
     "lsh_knn",
     "ivf_knn_fixed",
+    "corpus_pipeline",
+    "running_total",
+    "time_weighted_avg",
 ]
 
 

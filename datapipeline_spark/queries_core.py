@@ -966,3 +966,111 @@ def distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("user_id")).alias("unique_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "running_total",
+    """
+WITH {base},
+cents AS (
+  SELECT event_id, user_id, time, CAST(round(value * 100) AS BIGINT) AS v100
+  FROM base
+)
+SELECT event_id, user_id, time,
+       round(CAST(sum(v100) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0, 6) AS cum_sum,
+       floor(CAST(sum(v100) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             / count(*) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 + 0.5) / 1000000.0 AS cum_avg,
+       count(*) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+FROM cents
+""".format(base=EVENTS_BASE, w=W),
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum/avg/count per partition (absent in the reference —
+    SURVEY.md §2.7 covers only bounded trailing frames), one pass over the
+    canonical (partition, time) exchange every other window op shares.
+
+    Fixed-decimal inputs accumulate as scaled integers: a growing float
+    frame sums in engine-specific order (DuckDB uses a segment tree), so a
+    double cumsum is only reproducible to ~1 ulp — integer cents are exact
+    in any order, here and across partial aggregations at 100 TB."""
+    from pyspark.sql import Window
+
+    s = events_stream(spark, sf_dir)
+    v100 = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*ORDER)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(v100).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    return s.select(
+        "event_id",
+        "user_id",
+        "time",
+        F.round(cum / 100.0, 6).alias("cum_sum"),
+        # explicit half-up: round() tie-handling differs across engines on
+        # exact .5 decimals (BigDecimal-exact vs multiply-then-round); floor
+        # of identical doubles is identical everywhere
+        (F.floor(cum / 100.0 / n * 1e6 + 0.5) / 1e6).alias("cum_avg"),
+        n.alias("cum_n"),
+    )
+
+
+@query(
+    "time_weighted_avg",
+    """
+WITH {base},
+seg AS (
+  SELECT user_id, date_trunc('day', time) AS day,
+         CAST(round(value * 100) AS BIGINT) AS v100,
+         lead(epoch_us(time)) OVER ({w}) - epoch_us(time) AS dt_us
+  FROM base
+)
+SELECT user_id, day,
+       floor(CAST(sum(v100 * dt_us) AS DOUBLE) / CAST(sum(dt_us) AS DOUBLE) / 100.0 * 1000000 + 0.5) / 1000000.0 AS twa,
+       count(*) AS n_segments
+FROM seg WHERE dt_us IS NOT NULL AND dt_us > 0
+GROUP BY user_id, day
+""".format(base=EVENTS_BASE, w=W),
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (user, day) — the irregular-sampling
+    aggregate TimescaleDB-style hypertables ship natively; absent from the
+    reference, where `rolling mean` weights every tick equally. Each value
+    is weighted by its holding interval (time to next observation). One
+    window pass for lead(), then a hash aggregate — two shuffles total, both
+    on keys that scale with cardinality, not data volume.
+
+    Numerator/denominator accumulate as integers (cents × epoch-microsecond
+    intervals), so the aggregation is order-independent and exact across
+    engines and shuffle partial merges; floats appear only in the final
+    division. (At 100 TB/long horizons move the product to DECIMAL(38,0) —
+    int64 holds ~9e18, ample for daily segments at these magnitudes.)"""
+    from pyspark.sql import Window
+
+    s = events_stream(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(*ORDER)
+    seg = s.select(
+        "user_id",
+        F.date_trunc("day", F.col("time")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        (F.lead(F.unix_micros("time"), 1).over(w) - F.unix_micros("time")).alias("dt_us"),
+    )
+    return (
+        seg.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("user_id", "day")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("v100") * F.col("dt_us")).cast("double")
+                    / F.sum("dt_us").cast("double")
+                    / 100.0
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("twa"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+    )

@@ -7,12 +7,14 @@ Determinism notes:
   embedded into the oracle SQL from the same Python object;
 - cosine scores are computed in DOUBLE with sequential folds and rounded to
   4 dp in both engines before ranking/threshold.
-"Approximate" here means recall vs ground truth, not nondeterminism: the
-LSH candidate pipeline (`minhash_lsh_pairs`) and winnowing are deterministic
-and get exact SQL oracles. Only `lsh_knn`/`ivf_knn` (top-k under bucketing /
-k-means, where Spark-side float ordering is engine-specific) and the fake
-media codec stay rows-only; their exact counterparts (`ngram_jaccard_pairs`,
-`knn_cosine`) are the oracle-verified ground truth.
+"Approximate" here means recall vs ground truth, not nondeterminism: every
+deterministic pipeline — LSH candidates (`minhash_lsh_pairs`), winnowing,
+sign-LSH kNN (`lsh_knn`, hyperplane literals embedded in the SQL),
+fixed-codebook IVF (`ivf_knn_fixed`), and the fake-codec media decode
+(`media_features`) — gets an exact SQL oracle. The sole rows-only check is
+`ivf_knn`, whose learned k-means quantizer is not SQL-expressible; exact
+counterparts (`ngram_jaccard_pairs`, `knn_cosine`, `ivf_knn_fixed`) are the
+oracle-verified ground truth.
 """
 
 from __future__ import annotations
@@ -794,3 +796,57 @@ def q_ivf_knn_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 10)
     out = ivf_knn(e, queries, nprobe=3, k=3, centroids=seeds)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "corpus_pipeline",
+    """
+WITH d AS (SELECT doc_id, text, {words} AS w FROM documents),
+q AS (
+  SELECT doc_id, text,
+         round(0.3 * least(len(w) / 100.0, 1.0)
+             + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
+             + 0.4 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)), 6) AS quality
+  FROM d
+),
+kept AS (SELECT doc_id, text, quality FROM q WHERE quality >= 0.62),
+ded AS (
+  SELECT doc_id, quality FROM (
+    SELECT doc_id, quality,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+hashed AS (
+  SELECT doc_id, quality, {h} AS hs FROM ded
+),
+sampled AS (SELECT doc_id, quality, hs FROM hashed WHERE hs % 100 < 50)
+SELECT row_number() OVER (ORDER BY hs, doc_id) AS pos, doc_id, quality
+FROM sampled
+""".format(words=WORDS, h=_SHA_SQL.format(prefix="11|", col="doc_id")),
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus preparation chain as ONE lazy plan: quality
+    score (JVM expressions) → threshold filter → exact dedup (first doc per
+    content fingerprint, WindowGroupLimit) → reproducible 50% hash sample
+    (pure map) → stable global training order (range-partitioned sort on the
+    seeded hash). Catalyst fuses the score+filter+hash stages into the scan
+    projection; the only shuffles are the dedup exchange and the final sort
+    — shuffle keys scale with content cardinality, never with corpus bytes."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = quality_score(d).select("doc_id", "text", "quality")
+    kept = scored.filter(F.col("quality") >= 0.62)
+    wd = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    ded = (
+        kept.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality")
+    )
+    hashed = ded.withColumn("hs", _sha_long("11|", F.col("doc_id")))
+    sampled = hashed.filter(F.col("hs") % 100 < 50)
+    wo = Window.orderBy("hs", "doc_id")
+    return sampled.select(
+        F.row_number().over(wo).cast("long").alias("pos"), "doc_id", "quality"
+    )

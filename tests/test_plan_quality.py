@@ -111,3 +111,14 @@ def test_sampling_plans(spark):
     # reproducible shuffle = one global sort (range partition at scale)
     plan = _plan(q_corpus_shuffle(spark, SF))
     assert "Sort" in plan
+
+
+def test_corpus_pipeline_plan(spark):
+    from datapipeline_spark.queries_data import q_corpus_pipeline
+
+    plan = _plan(q_corpus_pipeline(spark, SF))
+    # dedup keeps one row per content fingerprint below the exchange
+    assert "WindowGroupLimit" in plan
+    # score + threshold + hash-sample fuse into the scan-side projection:
+    # only the dedup exchange and the final order sort shuffle data
+    assert _shuffles(plan) <= 2
