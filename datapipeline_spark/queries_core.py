@@ -3,10 +3,23 @@
 Each entry demonstrates one operator from SURVEY.md §2 on the driver test
 tables, with an ANSI-SQL oracle producing identical column names and values.
 
-Conventions for cross-engine determinism:
+Conventions for cross-engine determinism (validated by running the full
+checker at 10x the driver's scale, sf0.1, where tie/accumulation hazards are
+10x more exposed):
 - window order is always a TOTAL order: (time, event_id) within user_id;
 - derived floats are rounded (6 dp; money 2 dp) IN BOTH ENGINES so that
   last-ulp differences in aggregate accumulation order cannot flip a hash;
+- long accumulations over fixed-decimal inputs (cumulative frames, means fed
+  into further arithmetic) sum SCALED INTEGERS (cents / epoch-microseconds):
+  integer sums are exact in any order and across partial-aggregate merges,
+  where a double sum is engine-order-dependent (DuckDB running windows use a
+  segment tree);
+- ratios whose exact decimal can land on a .5 tie round via
+  floor(x*1e6 + 0.5)/1e6 in both engines: engine round() tie-handling
+  differs (Spark rounds the exact BigDecimal of the double, DuckDB
+  multiplies then std::round) but floor of identical doubles is identical;
+- partial functions (ln, log1p) are null-guarded identically on both sides —
+  Spark returns null out of domain, DuckDB raises;
 - values moved without arithmetic (lag/lead/min/max/fill) stay unrounded —
   they are bit-identical by construction;
 - events have no nulls, so `value_n` (null where event_type='error') is the
@@ -501,8 +514,8 @@ def fill_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {base}
 SELECT event_id,
        round(value * 2 + 1, 6)              AS derived,
-       round(ln(value), 6)                  AS log_value,
-       round(ln(1 + value_n), 6)            AS log1p_value,
+       CASE WHEN value > 0    THEN round(ln(value), 6)       END AS log_value,
+       CASE WHEN value_n > -1 THEN round(ln(1 + value_n), 6) END AS log1p_value,
        round(value / nullif(value_n, 0), 6) AS ratio
 FROM base
 """.format(base=EVENTS_BASE),
@@ -605,18 +618,32 @@ def align_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH {hourly},
 g_avg AS (
-  SELECT time, round(avg(value), 6) AS g_mean FROM hourly GROUP BY time
+  SELECT time,
+         floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               / count(*) * 1000000 + 0.5) / 1000000.0 AS g_mean
+  FROM hourly GROUP BY time
 )
-SELECT h.user_id, h.time, round(h.value - g.g_mean, 6) AS centered
+SELECT h.user_id, h.time,
+       floor((h.value - g.g_mean) * 1000000 + 0.5) / 1000000.0 AS centered
 FROM hourly h JOIN g_avg g ON h.time = g.time
 """.format(hourly=HOURLY_BASE),
 )
 def broadcast_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global hourly centering via broadcast_stream. The global mean
+    accumulates fixed-decimal values as integer cents (order-independent,
+    exact across partial-aggregate merges) and rounds via
+    floor(x*1e6+0.5)/1e6 so both engines agree on exact-tie decimals."""
     h = hourly_stream(spark, sf_dir)
-    glob = h.groupBy("time").agg(F.round(F.avg("value"), 6).alias("g_mean"))
+    v100 = F.round(F.col("value") * 100).cast("long")
+    g_mean = (
+        F.floor(F.sum(v100).cast("double") / 100.0 / F.count(F.lit(1)) * 1e6 + 0.5) / 1e6
+    )
+    glob = h.groupBy("time").agg(g_mean.alias("g_mean"))
     joined = ops.broadcast_stream(h, glob, time_field="time", prefix="g_", strict=True)
     return joined.select(
-        "user_id", "time", F.round(F.col("value") - F.col("g_g_mean"), 6).alias("centered")
+        "user_id",
+        "time",
+        (F.floor((F.col("value") - F.col("g_g_mean")) * 1e6 + 0.5) / 1e6).alias("centered"),
     )
 
 
