@@ -473,13 +473,72 @@ class _ProfileBase(_Strict):
         return value
 
 
+class LogOutputSpec(_Strict):
+    """Reference config/observability.py:LogOutputConfig."""
+
+    transport: Literal["STDERR", "STDOUT", "FS"] = "STDERR"
+    scope: Literal["GLOBAL", "EXECUTION"] = "GLOBAL"
+    path: NonEmpty | None = None
+
+    @field_validator("transport", "scope", mode="before")
+    @classmethod
+    def _upper(cls, value: object) -> object:
+        return value.strip().upper() if isinstance(value, str) else value
+
+    @model_validator(mode="after")
+    def _fs_needs_path(self) -> "LogOutputSpec":
+        if self.transport == "FS" and self.path is None:
+            raise ValueError("FS log outputs require a path")
+        return self
+
+
+class LoggingSpec(_Strict):
+    level: Literal["CRITICAL", "ERROR", "WARNING", "INFO", "DEBUG"] = "WARNING"
+    outputs: list[LogOutputSpec] = Field(default_factory=list)
+
+    @field_validator("level", mode="before")
+    @classmethod
+    def _upper(cls, value: object) -> object:
+        return value.strip().upper() if isinstance(value, str) else value
+
+
+class ObservabilitySpec(_Strict):
+    """Reference config/observability.py:ObservabilityConfig. Validated for
+    grammar parity; Spark supplies the runtime equivalents (event log / UI /
+    log4j), so `visuals` and `heartbeat_interval_seconds` are accepted
+    policy, and `logging.level` is applied to the SparkContext."""
+
+    visuals: Literal["ON", "OFF"] = "OFF"
+    heartbeat_interval_seconds: Annotated[float, Field(ge=0)] = 0
+    logging: LoggingSpec | None = None
+
+    @field_validator("visuals", mode="before")
+    @classmethod
+    def _normalize_visuals(cls, value: object) -> object:
+        if value is False:  # YAML 1.1 bare OFF
+            return "OFF"
+        if value is True:
+            return "ON"
+        return value.strip().upper() if isinstance(value, str) else value
+
+
 class ServeProfileConfig(_ProfileBase):
     cmd: Literal["serve"] = "serve"
     operation: Literal["dataset"] = "dataset"
     output: OutputSpec = Field(default_factory=OutputSpec)
+    artifact_mode: Literal["AUTO", "FORCE", "OFF"] | None = None
+    observability: ObservabilitySpec | None = None
     include_outputs: list[NonEmpty] | None = Field(default=None, min_length=1)
     limit: Annotated[int, Field(ge=1)] | None = None
     preview: Literal["samples", "postprocess"] | None = None
+    throttle_ms: Annotated[float, Field(ge=0)] | None = None
+
+    @field_validator("artifact_mode", mode="before")
+    @classmethod
+    def _normalize_artifact_mode(cls, value: object) -> object:
+        if value is False:  # YAML 1.1 parses bare OFF as boolean false
+            return "OFF"
+        return value.strip().upper() if isinstance(value, str) else value
 
     @field_validator("include_outputs")
     @classmethod

@@ -189,6 +189,17 @@ def _run_serve(
     results: list[ProfileResult] = []
     for p in profs:
         key = f"serve.{p.name}"
+        if p.observability and p.observability.logging:
+            # Python logging names (reference grammar) → log4j levels
+            log4j = {"CRITICAL": "FATAL", "WARNING": "WARN"}
+            level = p.observability.logging.level
+            compiled.spark.sparkContext.setLogLevel(log4j.get(level, level))
+        if p.artifact_mode in ("AUTO", "FORCE"):
+            # reference orchestration.py:60-91 — serve hydrates the artifact
+            # DAG before serving (AUTO = fingerprint skip, FORCE = rebuild)
+            from datapipeline_spark.plans.artifacts import build_artifacts
+
+            build_artifacts(compiled, force=(p.artifact_mode == "FORCE"))
         for output_id, df in _serve_frames(compiled, p, build).items():
             if p.limit:
                 df = df.limit(p.limit)
