@@ -59,6 +59,8 @@ HEADLINE = [
     "corpus_pipeline",
     "running_total",
     "time_weighted_avg",
+    "clean_text",
+    "top_terms",
 ]
 
 

@@ -850,3 +850,101 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select(
         F.row_number().over(wo).cast("long").alias("pos"), "doc_id", "quality"
     )
+
+
+_DECOR_SUFFIX_SQL = (
+    "'</p> <br/> contact user' || doc_id || '@corp-mail.example "
+    "(tel 555-123-4567) see https://docs.example/page/' || doc_id || "
+    "'?ref=x &amp; &lt;raw&gt;'"
+)
+
+
+@query(
+    "clean_text",
+    r"""
+WITH raw AS (
+  SELECT doc_id,
+         '<p id="' || doc_id || '">' || text || """
+    + _DECOR_SUFFIX_SQL
+    + r""" AS t
+  FROM documents),
+stripped AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM raw),
+masked AS (SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      'https?://[^\s]+', '<URL>', 'g'),
+      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t FROM stripped),
+unescaped AS (SELECT doc_id,
+  replace(replace(replace(replace(replace(replace(t,
+    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+    '&amp;', '&') AS t
+  FROM masked),
+clean AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean
+          FROM unescaped)
+SELECT doc_id, text_clean, length(text_clean)::BIGINT AS n_chars_clean
+FROM clean
+""",
+)
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning (text/clean.py): strip HTML -> mask PII -> unescape
+    entities -> normalize whitespace, all as one fused JVM projection. The
+    synthetic documents carry no markup, so the query first decorates each
+    doc with deterministic tags/email/URL/phone/entities (the SAME
+    concatenation expression in both engines) so every cleaning stage is
+    actually exercised by the oracle."""
+    from datapipeline_spark.text import clean_text_col
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit('<p id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.col("text"),
+        F.lit("</p> <br/> contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@corp-mail.example (tel 555-123-4567) see https://docs.example/page/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=x &amp; &lt;raw&gt;"),
+    )
+    cleaned = clean_text_col(raw)
+    return d.select(
+        "doc_id",
+        cleaned.alias("text_clean"),
+        F.length(cleaned).cast("long").alias("n_chars_clean"),
+    )
+
+
+@query(
+    "top_terms",
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents)
+SELECT term,
+       count(*)::BIGINT              AS tf,
+       count(DISTINCT doc_id)::BIGINT AS df_docs
+FROM toks
+WHERE term <> ''
+GROUP BY term
+ORDER BY tf DESC, term ASC
+LIMIT 20
+""",
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term frequency + document frequency, top-20 by tf with a
+    total (tf DESC, term ASC) order. Scale shape: explode is a map stage;
+    the groupBy gets map-side partial aggregation (term cardinality, not
+    corpus bytes, crosses the wire); top-20 is TakeOrderedAndProject — no
+    global sort materialization."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.countDistinct("doc_id").cast("long").alias("df_docs"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(20)
+    )

@@ -254,3 +254,33 @@ def test_dedup_representatives(spark):
     kept = sorted(r["doc_id"] for r in dedup_representatives(docs, pairs).collect())
     # component {0,1,2} -> keep 0; {4,5} -> keep 4; unpaired 3 kept
     assert kept == [0, 3, 4]
+
+
+def test_clean_text_stages(spark):
+    from datapipeline_spark.text import clean_text
+
+    df = spark.createDataFrame(
+        [
+            (1, '<p class="x">Hello &amp; welcome</p>'),
+            (2, "mail me at bob.smith+spam@corp-mail.example today"),
+            (3, "docs at https://ex.example/a?b=1 or call 555-123-4567 now"),
+            (4, "  spaced\t\tout\n\nlines  "),
+            (5, "&lt;script&gt; stays literal"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text_clean"] for r in clean_text(df).collect()}
+    assert got[1] == "Hello & welcome"
+    assert got[2] == "mail me at <EMAIL> today"
+    assert got[3] == "docs at <URL> or call <PHONE> now"
+    assert got[4] == "spaced out lines"
+    # strip-then-unescape: escaped markup becomes literal text, not a tag
+    assert got[5] == "<script> stays literal"
+
+
+def test_clean_text_is_map_only(spark):
+    from datapipeline_spark.text import clean_text
+
+    df = spark.createDataFrame([(1, "<b>x</b>")], "doc_id long, text string")
+    plan = clean_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection: no shuffle at any scale
