@@ -948,3 +948,54 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("term"))
         .limit(20)
     )
+
+
+@query(
+    "tfidf_top_terms",
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+t AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term),
+d AS (SELECT term, count(*)::BIGINT AS df_docs FROM t GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents),
+s AS (SELECT t.doc_id, t.term, t.tf,
+             round(t.tf * ln(n.n_docs / d.df_docs), 6) AS tfidf
+      FROM t JOIN d USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn FROM s)
+SELECT doc_id, term, tf, tfidf FROM r WHERE rn <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf (idf = ln(N/df), smoothing-free).
+    Scale shape: one shuffle builds per-(doc,term) counts; the vocabulary
+    table (term -> df) is tiny relative to the corpus and is BROADCAST back,
+    so the idf join moves no corpus-sized data; N arrives via a broadcast
+    1-row cross join; the per-doc top-3 is a rank-filtered window
+    (WindowGroupLimit pushes the k=3 cut below the sort at scale).
+    Determinism: tfidf rounded to 6dp in DOUBLE in both engines before
+    ranking, ties broken by term ASC — a total order per document."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    t = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    d = t.groupBy("term").agg(F.count("*").cast("long").alias("df_docs"))
+    n = docs.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    s = (
+        t.join(F.broadcast(d), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
