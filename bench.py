@@ -61,6 +61,9 @@ HEADLINE = [
     "time_weighted_avg",
     "clean_text",
     "top_terms",
+    "tfidf_top_terms",
+    "chunk_documents",
+    "contamination_check",
 ]
 
 

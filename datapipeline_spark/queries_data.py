@@ -79,6 +79,21 @@ sh AS (
 )
 """.format(words=WORDS)
 
+# 8-gram variant of BIGRAMS for contamination_check: verbatim 8-word spans.
+OCTOGRAMS = """
+d AS (SELECT doc_id, {words} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, {gram} AS s
+    FROM d CROSS JOIN generate_series(1, 1000) g(i)
+    WHERE g.i + 7 <= len(w)
+  )
+)
+""".format(
+    words=WORDS,
+    gram=" || ' ' || ".join(f"w[g.i + {j}]" for j in range(8)),
+)
+
 
 # ------------------------------------------------------------- text analysis
 
@@ -998,4 +1013,73 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
+@query(
+    "chunk_documents",
+    """
+WITH d AS (SELECT doc_id, {words} AS w FROM documents),
+c AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, greatest(len(w), 1), 48)) AS start
+  FROM d)
+SELECT doc_id,
+       ((start - 1) // 48)::BIGINT AS chunk_idx,
+       array_to_string(list_slice(w, start, start + 63), ' ') AS chunk_text,
+       len(list_slice(w, start, start + 63))::BIGINT AS n_tokens
+FROM c
+""".format(words=WORDS),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM context-window chunking: 64-token windows advancing by 48 (16
+    tokens of overlap), one row per chunk (text/chunk.py contract). Scale
+    shape: pure narrow map — split/sequence/explode/slice fuse into one
+    whole-stage-codegen projection beside the scan; no shuffle, no Python,
+    and chunk rows stay on their document's input partition at 100 TB."""
+    from datapipeline_spark.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), size=64, stride=48
+    )
+
+
+@query(
+    "contamination_check",
+    """
+WITH {sh},
+bench AS (SELECT doc_id, s FROM sh WHERE {h} % 100 < 10),
+train AS (SELECT doc_id, s FROM sh WHERE {h} % 100 >= 10),
+hits AS (
+  SELECT t.doc_id AS doc_id, t.s AS s, b.doc_id AS bench_id
+  FROM train t JOIN bench b ON t.s = b.s)
+SELECT doc_id,
+       count(DISTINCT s)::BIGINT        AS n_shared_ngrams,
+       count(DISTINCT bench_id)::BIGINT AS n_bench_docs
+FROM hits
+GROUP BY doc_id
+""".format(sh=OCTOGRAMS, h=_SHA_SQL.format(prefix="21|", col="doc_id")),
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents sharing a
+    verbatim 8-word span with a held-out benchmark split (deterministic 10%
+    hash split of the corpus, same sha256 arithmetic as corpus_sample).
+    Reports, per contaminated train doc, how many distinct 8-grams leak and
+    how many benchmark docs are hit. Scale shape: shingling is a narrow
+    explode; the equality join runs on the shingle key with map-side
+    distinct pruning duplicates first — in production the benchmark side is
+    a small curated eval set, so Spark's AQE broadcasts it and the check
+    becomes shuffle-free over the 100 TB train side."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=8)
+    is_bench = _sha_long("21|", F.col("doc_id")) % 100 < 10
+    bench = sh.filter(is_bench).withColumnRenamed("doc_id", "bench_id")
+    train = sh.filter(~is_bench)
+    return (
+        train.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").cast("long").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
+        )
     )

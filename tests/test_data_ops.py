@@ -284,3 +284,38 @@ def test_clean_text_is_map_only(spark):
     df = spark.createDataFrame([(1, "<b>x</b>")], "doc_id long, text string")
     plan = clean_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection: no shuffle at any scale
+
+
+class TestChunkDocuments:
+    def test_overlap_and_tail(self, spark):
+        from datapipeline_spark.text import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(1, 11))  # 10 tokens
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        rows = {
+            r["chunk_idx"]: r
+            for r in chunk_documents(df, size=4, stride=3).collect()
+        }
+        # starts 1,4,7,10 -> 4 chunks; last two are tails
+        assert sorted(rows) == [0, 1, 2, 3]
+        assert rows[0]["chunk_text"] == "w1 w2 w3 w4"
+        assert rows[1]["chunk_text"] == "w4 w5 w6 w7"  # 1-token overlap
+        assert rows[2]["chunk_text"] == "w7 w8 w9 w10"
+        assert rows[3]["chunk_text"] == "w10"
+        assert [rows[i]["n_tokens"] for i in range(4)] == [4, 4, 4, 1]
+
+    def test_short_doc_single_chunk(self, spark):
+        from datapipeline_spark.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        out = chunk_documents(df, size=64, stride=48).collect()
+        assert len(out) == 1
+        assert out[0]["chunk_text"] == "a b"
+        assert out[0]["n_tokens"] == 2
+
+    def test_rejects_bad_params(self, spark):
+        from datapipeline_spark.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            chunk_documents(df, size=0, stride=3)
