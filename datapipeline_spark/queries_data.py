@@ -1048,17 +1048,22 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination_check",
     """
 WITH {sh},
-bench AS (SELECT doc_id, s FROM sh WHERE {h} % 100 < 10),
-train AS (SELECT doc_id, s FROM sh WHERE {h} % 100 >= 10),
+hsh AS (SELECT doc_id, {h48} AS h FROM sh),
+bench AS (SELECT doc_id, h FROM hsh WHERE {split} % 100 < 10),
+train AS (SELECT doc_id, h FROM hsh WHERE {split} % 100 >= 10),
 hits AS (
-  SELECT t.doc_id AS doc_id, t.s AS s, b.doc_id AS bench_id
-  FROM train t JOIN bench b ON t.s = b.s)
+  SELECT t.doc_id AS doc_id, t.h AS h, b.doc_id AS bench_id
+  FROM train t JOIN bench b ON t.h = b.h)
 SELECT doc_id,
-       count(DISTINCT s)::BIGINT        AS n_shared_ngrams,
+       count(DISTINCT h)::BIGINT        AS n_shared_ngrams,
        count(DISTINCT bench_id)::BIGINT AS n_bench_docs
 FROM hits
 GROUP BY doc_id
-""".format(sh=OCTOGRAMS, h=_SHA_SQL.format(prefix="21|", col="doc_id")),
+""".format(
+        sh=OCTOGRAMS,
+        h48=H48.format(col="s"),
+        split=_SHA_SQL.format(prefix="21|", col="doc_id"),
+    ),
 )
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection: flag training documents sharing a
@@ -1066,20 +1071,26 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash split of the corpus, same sha256 arithmetic as corpus_sample).
     Reports, per contaminated train doc, how many distinct 8-grams leak and
     how many benchmark docs are hit. Scale shape: shingling is a narrow
-    explode; the equality join runs on the shingle key with map-side
-    distinct pruning duplicates first — in production the benchmark side is
-    a small curated eval set, so Spark's AQE broadcasts it and the check
-    becomes shuffle-free over the 100 TB train side."""
+    explode and 8-grams immediately collapse to 48-bit md5 integers (same
+    hash both engines), so the join/shuffle key is 8 bytes instead of a
+    ~50-byte string and per-doc distinct pruning happens map-side; in
+    production the benchmark side is a small curated eval set, so Spark's
+    AQE broadcasts it and the check becomes shuffle-free over the 100 TB
+    train side."""
+    from datapipeline_spark.dedup.minhash import hash48
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=8)
+    sh = word_shingles(docs, "doc_id", "text", n=8).select(
+        "doc_id", hash48(F.col("shingle")).alias("h")
+    )
     is_bench = _sha_long("21|", F.col("doc_id")) % 100 < 10
     bench = sh.filter(is_bench).withColumnRenamed("doc_id", "bench_id")
     train = sh.filter(~is_bench)
     return (
-        train.join(bench, "shingle")
+        train.join(bench, "h")
         .groupBy("doc_id")
         .agg(
-            F.countDistinct("shingle").cast("long").alias("n_shared_ngrams"),
+            F.countDistinct("h").cast("long").alias("n_shared_ngrams"),
             F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
         )
     )
