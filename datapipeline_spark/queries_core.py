@@ -279,6 +279,148 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.intersect(buys).subtract(errs)
 
 
+@query(
+    "q5_regional_revenue",
+    """
+SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join with a correlated nation condition
+    (customer and supplier must share a nation). The dim chain
+    region→nation→supplier is broadcast onto lineitem map-side (no fact
+    shuffle); lineitem⋈orders is the one planner-decided fact join; customer
+    is broadcast last with BOTH equi-conditions (custkey + nationkey) so the
+    cross-nation pairs never materialize."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1997, 1, 1)))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        l.join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(cu),
+            (o.o_custkey == cu.c_custkey) & (F.col("s_nationkey") == cu.c_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 2) AS total, round(big.total_qty, 2) AS total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join. The HAVING filter runs on the
+    partially-aggregated lineitem BEFORE any join, so only the ~1% of
+    orderkeys that qualify ever reach the join — at 100 TB the join input is
+    the filtered aggregate, not the fact table. Customer is broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total"),
+            F.round("qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "semi_join_customers",
+    """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+)
+""",
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (SURVEY.md §2.5 'semi/anti … available if needed'):
+    customers with at least one high-value order. Semi joins emit each left
+    row at most once and never widen the schema — the shuffle carries only
+    the filtered orders keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "anti_join_customers",
+    """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
+""",
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no order since 2001 (churn-style
+    NOT EXISTS). The date filter is pushed to the orders scan, so the anti
+    join probes only the recent slice."""
+    c = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(datetime(2001, 1, 1))
+    )
+    return c.join(recent, c.c_custkey == recent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
 # --------------------------------------------------- preprocess / projections
 
 

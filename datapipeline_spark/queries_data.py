@@ -46,6 +46,7 @@ from datapipeline_spark.text import (
     bpe_token_count,
     lang_scores,
     quality_score,
+    repetition_signals,
     text_stats,
 )
 from datapipeline_spark.text.analysis import winnow_fingerprints
@@ -179,6 +180,126 @@ FROM d
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return quality_score(d).select("doc_id", "quality")
+
+
+@query(
+    "repetition_signals",
+    """
+WITH d AS (SELECT doc_id, {words} AS w FROM documents),
+uni AS (SELECT doc_id, unnest(w) AS g FROM d),
+uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+ua AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_word_frac FROM uc GROUP BY doc_id),
+bi AS (SELECT doc_id, w[t.i] || ' ' || w[t.i + 1] AS g
+       FROM d CROSS JOIN generate_series(1, 1000) t(i) WHERE t.i < len(w)),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+ba AS (SELECT doc_id,
+              round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac,
+              round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dup_bigram_frac
+       FROM bc GROUP BY doc_id),
+tri AS (SELECT doc_id, w[t.i] || ' ' || w[t.i + 1] || ' ' || w[t.i + 2] AS g
+        FROM d CROSS JOIN generate_series(1, 1000) t(i) WHERE t.i + 2 <= len(w)),
+tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+ta AS (SELECT doc_id,
+              round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dup_trigram_frac
+       FROM tc GROUP BY doc_id)
+SELECT ua.doc_id, top_word_frac, top_bigram_frac, dup_bigram_frac, dup_trigram_frac
+FROM ua JOIN ba USING (doc_id) JOIN ta USING (doc_id)
+""".format(words=WORDS),
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (text/analysis.py
+    repetition_signals): top-word/top-bigram mass and duplicate
+    bigram/trigram instance fractions per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_signals(d)
+
+
+#: The quality expression of q_quality, reused by the band filter oracle.
+QUALITY_D = """
+d AS (
+  SELECT doc_id,
+         round(0.3 * least(len({words}) / 100.0, 1.0)
+             + 0.3 * (len(list_distinct({words})) * 1.0 / len({words}))
+             + 0.4 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)), 6) AS quality
+  FROM documents
+)
+""".format(words=WORDS)
+
+
+@query(
+    "quality_band_filter",
+    """
+WITH {quality_d},
+h AS (SELECT quality, count(*) AS c FROM d GROUP BY quality),
+cum AS (SELECT quality, sum(c) OVER (ORDER BY quality) AS cum FROM h),
+tot AS (SELECT count(*) AS n FROM d),
+lo AS (SELECT min(quality) AS lo FROM cum, tot WHERE 10 * cum >= n),
+hi AS (SELECT min(quality) AS hi FROM cum, tot WHERE 10 * cum >= 9 * n)
+SELECT d.doc_id, d.quality FROM d, lo, hi
+WHERE d.quality >= lo.lo AND d.quality <= hi.hi
+""".format(quality_d=QUALITY_D),
+)
+def q_quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level distribution trim: keep documents inside the inclusive
+    [p10, p90] quality band. Exact percentiles computed the scale-safe way:
+    a groupBy(quality) histogram (≤1e6 rows at 6-dp rounding, regardless of
+    corpus size) + a cumulative window over that tiny histogram, thresholds
+    as pure integer comparisons (10*cum >= n) so there is no float
+    interpolation to diverge between engines. The thresholds are broadcast
+    back onto the full corpus — the 100 TB plan is scan → tiny agg →
+    broadcast filter, never a global sort of the data."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_score(d).select("doc_id", "quality")
+    hist = q.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("quality").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = q.agg(F.count(F.lit(1)).alias("n"))
+    b = cum.crossJoin(F.broadcast(tot))
+    lo = b.filter(10 * F.col("cum") >= F.col("n")).agg(F.min("quality").alias("lo"))
+    hi = b.filter(10 * F.col("cum") >= 9 * F.col("n")).agg(F.min("quality").alias("hi"))
+    return (
+        q.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .filter((F.col("quality") >= F.col("lo")) & (F.col("quality") <= F.col("hi")))
+        .select("doc_id", "quality")
+    )
+
+
+@query(
+    "source_stats",
+    """
+WITH d AS (SELECT source, text, {words} AS w FROM documents)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT md5(text))::BIGINT AS n_unique,
+       round(1 - count(DISTINCT md5(text)) * 1.0 / count(*), 6) AS dup_rate,
+       sum(len(w))::BIGINT AS total_tokens,
+       round(sum(length(text)) * 1.0 / count(*), 6) AS mean_chars
+FROM d GROUP BY source
+""".format(words=WORDS),
+)
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: volume, exact-dup rate (distinct
+    content hash vs doc count), token mass, mean length. One hash-aggregate
+    over the corpus; countDistinct of the md5 runs as a two-phase partial
+    aggregate, so the shuffle carries (source, hash) pairs, not text."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.count(F.lit(1))
+    uniq = F.countDistinct(F.md5("text"))
+    return d.groupBy("source").agg(
+        n.alias("n_docs"),
+        uniq.alias("n_unique"),
+        F.round(1 - uniq / n, 6).alias("dup_rate"),
+        F.sum(F.size(words)).cast("long").alias("total_tokens"),
+        F.round(F.sum(F.length("text")) / n, 6).alias("mean_chars"),
+    )
 
 
 # --------------------------------------------------------------------- dedup

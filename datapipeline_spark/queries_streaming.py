@@ -34,14 +34,15 @@ def query(name: str, sql: str | None = None):
 def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     """Stage the (timestamp-converted) events table once as a single parquet
     file so the file streaming source sees exactly one deterministic batch.
-    Cache key covers the source file stats, so regenerated driver data
-    invalidates the staging."""
+    Cache key covers the source file stats plus a staging-format version
+    (v2 = timestamps normalized to session-UTC LTZ in load_table), so
+    regenerated driver data or a conversion change invalidates the staging."""
     src = os.path.join(sf_dir, "events.parquet")
     try:
         st = os.stat(src)
-        stamp = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+        stamp = f"v2|{src}|{st.st_size}|{st.st_mtime_ns}"
     except OSError:
-        stamp = src
+        stamp = f"v2|{src}"
     key = hashlib.sha256(stamp.encode()).hexdigest()[:12]
     staging = f"/tmp/spark_graft_stream_{key}"
     marker = os.path.join(staging, "_SUCCESS")

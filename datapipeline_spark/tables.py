@@ -45,14 +45,19 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table.
 
-    The driver's testdata stores timestamps as TIMESTAMP(NANOS), which
-    Spark's parquet reader rejects unless `nanosAsLong` is on; those columns
-    then arrive as epoch-nano longs and are converted to proper timestamps
-    (micros, same truncation DuckDB applies when it casts nanos to its native
-    micros timestamps).
+    The driver's testdata has stored timestamps two ways across
+    regenerations; both normalize to session-UTC TIMESTAMP (LTZ) here:
+    - TIMESTAMP(NANOS): rejected by Spark's parquet reader unless
+      `nanosAsLong` is on; arrives as epoch-nano longs, converted to micros
+      (same truncation DuckDB applies casting nanos to its native micros).
+    - timestamp[us] with isAdjustedToUTC=false: read as TIMESTAMP_NTZ, cast
+      to TIMESTAMP (the session tz is UTC, so wall-clock values are
+      preserved and match DuckDB's naive-timestamp comparisons). Streaming
+      event time / watermarks require TIMESTAMP, not NTZ.
     """
     from datapipeline_spark.session import apply_runtime_conf
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType
 
     apply_runtime_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -61,6 +66,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _nanos_timestamp_columns(path):
         # integer DIV — float division loses precision on epoch-nano magnitudes
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for col in ntz:
+        df = df.withColumn(col, F.col(col).cast(TimestampType()))
     return df
 
 

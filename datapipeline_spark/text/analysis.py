@@ -100,6 +100,51 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality", F.round(q, 6))
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1 filters): fraction of tokens taken
+    by the most frequent word / bigram, and the fraction of bigram/trigram
+    instances that are repeats. High values flag boilerplate and degenerate
+    machine-generated text.
+
+    Shape at scale: one explode + groupBy((id, gram)) per n-gram order —
+    shuffles are keyed by (doc, gram) so they spread evenly; the per-doc
+    reduction is a tiny second aggregate. No Python in the path.
+    """
+    w = _words(text_col)
+    d = df.select(id_col, w.alias("w"))
+
+    def gram_counts(n: int):
+        if n == 1:
+            g = F.col("w")
+        else:
+            # guard: sequence(1, size-k) reverses when size <= k
+            g = F.when(
+                F.size("w") >= n,
+                F.expr(
+                    f"transform(sequence(1, size(w) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {n})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        return (
+            d.select(id_col, F.explode(g).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(id_col)
+        )
+
+    dup = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+    uni = gram_counts(1).agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"))
+    bi = gram_counts(2).agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+        F.round(dup / F.sum("c"), 6).alias("dup_bigram_frac"),
+    )
+    tri = gram_counts(3).agg(F.round(dup / F.sum("c"), 6).alias("dup_trigram_frac"))
+    return uni.join(bi, id_col).join(tri, id_col)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -319,3 +319,34 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             chunk_documents(df, size=0, stride=3)
+
+
+class TestRepetitionSignals:
+    def test_hand_computed(self, spark):
+        from datapipeline_spark.text import repetition_signals
+
+        # doc 1: "a a a b" -> words: a=3, b=1 -> top_word = 3/4
+        # bigrams: "a a"(2), "a b"(1) -> top = 2/3, dup = 2/3
+        # trigrams: "a a a"(1), "a a b"(1) -> dup = 0
+        # doc 2: "x y x y x y" -> top_word 3/6; bigrams "x y"(3),"y x"(2)
+        #   -> top 3/5, dup 5/5; trigrams "x y x"(2),"y x y"(2) -> dup 4/4
+        df = spark.createDataFrame(
+            [(1, "a a a b"), (2, "x y x y x y")], ["doc_id", "text"]
+        )
+        rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+        assert rows[1]["top_word_frac"] == 0.75
+        assert rows[1]["top_bigram_frac"] == round(2 / 3, 6)
+        assert rows[1]["dup_bigram_frac"] == round(2 / 3, 6)
+        assert rows[1]["dup_trigram_frac"] == 0.0
+        assert rows[2]["top_word_frac"] == 0.5
+        assert rows[2]["top_bigram_frac"] == 0.6
+        assert rows[2]["dup_bigram_frac"] == 1.0
+        assert rows[2]["dup_trigram_frac"] == 1.0
+
+    def test_short_doc_drops_out(self, spark):
+        from datapipeline_spark.text import repetition_signals
+
+        # a 2-token doc has no trigrams -> excluded from the joined output
+        df = spark.createDataFrame([(1, "a b"), (2, "a b c")], ["doc_id", "text"])
+        out = repetition_signals(df).collect()
+        assert [r["doc_id"] for r in out] == [2]
