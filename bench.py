@@ -39,6 +39,11 @@ HEADLINE = [
     "sample_multivalue",
     "scaler_standardize",
     "q3_shipping_priority",
+    "q5_regional_revenue",
+    "q18_large_orders",
+    "semi_join_customers",
+    "anti_join_customers",
+    "skew_salted_agg",
     "rollup_revenue",
     "set_ops_users",
     # training-data operators (present from round 1+ as implemented)
@@ -64,6 +69,9 @@ HEADLINE = [
     "tfidf_top_terms",
     "chunk_documents",
     "contamination_check",
+    "repetition_signals",
+    "quality_band_filter",
+    "source_stats",
 ]
 
 

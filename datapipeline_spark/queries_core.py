@@ -421,6 +421,54 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skew_salted_agg",
+    """
+WITH {base},
+cents AS (SELECT event_type, value, CAST(round(value * 100) AS BIGINT) AS v100 FROM base)
+SELECT event_type,
+       count(*) AS n_events,
+       sum(v100) AS total_cents,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       floor(CAST(sum(v100) AS DOUBLE) / count(*) / 100.0 * 1000000 + 0.5) / 1000000.0 AS avg_value
+FROM cents GROUP BY event_type
+""".format(base=EVENTS_BASE),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.py salted_agg) over the
+    deliberately hot event_type key (5 values for every event row — the
+    worst-case aggregation skew AQE cannot split). Partials aggregate on
+    (event_type, salt) so the hot key spreads over 16 tasks; the final merge
+    groups 5×16 tiny rows. Result must equal a plain GROUP BY, which is what
+    the oracle runs: sums accumulate integer cents (order-independent across
+    salt buckets), avg recombines from exact (sum, count)."""
+    from datapipeline_spark.operators.skew import salted_agg
+
+    s = events_stream(spark, sf_dir)
+    cents = s.withColumn("v100", F.round(F.col("value") * 100).cast("long"))
+    out = salted_agg(
+        cents,
+        ["event_type"],
+        {
+            "n_events": ("count", "v100"),
+            "total_cents": ("sum", "v100"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+            "avg_cents": ("avg", "v100"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        "total_cents",
+        "min_value",
+        "max_value",
+        (F.floor(F.col("avg_cents") / 100.0 * 1e6 + 0.5) / 1e6).alias("avg_value"),
+    )
+
+
 # --------------------------------------------------- preprocess / projections
 
 
