@@ -72,6 +72,8 @@ HEADLINE = [
     "repetition_signals",
     "quality_band_filter",
     "source_stats",
+    "pack_sequences",
+    "mixture_sample",
 ]
 
 

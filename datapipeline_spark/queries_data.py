@@ -50,6 +50,7 @@ from datapipeline_spark.text import (
     text_stats,
 )
 from datapipeline_spark.text.analysis import winnow_fingerprints
+from datapipeline_spark.text.pack import pack_sequences
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
@@ -299,6 +300,83 @@ def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1 - uniq / n, 6).alias("dup_rate"),
         F.sum(F.size(words)).cast("long").alias("total_tokens"),
         F.round(F.sum(F.length("text")) / n, 6).alias("mean_chars"),
+    )
+
+
+@query(
+    "pack_sequences",
+    """
+WITH d AS (
+  SELECT doc_id,
+         len({words})::BIGINT AS n_tokens,
+         md5('42|' || doc_id::VARCHAR) AS h
+  FROM documents
+),
+scan AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_token
+  FROM d
+)
+SELECT doc_id, n_tokens, start_token,
+       start_token // 2048 AS first_seq,
+       (start_token + n_tokens - 1) // 2048 AS last_seq
+FROM scan
+""".format(words=WORDS),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing (text/pack.py): reproducible
+    shuffled corpus order → global exclusive token scan → 2048-token
+    training-sequence spans per document. The oracle runs the scan as one
+    global window; the Spark plan runs it as the two-phase bucket scan
+    (256-bucket totals broadcast + within-bucket window) — results must be
+    identical because token counts sum exactly in any order."""
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=2048, seed=42)
+
+
+@query(
+    "mixture_sample",
+    """
+WITH rated AS (
+  SELECT doc_id, source,
+         (1 + (('0x' || substr(md5('mix|' || source), 1, 12))::UBIGINT)::BIGINT % 4) / 4.0 AS rate,
+         (('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 12))::UBIGINT)::BIGINT AS u
+  FROM documents
+)
+SELECT doc_id, source, round(rate, 6) AS rate
+FROM rated
+WHERE u < rate * 281474976710656
+""",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: each source gets a deterministic keep rate
+    (here hash(source)→{0.25,0.5,0.75,1.0}; in production the rates come
+    from the mixture spec), each document an independent uniform draw from
+    its id hash — keep iff u < rate·2^48. Pure map-side filter beside the
+    scan: zero shuffle at any corpus size, stable under reruns and
+    repartitioning, and composable with the other corpus operators."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        1
+        + F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("mix"), F.col("source"))), 1, 12), 16, 10).cast(
+                "long"
+            ),
+            F.lit(4),
+        )
+    ) / 4.0
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit("42"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.withColumn("rate", rate)
+        .withColumn("__u__", u)
+        .filter(F.col("__u__") < F.col("rate") * F.lit(float(1 << 48)))
+        .select("doc_id", "source", F.round("rate", 6).alias("rate"))
     )
 
 

@@ -9,6 +9,7 @@ from datapipeline_spark.text.analysis import (
     winnow_fingerprints,
 )
 from datapipeline_spark.text.chunk import chunk_documents
+from datapipeline_spark.text.pack import pack_sequences
 from datapipeline_spark.text.clean import (
     EMAIL_PATTERN,
     HTML_ENTITIES,
@@ -33,6 +34,7 @@ __all__ = [
     "text_stats",
     "winnow_fingerprints",
     "chunk_documents",
+    "pack_sequences",
     "EMAIL_PATTERN",
     "HTML_ENTITIES",
     "HTML_TAG_PATTERN",

@@ -350,3 +350,45 @@ class TestRepetitionSignals:
         df = spark.createDataFrame([(1, "a b"), (2, "a b c")], ["doc_id", "text"])
         out = repetition_signals(df).collect()
         assert [r["doc_id"] for r in out] == [2]
+
+
+class TestPackSequences:
+    def test_exclusive_scan_matches_driver_reference(self, spark):
+        import hashlib
+
+        from datapipeline_spark.text import pack_sequences
+
+        docs = [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(50)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in pack_sequences(df, seq_len=10).collect()}
+
+        order = sorted(
+            docs, key=lambda d: (hashlib.md5(f"42|{d[0]}".encode()).hexdigest(), d[0])
+        )
+        start = 0
+        for doc_id, text in order:
+            n = len(text.split())
+            r = out[doc_id]
+            assert r["n_tokens"] == n
+            assert r["start_token"] == start
+            assert r["first_seq"] == start // 10
+            assert r["last_seq"] == (start + n - 1) // 10
+            start += n
+        # stream is gapless: total == sum of token counts
+        assert start == sum(len(t.split()) for _, t in docs)
+
+    def test_partition_layout_invariance(self, spark):
+        from datapipeline_spark.text import pack_sequences
+
+        docs = [(i, " ".join(["w"] * (i % 5 + 1))) for i in range(40)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        a = sorted(map(tuple, pack_sequences(df, seq_len=8).collect()))
+        b = sorted(map(tuple, pack_sequences(df.repartition(13), seq_len=8).collect()))
+        assert a == b
+
+    def test_rejects_bad_seq_len(self, spark):
+        from datapipeline_spark.text import pack_sequences
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            pack_sequences(df, seq_len=0)

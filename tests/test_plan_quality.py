@@ -122,3 +122,44 @@ def test_corpus_pipeline_plan(spark):
     # score + threshold + hash-sample fuse into the scan-side projection:
     # only the dedup exchange and the final order sort shuffle data
     assert _shuffles(plan) <= 2
+
+
+def test_q5_plan(spark):
+    from datapipeline_spark.queries_core import q5_regional_revenue
+
+    plan = _plan(q5_regional_revenue(spark, SF))
+    # region filter + date range pushed into the scans
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    # supplier→nation→region chain and customer all broadcast: the only
+    # non-broadcast exchanges are lineitem⋈orders (if not broadcast) + agg
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert _shuffles(plan) <= 2
+
+
+def test_q18_plan(spark):
+    from datapipeline_spark.queries_core import q18_large_orders
+
+    plan = _plan(q18_large_orders(spark, SF))
+    # HAVING runs as a filter on the aggregate BEFORE any join
+    assert re.search(r"Filter.*\(qty#\d+ > 250", plan)
+    assert "BroadcastHashJoin" in plan  # customer broadcast
+
+
+def test_salted_agg_plan(spark):
+    from datapipeline_spark.queries_core import skew_salted_agg
+
+    plan = _plan(skew_salted_agg(spark, SF))
+    # two-phase: partial agg keyed by (event_type, salt), merge by event_type
+    assert "__salt__" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per phase
+
+
+def test_quality_band_plan(spark):
+    from datapipeline_spark.queries_data import q_quality_band_filter
+
+    plan = _plan(q_quality_band_filter(spark, SF))
+    # thresholds come back as broadcast joins onto the corpus scan — the
+    # corpus itself is never globally sorted
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
