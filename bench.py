@@ -74,6 +74,7 @@ HEADLINE = [
     "source_stats",
     "pack_sequences",
     "mixture_sample",
+    "unigram_logprob",
 ]
 
 

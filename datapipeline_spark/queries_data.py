@@ -380,6 +380,57 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "unigram_logprob",
+    """
+WITH d AS (SELECT doc_id, {words} AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT sum(c) AS s FROM vocab),
+lp AS (
+  SELECT t, CAST(round(log2(c * 1.0 / s) * 1000000000) AS BIGINT) AS lp9
+  FROM vocab, tot
+),
+per AS (
+  SELECT doc_id, sum(lp9) AS slp, count(*) AS n
+  FROM tok JOIN lp USING (t) GROUP BY doc_id
+)
+SELECT doc_id, n::BIGINT AS n_tokens,
+       floor(CAST(-slp AS DOUBLE) / 1000000000.0 / n * 1000000 + 0.5) / 1000000.0
+         AS bits_per_token
+FROM per
+""".format(words=WORDS),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: fit a unigram LM on the corpus itself
+    (one wordcount aggregate), then score each document by cross-entropy
+    bits/token under that LM — wildly off-distribution docs (boilerplate,
+    gibberish, wrong language) score high and get filtered. Two aggregates +
+    one broadcast join of the vocabulary; the fact-side token stream never
+    shuffles twice. Per-token log-probs are rounded to 1e-9 and accumulated
+    as scaled integers so the per-doc sum is order-independent — double sums
+    of logs would differ between engines/partitionings in the last ulp."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("s"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.round(F.log2(F.col("c") / F.col("s")) * F.lit(1000000000)).cast("long").alias("lp9"),
+    )
+    per = (
+        tok.join(F.broadcast(lp), "t")
+        .groupBy("doc_id")
+        .agg(F.sum("lp9").alias("slp"), F.count(F.lit(1)).alias("n"))
+    )
+    bits = (
+        F.floor((-F.col("slp")).cast("double") / 1e9 / F.col("n") * 1e6 + 0.5) / 1e6
+    )
+    return per.select(
+        "doc_id", F.col("n").cast("long").alias("n_tokens"), bits.alias("bits_per_token")
+    )
+
+
 # --------------------------------------------------------------------- dedup
 
 
