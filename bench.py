@@ -75,6 +75,9 @@ HEADLINE = [
     "pack_sequences",
     "mixture_sample",
     "unigram_logprob",
+    "gap_report",
+    "value_histogram",
+    "embedding_stats",
 ]
 
 

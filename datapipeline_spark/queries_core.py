@@ -469,6 +469,74 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gap_report",
+    """
+WITH {base},
+g AS (
+  SELECT user_id, time,
+         lag(time) OVER (PARTITION BY user_id ORDER BY time, event_id) AS prev
+  FROM base
+)
+SELECT user_id, prev AS gap_start, time AS gap_end,
+       (epoch_us(time) - epoch_us(prev)) // 1000000 AS gap_seconds
+FROM g
+WHERE prev IS NOT NULL AND epoch_us(time) - epoch_us(prev) > 7200000000
+""".format(base=EVENTS_BASE),
+)
+def gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness audit: per-partition gaps longer than a threshold,
+    from one lag over the canonical (partition, time) window — the
+    diagnostic companion to ensure_cadence/ensure_ticks (which repair the
+    gaps this reports). Gaps compute on integer epoch-MICROseconds
+    (timestamps carry sub-second precision; a seconds-truncating diff
+    would disagree with the oracle), floored to whole seconds on output."""
+    s = events_stream(spark, sf_dir)
+    w = canonical_window(["user_id"], ORDER)
+    prev = F.lag("time").over(w)
+    gap_us = F.unix_micros(F.col("time")) - F.unix_micros(F.col("prev"))
+    return (
+        s.withColumn("prev", prev)
+        .filter(F.col("prev").isNotNull())
+        .withColumn("gap_us", gap_us)
+        .filter(F.col("gap_us") > 7200 * 1000000)
+        .withColumn("gap_seconds", F.expr("gap_us DIV 1000000"))
+        .select(
+            "user_id",
+            F.col("prev").alias("gap_start"),
+            F.col("time").alias("gap_end"),
+            F.col("gap_seconds").cast("long"),
+        )
+    )
+
+
+@query(
+    "value_histogram",
+    """
+WITH {base}
+SELECT event_type,
+       CAST(floor(value / 50) AS BIGINT) * 50 AS bin_lo,
+       count(*) AS n,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM base
+GROUP BY event_type, CAST(floor(value / 50) AS BIGINT) * 50
+""".format(base=EVENTS_BASE),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per group — the profiling aggregate
+    behind the availability-matrix/coverage reports. Bin assignment is a
+    pure projection (floor of identical doubles in both engines); one
+    partial-aggregated shuffle keyed (event_type, bin)."""
+    s = events_stream(spark, sf_dir)
+    bin_lo = (F.floor(F.col("value") / 50).cast("long") * 50).alias("bin_lo")
+    return s.groupBy("event_type", bin_lo).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 # --------------------------------------------------- preprocess / projections
 
 

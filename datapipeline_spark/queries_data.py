@@ -633,6 +633,39 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_stats",
+    """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, label,
+       len(v)::BIGINT AS dim,
+       round(sqrt(list_dot_product(v, v)), 4) AS l2_norm,
+       round(list_sum(v) / len(v), 6) AS mean_val,
+       list_aggregate(v, 'min') AS min_val,
+       list_aggregate(v, 'max') AS max_val
+FROM e
+""",
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector sanity profile for an embedding column: dimensionality,
+    L2 norm, mean, extrema — the validation pass before any ANN/dedup step
+    (catches zero vectors, NaN blowups, dim drift). Pure map stage: JVM
+    higher-order folds over the array, no shuffle, no Python."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    s = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(v).cast("long").alias("dim"),
+        F.round(F.sqrt(dot), 4).alias("l2_norm"),
+        F.round(s / F.size(v), 6).alias("mean_val"),
+        F.array_min(v).alias("min_val"),
+        F.array_max(v).alias("max_val"),
+    )
+
+
+@query(
     "embedding_similar_pairs",
     """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
