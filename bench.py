@@ -78,6 +78,8 @@ HEADLINE = [
     "gap_report",
     "value_histogram",
     "embedding_stats",
+    "rolling_corr",
+    "asof_join_tolerance",
 ]
 
 

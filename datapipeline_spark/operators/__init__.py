@@ -15,6 +15,7 @@ from datapipeline_spark.operators.window import (
     lag,
     lead,
     rolling,
+    rolling_corr,
     rolling_slope,
     sequence_windows,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "lag",
     "lead",
     "rolling",
+    "rolling_corr",
     "rolling_slope",
     "sequence_windows",
     "ensure_cadence",

@@ -80,12 +80,13 @@ def asof_join(
     )
     out = filled.filter(F.col("__tag__") == 1).drop("__tag__")
     if tolerance is not None:
-        horizon = parse_timecode_seconds(tolerance)
+        # exact micros — unix_timestamp would truncate sub-second precision
+        horizon_us = parse_timecode_seconds(tolerance) * 1_000_000
         in_range = (
             F.col("__rtime__").isNotNull()
             & (
-                F.unix_timestamp(F.col(time_field)) - F.unix_timestamp(F.col("__rtime__"))
-                <= F.lit(horizon)
+                F.unix_micros(F.col(time_field)) - F.unix_micros(F.col("__rtime__"))
+                <= F.lit(horizon_us)
             )
         )
         out = out.select(
@@ -107,12 +108,14 @@ def sessionize(
     since the previous record exceeds `gap` (timecode). Session id is the
     0-based session ordinal within the partition — one window pass, no
     state beyond the running sum."""
-    gap_s = parse_timecode_seconds(gap)
+    gap_us = parse_timecode_seconds(gap) * 1_000_000
     w = Window.partitionBy(*[F.col(c) for c in partition_by]).orderBy(time_field)
     prev = F.lag(time_field).over(w)
+    # exact micros — unix_timestamp truncates sub-second precision, which
+    # would mis-split sessions whose gap straddles the threshold
     new_session = F.when(
         prev.isNull()
-        | ((F.unix_timestamp(F.col(time_field)) - F.unix_timestamp(prev)) > gap_s),
+        | ((F.unix_micros(F.col(time_field)) - F.unix_micros(prev)) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     run = Window.partitionBy(*[F.col(c) for c in partition_by]).orderBy(

@@ -165,6 +165,40 @@ def rolling_slope(
     return with_run.withColumn(out, gated).drop(run_col)
 
 
+def rolling_corr(
+    df: DataFrame,
+    x: str,
+    y: str,
+    window: int,
+    partition_by: Sequence[str] = (),
+    out: str = "corr",
+    order_by: Sequence[str] = (TIME,),
+) -> DataFrame:
+    """Pearson correlation of (x, y) over a strict trailing window — the
+    natural companion to `rolling_slope` (same reference reset contract:
+    any missing pair clears the window, emit only on `window` consecutive
+    complete pairs; degenerate zero-variance windows yield null).
+
+    corr = covar_pop / (stddev_pop(x) · stddev_pop(y)) over the same
+    missing-run frame as rolling_slope — three shuffle-free window aggs
+    sharing one Exchange+Sort with any other ops on the same window."""
+    missing = (
+        F.col(x).isNull() | F.col(y).isNull() | F.isnan(F.col(x)) | F.isnan(F.col(y))
+    )
+    run_id = F.sum(missing.cast("int")).over(
+        canonical_window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_col = "__corr_run__"
+    with_run = df.withColumn(run_col, run_id)
+
+    w = canonical_window([*partition_by, run_col], order_by).rowsBetween(-(window - 1), 0)
+    pair_count = F.count(F.when(~missing, F.lit(1))).over(w)
+    denom = F.stddev_pop(F.col(x)).over(w) * F.stddev_pop(F.col(y)).over(w)
+    corr = F.covar_pop(F.col(x), F.col(y)).over(w) / F.nullif(denom, F.lit(0.0))
+    gated = F.when(pair_count >= F.lit(window), corr)
+    return with_run.withColumn(out, gated).drop(run_col)
+
+
 def forward_sum(
     df: DataFrame,
     field: str,

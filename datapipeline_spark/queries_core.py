@@ -722,6 +722,37 @@ def rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_corr",
+    """
+WITH {base},
+runs AS (
+  SELECT *, (epoch(time) - 1704067200)::DOUBLE AS x,
+         sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END)
+           OVER ({w} ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM base
+)
+SELECT event_id, user_id,
+       round(CASE WHEN count(value_n) OVER wr >= 4
+                  THEN covar_pop(x, value_n) OVER wr /
+                       nullif(stddev_pop(x) OVER wr * stddev_pop(value_n) OVER wr, 0)
+             END, 6) AS corr
+FROM runs
+WINDOW wr AS (PARTITION BY user_id, run_id ORDER BY time, event_id
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""".format(base=EVENTS_BASE, w=W),
+)
+def rolling_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation of value against time (trend strength),
+    window 4, with the reference's missing-run reset semantics — the
+    companion statistic to rolling_slope (operators/window.py
+    rolling_corr)."""
+    s = events_stream(spark, sf_dir)
+    s = s.withColumn("x", (F.col("time").cast("double") - F.lit(1704067200.0)))
+    s = ops.rolling_corr(s, "x", "value_n", 4, ["user_id"], out="corr", order_by=ORDER)
+    return s.select("event_id", "user_id", F.round("corr", 6).alias("corr"))
+
+
+@query(
     "forward_sum",
     """
 WITH {base}
@@ -1069,13 +1100,53 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_tolerance",
+    """
+WITH {base},
+hourly AS (
+  SELECT user_id, time, value FROM (
+    SELECT user_id, date_trunc('hour', ts) AS time, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+shifted AS (SELECT user_id, time + INTERVAL 30 MINUTE AS time, value FROM hourly)
+SELECT b.event_id, b.user_id, b.time,
+       CASE WHEN s.time IS NOT NULL
+              AND epoch_us(b.time) - epoch_us(s.time) <= 3600000000
+            THEN s.value END AS hourly_asof
+FROM base b ASOF LEFT JOIN shifted s
+  ON b.user_id = s.user_id AND b.time >= s.time
+""".format(base=EVENTS_BASE),
+)
+def asof_join_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness horizon: matches older than 1h are
+    nulled (sensor semantics — a reading loses validity). Same
+    single-shuffle union+fill plan; the horizon check runs on exact
+    epoch-microseconds against the matched right-row time."""
+    from datapipeline_spark.operators.asof import asof_join
+
+    left = events_stream(spark, sf_dir).select("event_id", "user_id", "time")
+    right = hourly_stream(spark, sf_dir).select(
+        "user_id", shift_time_expr("time", "30m").alias("time"), "value"
+    )
+    joined = asof_join(
+        left, right, ["user_id"], right_fields=["value"], suffix="_x", tolerance="1h"
+    )
+    return joined.select(
+        "event_id", "user_id", "time", F.col("value_x").alias("hourly_asof")
+    )
+
+
+@query(
     "sessionize",
     """
 WITH {base},
 flags AS (
   SELECT user_id, time, event_id,
          CASE WHEN lag(time) OVER ({w}) IS NULL
-                OR epoch(time) - epoch(lag(time) OVER ({w})) > 7200
+                OR epoch_us(time) - epoch_us(lag(time) OVER ({w})) > 7200000000
               THEN 1 ELSE 0 END AS new_s
   FROM base
 ),

@@ -156,3 +156,35 @@ def test_sequence_windows_keeps_nulls(spark):
     got = {r["time"].hour: r["seq"] for r in out.collect()}
     assert got[1] == [1.0, None]
     assert got[2] == [None, 3.0]
+
+
+def test_rolling_corr_values_and_reset(spark):
+    from datapipeline_spark.operators import rolling_corr
+
+    # x = 0,1,2,3…; y perfectly linear → corr 1.0 once 3 pairs in hand;
+    # a missing y at t3 clears the window (run reset)
+    data = [
+        ("a", ts(0), 0.0, 1.0),
+        ("a", ts(1), 1.0, 3.0),
+        ("a", ts(2), 2.0, 5.0),
+        ("a", ts(3), 3.0, None),
+        ("a", ts(4), 4.0, 2.0),
+        ("a", ts(5), 5.0, 1.0),
+        ("a", ts(6), 6.0, 0.0),
+    ]
+    df = spark.createDataFrame(data, "part string, time timestamp, x double, y double")
+    out = [r["corr"] for r in rolling_corr(df, "x", "y", 3, ["part"]).orderBy("time").collect()]
+    assert out[0] is None and out[1] is None
+    assert out[2] == pytest.approx(1.0)
+    assert out[3] is None  # missing pair
+    assert out[4] is None and out[5] is None  # rebuilding after reset
+    assert out[6] == pytest.approx(-1.0)  # descending run
+
+
+def test_rolling_corr_zero_variance_null(spark):
+    from datapipeline_spark.operators import rolling_corr
+
+    data = [("a", ts(0), 1.0, 2.0), ("a", ts(1), 1.0, 3.0)]
+    df = spark.createDataFrame(data, "part string, time timestamp, x double, y double")
+    out = [r["corr"] for r in rolling_corr(df, "x", "y", 2, ["part"]).collect()]
+    assert out == [None, None]
