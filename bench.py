@@ -80,6 +80,8 @@ HEADLINE = [
     "embedding_stats",
     "rolling_corr",
     "asof_join_tolerance",
+    "winsorize_values",
+    "shared_passage_pairs",
 ]
 
 

@@ -511,6 +511,72 @@ def gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winsorize_values",
+    """
+WITH {base},
+r AS (SELECT event_id, event_type, value FROM base),
+h AS (SELECT event_type, value, count(*) AS c FROM r GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, value,
+         sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum
+  FROM h
+),
+tot AS (SELECT event_type, count(*) AS n FROM r GROUP BY 1),
+lo AS (SELECT c.event_type, min(value) AS v FROM cum c JOIN tot t USING (event_type)
+       WHERE 100 * cum >= n GROUP BY 1),
+hi AS (SELECT c.event_type, min(value) AS v FROM cum c JOIN tot t USING (event_type)
+       WHERE 100 * cum >= 99 * n GROUP BY 1)
+SELECT r.event_id, r.event_type, r.value,
+       least(greatest(r.value, lo.v), hi.v) AS clipped
+FROM r JOIN lo USING (event_type) JOIN hi USING (event_type)
+""".format(base=EVENTS_BASE),
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip each value into its group's inclusive
+    [p1, p99] band — the robust-scaling companion to the standard scaler
+    (outliers saturate instead of dominating the fit). Exact group
+    percentiles come from the scale-safe histogram pattern (groupBy(group,
+    value) counts + a window over the small per-group histogram + integer
+    threshold comparisons), then broadcast back — no global sort, no float
+    interpolation, correct at any group size."""
+    from pyspark.sql import Window
+
+    s = events_stream(spark, sf_dir)
+    r = s.select("event_id", "event_type", "value")
+    hist = r.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("event_type")
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = r.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    b = cum.join(F.broadcast(tot), "event_type")
+    lo = (
+        b.filter(100 * F.col("cum") >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"))
+    )
+    hi = (
+        b.filter(100 * F.col("cum") >= 99 * F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("hi"))
+    )
+    return (
+        r.join(F.broadcast(lo), "event_type")
+        .join(F.broadcast(hi), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("clipped"),
+        )
+    )
+
+
+@query(
     "value_histogram",
     """
 WITH {base}

@@ -380,6 +380,64 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEG_GRAM = " || ' ' || ".join(f"w[t.i + {j}]" for j in range(8))
+
+
+@query(
+    "shared_passage_pairs",
+    f"""
+WITH d AS (SELECT doc_id, {WORDS} AS w FROM documents),
+seg AS (
+  SELECT DISTINCT doc_id,
+         (('0x' || substr(md5({_SEG_GRAM}), 1, 12))::UBIGINT)::BIGINT AS h
+  FROM d CROSS JOIN generate_series(1, 1000) t(i)
+  WHERE (t.i - 1) % 8 = 0 AND t.i + 7 <= len(w)
+),
+df AS (SELECT h FROM seg GROUP BY h HAVING count(*) <= 1000),
+s2 AS (SELECT seg.doc_id, seg.h FROM seg JOIN df USING (h))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM s2 a JOIN s2 b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def q_shared_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage detection: cut each document into
+    non-overlapping 8-token segments, hash them (48-bit md5 prefix), and
+    join segments across documents — catches copied passages between
+    documents that whole-doc or MinHash dedup miss. Segments present in
+    >1000 documents are dropped first (boilerplate guard: ubiquitous
+    segments would square the join output at corpus scale). The join key is
+    the integer hash, so the shuffle carries (doc, int64) rows only."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    segs = F.when(
+        F.expr("size(w) >= 8"),
+        F.expr(
+            "transform(sequence(0, int(floor((size(w) - 8) / 8))),"
+            " k -> concat_ws(' ', slice(w, k * 8 + 1, 8)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg = (
+        d.select("doc_id", w.alias("w"))
+        .select("doc_id", F.explode(segs).alias("s"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("long").alias("h"),
+        )
+        .distinct()
+    )
+    keep = seg.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 1000)
+    s2 = seg.join(keep.select("h"), "h")
+    a, b = s2.alias("a"), s2.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 @query(
     "unigram_logprob",
     """
