@@ -303,3 +303,56 @@ def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(out, "streaming_enrich_mem", "append")
     return spark.table("streaming_enrich_mem")
+
+
+def _staged_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents table once as a single parquet file for the file
+    streaming source (same cache-key scheme as _staged_events)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"v1|{src}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        stamp = f"v1|{src}"
+    key = hashlib.sha256(stamp.encode()).hexdigest()[:12]
+    staging = f"/tmp/spark_graft_stream_docs_{key}"
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+    return staging
+
+
+@query(
+    "streaming_quality_filter",
+    """
+WITH d AS (
+  SELECT doc_id,
+         round(0.3 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+             + 0.3 * (len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 1.0
+                      / len(string_split_regex(trim(text), '\\s+')))
+             + 0.4 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)),
+               6) AS quality
+  FROM documents
+)
+SELECT doc_id, quality FROM d WHERE quality >= 0.5
+""",
+)
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion filter: the same fused quality projection
+    used batch-side (text/analysis.py quality_score) applied to a document
+    stream — stateless map, append mode, no watermark, no state store. This
+    is the live-ingest shape for corpus curation: score-and-drop runs
+    per-micro-batch with identical results to the batch pass (the oracle is
+    the batch SQL)."""
+    from datapipeline_spark.text import quality_score
+
+    staging = _staged_documents(spark, sf_dir)
+    stream = _stream_of(spark, staging)
+    out = (
+        quality_score(stream)
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id", "quality")
+    )
+    _run_to_memory(out, "streaming_quality_mem", "append")
+    return spark.table("streaming_quality_mem")

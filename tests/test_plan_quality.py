@@ -163,3 +163,29 @@ def test_quality_band_plan(spark):
     # corpus itself is never globally sorted
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_pack_sequences_plan(spark):
+    from datapipeline_spark.queries_data import q_pack_sequences
+
+    plan = _plan(q_pack_sequences(spark, SF))
+    # the global exclusive scan must NOT range-partition the corpus: the
+    # only exchanges are the 256-bucket hash partition + the tiny totals agg
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
+    assert "BroadcastExchange" in plan  # bucket offsets broadcast back
+
+
+def test_mixture_sample_plan(spark):
+    from datapipeline_spark.queries_data import q_mixture_sample
+
+    plan = _plan(q_mixture_sample(spark, SF))
+    assert "Exchange" not in plan  # pure map-side filter at any scale
+
+
+def test_winsorize_plan(spark):
+    from datapipeline_spark.queries_core import winsorize_values
+
+    plan = _plan(winsorize_values(spark, SF))
+    # thresholds come back via broadcast joins; the fact rows never sort
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
