@@ -82,6 +82,7 @@ HEADLINE = [
     "asof_join_tolerance",
     "winsorize_values",
     "shared_passage_pairs",
+    "drift_psi",
 ]
 
 

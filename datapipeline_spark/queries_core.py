@@ -511,6 +511,75 @@ def gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "drift_psi",
+    """
+WITH {base},
+b AS (
+  SELECT event_type,
+         CAST(floor(value / 50) AS BIGINT) AS bin,
+         CASE WHEN time < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_a
+  FROM base
+),
+c AS (SELECT event_type, bin, sum(is_a) AS ca, sum(1 - is_a) AS cb FROM b GROUP BY 1, 2),
+t AS (SELECT event_type, sum(ca) AS na, sum(cb) AS nb FROM c GROUP BY 1),
+grid AS (SELECT DISTINCT event_type, g.i AS bin FROM c CROSS JOIN generate_series(0, 9) g(i)),
+f AS (
+  SELECT g.event_type, g.bin, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+  FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.bin = c.bin
+),
+terms AS (
+  SELECT f.event_type,
+         CAST(round(
+           ((ca + 1) * 1.0 / (na + 10) - (cb + 1) * 1.0 / (nb + 10))
+           * ln(((ca + 1) * 1.0 / (na + 10)) / ((cb + 1) * 1.0 / (nb + 10)))
+           * 1000000000) AS BIGINT) AS term9
+  FROM f JOIN t ON f.event_type = t.event_type
+)
+SELECT event_type, round(CAST(sum(term9) AS DOUBLE) / 1000000000.0, 6) AS psi
+FROM terms GROUP BY event_type
+""".format(base=EVENTS_BASE),
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: population stability index of the value
+    distribution between the first and second half of the time range, per
+    event type — the standard production check that a feature's distribution
+    hasn't shifted between training and serving windows. Laplace-smoothed
+    (+1 per bin) over a fixed 10-bin grid so empty bins stay defined; each
+    PSI term is rounded to 1e-9 and summed as scaled integers (term sums
+    must not depend on accumulation order). Two tiny aggregates — the event
+    stream itself is read once, map-side binned, and shuffled pre-aggregated."""
+    mid = datetime(2024, 1, 16)
+    s = events_stream(spark, sf_dir)
+    b = s.select(
+        "event_type",
+        F.floor(F.col("value") / 50).cast("long").alias("bin"),
+        F.when(F.col("time") < F.lit(mid), F.lit(1)).otherwise(F.lit(0)).alias("is_a"),
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    t = c.groupBy("event_type").agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    grid = (
+        c.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").cast("long").alias("bin")))
+    )
+    f = (
+        grid.join(c, ["event_type", "bin"], "left")
+        .fillna(0, ["ca", "cb"])
+        .join(F.broadcast(t), "event_type")
+    )
+    pa = (F.col("ca") + 1) * F.lit(1.0) / (F.col("na") + 10)
+    qb = (F.col("cb") + 1) * F.lit(1.0) / (F.col("nb") + 10)
+    term9 = F.round((pa - qb) * F.log(pa / qb) * F.lit(1000000000)).cast("long")
+    return (
+        f.select("event_type", term9.alias("term9"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("term9").cast("double") / F.lit(1000000000.0), 6).alias("psi"))
+    )
+
+
+@query(
     "winsorize_values",
     """
 WITH {base},
