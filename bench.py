@@ -83,6 +83,7 @@ HEADLINE = [
     "winsorize_values",
     "shared_passage_pairs",
     "drift_psi",
+    "novelty_score",
 ]
 
 

@@ -380,6 +380,45 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "novelty_score",
+    """
+WITH {bigrams},
+first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       count(*) AS n_grams,
+       sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
+       round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty
+FROM sh JOIN first f USING (s)
+GROUP BY sh.doc_id
+""".format(bigrams=BIGRAMS),
+)
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-corpus novelty: the fraction of a document's distinct
+    bigrams whose FIRST occurrence (by doc id order — ingestion order) is
+    this document. Low scores mark documents that mostly restate earlier
+    corpus content — the streaming-ingest view of dedup, and a curriculum
+    signal. Pure integer logic: one min-aggregate over the shingle stream,
+    one hash join back on the shingle, one per-doc count — all
+    pre-aggregated before their shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", 2)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            F.round(novel * F.lit(1.0) / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )
+
+
 _SEG_GRAM = " || ' ' || ".join(f"w[t.i + {j}]" for j in range(8))
 
 
