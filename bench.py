@@ -84,6 +84,8 @@ HEADLINE = [
     "shared_passage_pairs",
     "drift_psi",
     "novelty_score",
+    "funnel_conversion",
+    "weekly_retention",
 ]
 
 

@@ -511,6 +511,105 @@ def gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_conversion",
+    """
+WITH {base},
+c AS (SELECT user_id, min(time) AS first_click FROM base
+      WHERE event_type = 'click' GROUP BY user_id),
+p AS (
+  SELECT c.user_id, min(b.time) AS first_conv
+  FROM c JOIN base b ON b.user_id = c.user_id
+   AND b.event_type = 'purchase'
+   AND b.time >= c.first_click
+   AND b.time <= c.first_click + INTERVAL 1 HOUR
+  GROUP BY c.user_id
+)
+SELECT c.user_id, c.first_click, p.first_conv,
+       CASE WHEN p.first_conv IS NOT NULL THEN 1 ELSE 0 END AS converted
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+""".format(base=EVENTS_BASE),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: each user's first click and the first purchase
+    within the following hour (pure timestamp logic, no float math). Both
+    steps are min-aggregates keyed by user — partial-aggregated before
+    their shuffles — and the step join is per-user, never a time-range
+    explosion over the raw stream."""
+    s = events_stream(spark, sf_dir)
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("time").alias("first_click"))
+    )
+    buys = s.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("time").alias("btime")
+    )
+    conv = (
+        clicks.join(buys, "user_id")
+        .filter(
+            (F.col("btime") >= F.col("first_click"))
+            & (F.col("btime") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("btime").alias("first_conv"))
+    )
+    return (
+        clicks.join(conv, "user_id", "left")
+        .select(
+            "user_id",
+            "first_click",
+            "first_conv",
+            F.when(F.col("first_conv").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "converted"
+            ),
+        )
+    )
+
+
+@query(
+    "weekly_retention",
+    """
+WITH {base},
+seen AS (SELECT user_id, date_trunc('day', time) AS day FROM base GROUP BY 1, 2),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM seen GROUP BY user_id),
+ret AS (
+  SELECT c.cohort_day, c.user_id,
+         max(CASE WHEN s.day >= c.cohort_day + INTERVAL 7 DAY
+                   AND s.day < c.cohort_day + INTERVAL 14 DAY
+                  THEN 1 ELSE 0 END) AS retained
+  FROM cohort c JOIN seen s ON c.user_id = s.user_id
+  GROUP BY 1, 2
+)
+SELECT cohort_day, count(*) AS n_users, sum(retained) AS n_retained
+FROM ret GROUP BY cohort_day
+""".format(base=EVENTS_BASE),
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted as
+    retained if active in week 2 (days 7-13 after cohort entry). Exact
+    integer/timestamp logic end-to-end; the (user, day) dedup aggregate
+    collapses the stream before anything else touches it."""
+    s = events_stream(spark, sf_dir)
+    seen = s.select(
+        "user_id", F.date_trunc("day", F.col("time")).alias("day")
+    ).distinct()
+    cohort = seen.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    week2 = F.when(
+        (F.col("day") >= F.col("cohort_day") + F.expr("INTERVAL 7 DAY"))
+        & (F.col("day") < F.col("cohort_day") + F.expr("INTERVAL 14 DAY")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    ret = (
+        cohort.join(seen, "user_id")
+        .groupBy("cohort_day", "user_id")
+        .agg(F.max(week2).alias("retained"))
+    )
+    return ret.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("retained").alias("n_retained")
+    )
+
+
+@query(
     "drift_psi",
     """
 WITH {base},
