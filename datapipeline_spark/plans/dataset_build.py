@@ -20,7 +20,7 @@ from datapipeline_spark.dataset.postprocess import (
     drop_rows_by_coverage,
     select_columns_by_coverage,
 )
-from datapipeline_spark.dataset.sample import assemble_samples
+from datapipeline_spark.dataset.sample import assemble_samples, rectangular_samples
 from datapipeline_spark.dataset.scaler import apply_scaler, fit_scaler
 from datapipeline_spark.dataset.series import project_series
 from datapipeline_spark.dataset.split import time_split_label, hash_split_label
@@ -195,6 +195,7 @@ def _build(
         return out
 
     wide: DataFrame | None = None
+    list_conform: dict[str, int] = {}
     scalar_long = union_all(scalar_longs)
     base_of_scalar: dict[str, str] = {}
     if scalar_long is not None:
@@ -232,15 +233,10 @@ def _build(
             series_ids=ids,
             sequence_ids=sorted(multi_len),
         )
-        # absent buckets of list-kind series conform to [null]*length
-        for sid, length in multi_len.items():
-            wide = wide.withColumn(
-                sid,
-                F.coalesce(
-                    F.col(sid),
-                    F.array(*[F.lit(None).cast("double") for _ in range(length)]),
-                ),
-            )
+        # absent buckets of list-kind series conform to [null]*length —
+        # applied after lattice densification (below) so lattice-only rows
+        # conform too
+        list_conform.update(multi_len)
 
     if seq_longs:
         seq_long = union_all(seq_longs)
@@ -255,19 +251,13 @@ def _build(
         )
         # conform: a bucket with no full window materializes [null]*size, not
         # a scalar null (reference transforms/vector/conform.py:10-75 list
-        # handling, asserted by the identity-alignment fixture)
+        # handling, asserted by the identity-alignment fixture) — deferred to
+        # after lattice densification like the multi-value conformance
         size_of_base = {
             s.id: s.sequence.size for s, _ in specs if s.sequence is not None
         }
         for sid in ids:
-            size = size_of_base[col_base[sid]]
-            wide = wide.withColumn(
-                sid,
-                F.coalesce(
-                    F.col(sid),
-                    F.array(*[F.lit(None).cast("double") for _ in range(size)]),
-                ),
-            )
+            list_conform[sid] = size_of_base[col_base[sid]]
 
     assert wide is not None
     # explicit argument wins; else the dataset.yaml `metadata:` section
@@ -275,6 +265,21 @@ def _build(
         window_mode = cfg.metadata.window_mode
     if window_mode is not None:
         wide = _window_clip(wide, cadence, spec_longs, window_mode)
+    # ---- rectangular key lattice (reference sample/input.py:37 rectangular
+    # =True on every serve: pipelines/sample/keys.py:16-121 dense lattice) —
+    # every cadence tick inside each sample key's observed [first, last]
+    # domain emits a sample row, absent cells as nulls. The grid derives
+    # from the (already window-clipped) assembled samples, matching the
+    # metadata sample-domain plan.
+    wide = rectangular_samples(wide, cadence, keys)
+    for sid, length in sorted(list_conform.items()):
+        wide = wide.withColumn(
+            sid,
+            F.coalesce(
+                F.col(sid),
+                F.array(*[F.lit(None).cast("double") for _ in range(length)]),
+            ),
+        )
     kind_of = {s.id: k for s, k in specs}
     for col, base in col_base.items():
         col_kind[col] = kind_of[base]

@@ -15,6 +15,17 @@ samples from both streams with per-fold standardization over 2 walk-forward
 folds (scaler fit + leakage-safe split routing included in both timings).
 
 Usage: python tools/bench_vs_reference.py [--rows 200000] [--skip-reference]
+       [--scenario chain|fusion]
+
+Scenarios:
+- chain (default): the 2-stream window-transform chain described above.
+- fusion: the join-heavy shape — two location-partitioned streams plus an
+  unpartitioned global baseline; a broadcast combine (exact-time global
+  index), an n-way align on (location, time), and per-location window
+  transforms, assembled into per-location samples. Both engines read the
+  SAME project: the combine entrypoint is a generic `select` combiner that
+  this tool also provides to the reference (reference combiners receive
+  positional records + YAML args, so `order:` in the args names them).
 """
 
 from __future__ import annotations
@@ -137,6 +148,211 @@ split:
     )
 
 
+def generate_fusion_project(root: Path, rows: int, locations: int = 50) -> None:
+    """Join-heavy project: streams `a` and `b` partitioned by location with
+    ~1% gaps, a gap-free unpartitioned `baseline` broadcast onto `a` by exact
+    time, then align[adjusted, b] per (location, time)."""
+    shutil.rmtree(root, ignore_errors=True)
+    steps = max(rows // locations, 8)
+    t_split1 = START + timedelta(seconds=CADENCE_S * int(steps * 0.5))
+    t_split2 = START + timedelta(seconds=CADENCE_S * int(steps * 0.75))
+
+    for name, scale_v in (("a", 1.0), ("b", 2.0)):
+        lines = []
+        for j in range(locations):
+            t = START
+            for i in range(steps):
+                if (i + j) % 97 != 0:  # per-location gap pattern
+                    v = round((i % 1000) * scale_v + ((i + j) % 7) * 0.25, 2)
+                    lines.append(
+                        '{"time": "%s", "location": "loc%02d", "value": %s}'
+                        % (t.strftime("%Y-%m-%dT%H:%M:%SZ"), j, v)
+                    )
+                t += timedelta(seconds=CADENCE_S)
+        _write(root / "data" / f"{name}.jsonl", "\n".join(lines))
+        _write(
+            root / "sources" / f"{name}.yaml",
+            f"""id: fusion.{name}
+parser:
+  entrypoint: core.temporal_record
+loader:
+  transport: fs
+  path: data/{name}.jsonl
+  reader: {{ format: jsonl }}
+""",
+        )
+    base_lines = []
+    t = START
+    for i in range(steps):
+        base_lines.append(
+            '{"time": "%s", "value": %s}'
+            % (t.strftime("%Y-%m-%dT%H:%M:%SZ"), round(i * 0.5, 2))
+        )
+        t += timedelta(seconds=CADENCE_S)
+    _write(root / "data" / "baseline.jsonl", "\n".join(base_lines))
+    _write(
+        root / "sources" / "baseline.yaml",
+        """id: fusion.baseline
+parser:
+  entrypoint: core.temporal_record
+loader:
+  transport: fs
+  path: data/baseline.jsonl
+  reader: { format: jsonl }
+""",
+    )
+    _write(
+        root / "streams" / "baseline.yaml",
+        """id: fusion.baseline
+from: { source: fusion.baseline }
+map:
+  entrypoint: identity
+  args: {}
+""",
+    )
+    _write(
+        root / "streams" / "a.yaml",
+        """id: fusion.a
+from: { source: fusion.a }
+map:
+  entrypoint: identity
+  args: {}
+partition_by: [location]
+transforms:
+  - { operation: fill, statistic: mean, window: 6, min_samples: 1, field: value }
+  - { operation: rolling, statistic: mean, window: 6, min_samples: 1, field: value, to: roll6 }
+""",
+    )
+    _write(
+        root / "streams" / "b.yaml",
+        """id: fusion.b
+from: { source: fusion.b }
+map:
+  entrypoint: identity
+  args: {}
+partition_by: [location]
+transforms:
+  - { operation: lag, periods: 1, field: value, to: prev }
+""",
+    )
+    _write(
+        root / "streams" / "adjusted.yaml",
+        """id: fusion.adjusted
+from:
+  stream: fusion.a
+  broadcast: fusion.baseline
+combine:
+  entrypoint: select
+  args:
+    order: [fusion.a, fusion.baseline]
+    fields:
+      location: fusion.a.location
+      raw: fusion.a.value
+      base: fusion.baseline.value
+    derive:
+      - { to: value, left: raw, operator: add, right_field: base }
+""",
+    )
+    _write(
+        root / "streams" / "paired.yaml",
+        """id: fusion.paired
+from:
+  align: [fusion.adjusted, fusion.b]
+combine:
+  entrypoint: select
+  args:
+    order: [fusion.adjusted, fusion.b]
+    fields:
+      location: fusion.adjusted.location
+      adj: fusion.adjusted.value
+      raw_b: fusion.b.value
+    derive:
+      - { to: value, left: adj, operator: sub, right_field: raw_b }
+""",
+    )
+    _write(
+        root / "project.yaml",
+        """schema_version: 3
+artifact_revision: 1
+name: h2h_fusion
+paths:
+  streams: streams
+  sources: sources
+  dataset: dataset.yaml
+  artifacts: artifacts
+  profiles: profiles
+""",
+    )
+    _write(root / "profiles" / "serve.defaults.yaml", "artifact_mode: FORCE\n")
+    _write(
+        root / "profiles" / "serve.dataset.yaml",
+        """operation: dataset
+output:
+  transport: fs
+  format: jsonl
+  directory: output
+observability:
+  visuals: OFF
+  heartbeat_interval_seconds: 0
+  logging:
+    level: CRITICAL
+    outputs:
+      - transport: STDERR
+""",
+    )
+    _write(
+        root / "dataset.yaml",
+        f"""sample:
+  cadence: 10m
+  keys: [location]
+features:
+  - {{ id: a_roll, stream: fusion.a, field: roll6, scale: true }}
+  - {{ id: adj, stream: fusion.adjusted, field: value, scale: false }}
+targets:
+  - {{ id: uplift, stream: fusion.paired, field: value, scale: true }}
+split:
+  mode: time
+  intervals:
+    - {{ id: train_0, until: "{t_split1.strftime('%Y-%m-%dT%H:%M:%SZ')}" }}
+    - {{ id: validation_0, until: "{t_split2.strftime('%Y-%m-%dT%H:%M:%SZ')}" }}
+    - {{ id: test_0 }}
+  folds:
+    - {{ id: fold_0, train: [train_0], validation: [validation_0], test: [test_0] }}
+""",
+    )
+
+
+def _make_reference_select():
+    """Generic `select` combiner for the REFERENCE runtime, mirroring the
+    Spark registry's declarative select (fields + null-propagating derive).
+    Reference combiners are called as combine(*records, **args); `order`
+    names the positional records by stream id."""
+    from datapipeline.domain.record import TemporalRecord
+
+    def select(*records, order=(), fields=None, derive=()):
+        by_id = dict(zip(order, records))
+        rec = TemporalRecord(time=records[0].time)
+        for out, ref in (fields or {}).items():
+            sid = next(s for s in sorted(by_id, key=len, reverse=True) if ref.startswith(s + "."))
+            setattr(rec, out, getattr(by_id[sid], ref[len(sid) + 1 :]))
+        for d in derive:
+            left = getattr(rec, d["left"])
+            right = d["right_value"] if "right_value" in d else getattr(rec, d["right_field"])
+            if left is None or right is None:
+                val = None
+            else:
+                val = {
+                    "add": left + right,
+                    "sub": left - right,
+                    "mul": left * right,
+                    "div": (left / right) if right else None,
+                }[d["operator"]]
+            setattr(rec, d["to"], val)
+        return rec
+
+    return select
+
+
 # --------------------------------------------------------------- reference run
 
 
@@ -214,6 +430,8 @@ def run_reference(root: Path) -> dict:
     original = dp_load.load_ep
 
     def load_ep(group: str, name: str):
+        if group == "datapipeline.combiners" and name == "select":
+            return _make_reference_select()
         target = targets.get((group, name))
         if target:
             module, attr = target.split(":")
@@ -267,16 +485,20 @@ def run_spark(root: Path, out_dir: Path) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--scenario", choices=("chain", "fusion"), default="chain")
     ap.add_argument("--skip-reference", action="store_true")
     ap.add_argument("--workdir", default="/tmp/h2h_bench")
     args = ap.parse_args()
 
     ref_root = Path(args.workdir) / "ref_project"
     spark_root = Path(args.workdir) / "spark_project"
-    generate_project(ref_root, args.rows)
+    if args.scenario == "fusion":
+        generate_fusion_project(ref_root, args.rows)
+    else:
+        generate_project(ref_root, args.rows)
     shutil.copytree(ref_root, spark_root, dirs_exist_ok=True)
 
-    result = {"rows_per_stream": args.rows}
+    result = {"scenario": args.scenario, "rows_per_stream": args.rows}
     # Spark first (imports are isolated; reference run patches its own loader)
     result["spark"] = run_spark(spark_root, Path(args.workdir) / "spark_out")
     if not args.skip_reference:
