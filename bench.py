@@ -86,6 +86,7 @@ HEADLINE = [
     "novelty_score",
     "funnel_conversion",
     "weekly_retention",
+    "vocab_growth",
 ]
 
 

@@ -419,6 +419,48 @@ def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_growth",
+    """
+WITH d AS (SELECT doc_id, {words} AS w FROM documents),
+n AS (SELECT count(*) AS total FROM d),
+tok AS (
+  SELECT least((d.doc_id * 10) // n.total, 9) AS decile,
+         w[t.i] || ' ' || w[t.i + 1] || ' ' || w[t.i + 2] AS g
+  FROM d CROSS JOIN n CROSS JOIN generate_series(1, 1000) t(i)
+  WHERE t.i + 2 <= len(w)
+),
+first AS (SELECT g, min(decile) AS first_decile FROM tok GROUP BY g),
+per AS (SELECT first_decile AS decile, count(*) AS new_terms FROM first GROUP BY 1)
+SELECT decile, new_terms,
+       sum(new_terms) OVER (ORDER BY decile) AS cum_vocab
+FROM per
+""".format(words=WORDS),
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth over trigrams: split the corpus into 10
+    ingestion-order deciles (by doc id) and count how many distinct trigrams
+    FIRST appear in each — the curve that tells you whether more data still
+    buys new n-gram vocabulary. Cumulative-distinct without recursion:
+    min-decile per term (one aggregate), term counts per decile (10 rows),
+    running sum over those 10 rows. The token stream shuffles once,
+    pre-aggregated."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    total = d.count()  # plan-time scalar, like the pivot id list
+    tok = word_shingles(d, "doc_id", "text", 3).select(
+        F.least(F.expr(f"doc_id * 10 DIV {total}"), F.lit(9).cast("long")).alias("decile"),
+        F.col("shingle").alias("g"),
+    )
+    first = tok.groupBy("g").agg(F.min("decile").alias("first_decile"))
+    per = first.groupBy(F.col("first_decile").alias("decile")).agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.withColumn("cum_vocab", F.sum("new_terms").over(w))
+
+
 _SEG_GRAM = " || ' ' || ".join(f"w[t.i + {j}]" for j in range(8))
 
 
