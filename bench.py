@@ -39,8 +39,11 @@ HEADLINE = [
     "sample_multivalue",
     "scaler_standardize",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_regional_revenue",
+    "q10_returned_revenue",
     "q18_large_orders",
+    "bucketed_join_revenue",
     "semi_join_customers",
     "anti_join_customers",
     "skew_salted_agg",

@@ -374,6 +374,85 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_order_priority",
+    """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS over the fact table as a LEFT SEMI join with a
+    non-equi residual (l_shipdate > o_orderdate). The quarter filter prunes
+    orders at the scan; the semi join emits each order once regardless of
+    how many lineitems match, so the aggregate input is bounded by orders,
+    not lineitems."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1997, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1997, 4, 1)))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue-by-customer. Both fact filters pushed
+    to the scans; high-cardinality group key (customer) with a partial
+    aggregate below the shuffle; top-20 as TakeOrderedAndProject with a
+    deterministic custkey tiebreak."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1997, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1997, 7, 1)))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
     "semi_join_customers",
     """
 SELECT c.c_custkey, c.c_name, c.c_mktsegment
@@ -466,6 +545,68 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
         (F.floor(F.col("avg_cents") / 100.0 * 1e6 + 0.5) / 1e6).alias("avg_value"),
+    )
+
+
+@query(
+    "bucketed_join_revenue",
+    """
+SELECT o.o_orderstatus, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-layout lever as an oracle-checked query: orders and
+    lineitem are staged ONCE per sf_dir as co-bucketed tables (hashed on
+    orderkey into 8 sorted buckets, io/writers.write_bucketed_table) and the
+    fact-to-fact join then reads pre-hashed co-located buckets — Catalyst
+    plans it with ZERO shuffle Exchange on either side (asserted in
+    tests/test_plan_quality.py). Numerically identical to the plain join
+    the oracle runs. At 100 TB this is the recurring-join answer: pay the
+    hash-distribution once at write time, never at query time."""
+    import hashlib as _h
+    import os as _os
+
+    from datapipeline_spark.io.writers import write_bucketed_table
+
+    # cache key covers source file stats: regenerated driver data invalidates
+    stamp = _os.path.abspath(sf_dir)
+    for t in ("orders", "lineitem"):
+        try:
+            st = _os.stat(_os.path.join(sf_dir, f"{t}.parquet"))
+            stamp += f"|{st.st_size}|{st.st_mtime_ns}"
+        except OSError:
+            pass
+    key = _h.sha256(stamp.encode()).hexdigest()[:10]
+    names = {}
+    for t, bucket_col, sort_col in (
+        ("orders", "o_orderkey", "o_orderkey"),
+        ("lineitem", "l_orderkey", "l_orderkey"),
+    ):
+        name = f"bjr_{t}_{key}"
+        names[t] = name
+        if not spark.catalog.tableExists(name):
+            write_bucketed_table(
+                load_table(spark, sf_dir, t),
+                name,
+                bucket_by=[bucket_col],
+                num_buckets=8,
+                sort_by=[sort_col],
+                path=f"/tmp/spark_graft_bucketed/{name}",
+            )
+    l = spark.table(names["lineitem"])
+    o = spark.table(names["orders"])
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
 
 

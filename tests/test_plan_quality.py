@@ -189,3 +189,22 @@ def test_winsorize_plan(spark):
     # thresholds come back via broadcast joins; the fact rows never sort
     assert plan.count("BroadcastHashJoin") >= 2
     assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_bucketed_join_query_plan(spark):
+    from datapipeline_spark.queries_core import bucketed_join_revenue
+
+    # at tiny SF the planner correctly broadcasts (also shuffle-free);
+    # disable broadcast to expose the bucketed sort-merge path that carries
+    # the 100 TB case
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(bucketed_join_revenue(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("Bucketed: true") == 2
+    assert "SortMergeJoin" in plan
+    # co-bucketed scans join with no shuffle on either side — the only
+    # Exchange left is the final 3-row aggregation
+    assert _shuffles(plan) <= 1
