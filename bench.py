@@ -40,6 +40,7 @@ HEADLINE = [
     "scaler_standardize",
     "q3_shipping_priority",
     "q4_order_priority",
+    "q6_forecast_revenue",
     "q5_regional_revenue",
     "q10_returned_revenue",
     "q18_large_orders",

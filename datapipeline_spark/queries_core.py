@@ -374,6 +374,71 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_forecast_revenue",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-aggregate — every predicate pushed into the
+    parquet scan (range on shipdate, between on discount, bound on
+    quantity), a 3-column ReadSchema of 11, and a single-row global
+    aggregate. The cheapest possible plan: no join, no wide shuffle, one
+    partial-agg exchange of one row per task."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(datetime(1998, 1, 1)))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "cumulative_users",
+    """
+WITH {base},
+seen AS (SELECT user_id, date_trunc('day', time) AS day FROM base GROUP BY 1, 2),
+first AS (SELECT user_id, min(day) AS first_day FROM seen GROUP BY user_id),
+per AS (SELECT first_day AS day, count(*) AS new_users FROM first GROUP BY 1)
+SELECT day, new_users,
+       sum(new_users) OVER (ORDER BY day) AS cum_users
+FROM per
+""".format(base=EVENTS_BASE),
+)
+def cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day without a running COUNT(DISTINCT):
+    first-seen day per user (one aggregate), new-user counts per day (tiny),
+    running sum over the per-day rows — the same first-occurrence trick as
+    vocab_growth, and the scalable form of every 'growth curve' dashboard."""
+    from pyspark.sql import Window
+
+    s = events_stream(spark, sf_dir)
+    seen = s.select("user_id", F.date_trunc("day", F.col("time")).alias("day")).distinct()
+    first = seen.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per.withColumn("cum_users", F.sum("new_users").over(w))
+
+
+@query(
     "q4_order_priority",
     """
 SELECT o.o_orderpriority, count(*) AS order_count

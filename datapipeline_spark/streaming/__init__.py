@@ -1,6 +1,7 @@
 from datapipeline_spark.streaming.ops import (
     cadence_assembly_stream,
     dedupe_stream,
+    idempotent_batch_sink,
     interval_join_stream,
     rolling_mean_stream,
     sessionize_stream,
@@ -11,6 +12,7 @@ from datapipeline_spark.streaming.ops import (
 __all__ = [
     "cadence_assembly_stream",
     "dedupe_stream",
+    "idempotent_batch_sink",
     "interval_join_stream",
     "rolling_mean_stream",
     "sessionize_stream",

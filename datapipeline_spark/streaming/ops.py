@@ -277,3 +277,28 @@ def sessionize_stream(
             "n_events",
         )
     )
+
+
+def idempotent_batch_sink(path: str):
+    """foreachBatch sink with exactly-once delivery by idempotence.
+
+    Structured Streaming guarantees at-least-once invocation of
+    foreachBatch: after a failure the SAME batch_id is replayed with the
+    SAME data. Writing each micro-batch to its own `batch_id=<n>` directory
+    and skipping directories that already committed (`_SUCCESS` marker)
+    makes the replay a no-op — the standard exactly-once file-sink pattern
+    when the built-in file sink's log can't be used (e.g. custom layouts,
+    multi-table fan-out). The output is itself a readable hive-partitioned
+    dataset.
+
+    Returns the function to pass to ``writeStream.foreachBatch``.
+    """
+    import os
+
+    def process(batch_df, batch_id: int) -> None:
+        out = os.path.join(path, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            return  # replayed after failure: already committed, skip
+        batch_df.write.mode("overwrite").parquet(out)
+
+    return process

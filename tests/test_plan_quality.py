@@ -208,3 +208,20 @@ def test_bucketed_join_query_plan(spark):
     # co-bucketed scans join with no shuffle on either side — the only
     # Exchange left is the final 3-row aggregation
     assert _shuffles(plan) <= 1
+
+
+def test_q6_plan(spark):
+    from datapipeline_spark.queries_core import q6_forecast_revenue
+
+    plan = _plan(q6_forecast_revenue(spark, SF))
+    # every predicate reaches the scan (PushedFilters is truncated in
+    # toString, so check the Filter node + the pushed-filter prefix)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert re.search(r"l_shipdate#\d+ >= 1997-01-01", plan)
+    assert re.search(r"l_quantity#\d+ < 24", plan)
+    # 4 of 11 lineitem columns read
+    assert re.search(
+        r"ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        r"l_discount:double,l_shipdate", plan
+    )
+    assert _shuffles(plan) <= 1

@@ -230,3 +230,42 @@ def test_stream_static_enrich_matches_batch(spark):
     a = sorted(tuple(r) for r in got.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert a == b and len(a) > 0
+
+
+def test_idempotent_batch_sink_exactly_once(spark, tmp_path):
+    """foreachBatch sink: at-least-once replays of the same batch_id commit
+    exactly once (idempotence via the _SUCCESS marker), and the sink output
+    reads back equal to the batch content."""
+    import os
+
+    from datapipeline_spark.streaming import idempotent_batch_sink
+
+    src = str(tmp_path / "src")
+    spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(src)
+    schema = "id long, v long"
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    out = str(tmp_path / "sink")
+    process = idempotent_batch_sink(out)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 100
+    assert sorted(r["v"] for r in got.collect()) == [2 * i for i in range(100)]
+
+    # simulate the at-least-once replay: same batch_id, same data
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert len(batch_dirs) == 1
+    replay_id = int(batch_dirs[0].split("=")[1])
+    process(spark.read.parquet(src), replay_id)  # must be a no-op
+    assert spark.read.parquet(out).count() == 100
+
+    # a NEW batch id commits normally
+    process(spark.range(5).selectExpr("id", "id AS v"), replay_id + 1)
+    assert spark.read.parquet(out).count() == 105
