@@ -41,6 +41,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q4_order_priority",
     "q6_forecast_revenue",
+    "q14_promo_share",
     "q5_regional_revenue",
     "q10_returned_revenue",
     "q18_large_orders",
@@ -88,6 +89,8 @@ HEADLINE = [
     "shared_passage_pairs",
     "drift_psi",
     "novelty_score",
+    "daily_type_pivot",
+    "monthly_revenue_growth",
     "funnel_conversion",
     "weekly_retention",
     "vocab_growth",

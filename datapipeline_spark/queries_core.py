@@ -374,6 +374,115 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "daily_type_pivot",
+    """
+WITH {base}
+SELECT date_trunc('day', time) AS day,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+FROM base
+GROUP BY date_trunc('day', time)
+""".format(base=EVENTS_BASE),
+)
+def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical pivot as one conditional aggregate: event-type counts per
+    day spread into columns. `pivot()` with an explicit value list compiles
+    to exactly these CASE aggregates — one pass, one shuffle, no
+    distinct-scan job for the column set."""
+    s = events_stream(spark, sf_dir)
+    out = (
+        s.groupBy(F.date_trunc("day", F.col("time")).alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {"click": "clicks", "view": "views", "purchase": "purchases", "error": "errors"}
+    for old, new in renames.items():
+        out = out.withColumn(new, F.coalesce(F.col(old), F.lit(0)).cast("long")).drop(old)
+    return out
+
+
+@query(
+    "monthly_revenue_growth",
+    """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       round(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS revenue,
+       floor(CAST(rev_cents - lag(rev_cents) OVER (ORDER BY month) AS DOUBLE)
+             / lag(rev_cents) OVER (ORDER BY month) * 1000000 + 0.5) / 1000000.0
+         AS mom_growth
+FROM m
+""",
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-window composition: monthly revenue (exact integer
+    cents) with month-over-month growth via lag over the ~80-row aggregated
+    series — the window runs on the tiny post-aggregation frame, never on
+    the fact table. Growth ratio uses the floor-rounding convention."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    growth = (
+        F.floor(
+            (F.col("rev_cents") - prev).cast("double") / prev * F.lit(1000000) + 0.5
+        )
+        / 1000000.0
+    )
+    return m.select(
+        "month",
+        F.round(F.col("rev_cents").cast("double") / 100.0, 2).alias("revenue"),
+        growth.alias("mom_growth"),
+    )
+
+
+@query(
+    "q14_promo_share",
+    """
+SELECT round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2)
+         AS promo_revenue,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+""",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-revenue share — conditional sum over a
+    broadcast dimension join (part), month filter pushed to the lineitem
+    scan, single-row result. The promo/total ratio is left to the consumer
+    so both sums stay independently checkable."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1997, 3, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1997, 4, 1)))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))),
+                2,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
     "q6_forecast_revenue",
     """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
