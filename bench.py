@@ -42,6 +42,7 @@ HEADLINE = [
     "q4_order_priority",
     "q6_forecast_revenue",
     "q14_promo_share",
+    "q7_nation_volume",
     "q5_regional_revenue",
     "q10_returned_revenue",
     "q18_large_orders",
@@ -91,6 +92,7 @@ HEADLINE = [
     "novelty_score",
     "daily_type_pivot",
     "monthly_revenue_growth",
+    "json_props_stats",
     "funnel_conversion",
     "weekly_retention",
     "vocab_growth",
