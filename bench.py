@@ -43,6 +43,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q14_promo_share",
     "q7_nation_volume",
+    "q19_disjunctive_revenue",
     "q5_regional_revenue",
     "q10_returned_revenue",
     "q18_large_orders",

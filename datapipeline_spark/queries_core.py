@@ -567,6 +567,46 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q19_disjunctive_revenue",
+    """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunction predicates spanning both join
+    sides. Catalyst derives the common single-side implications (brand set
+    on part, quantity hull on lineitem) and pushes them to the scans; the
+    full disjunction evaluates as the join residual. Part is broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    blocks = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(blocks)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
     "q6_forecast_revenue",
     """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

@@ -356,3 +356,63 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(out, "streaming_quality_mem", "append")
     return spark.table("streaming_quality_mem")
+
+
+@query(
+    "streaming_left_interval_join",
+    """
+WITH {base},
+p AS (SELECT user_id, time, event_id FROM base WHERE event_type = 'purchase'),
+c AS (SELECT user_id, time AS time_r, event_id AS event_id_r
+      FROM base WHERE event_type = 'click')
+SELECT p.user_id, p.time, p.event_id, c.time_r, c.event_id_r
+FROM p LEFT JOIN c ON p.user_id = c.user_id
+ AND c.time_r BETWEEN p.time - INTERVAL 1 HOUR AND p.time
+""".format(base=EVENTS_BASE),
+)
+def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits, with
+    nulls when no click preceded it within an hour. Outer results are held
+    in state until the watermark passes their window, so the bounded run
+    appends a heartbeat row beyond max(time)+lookback+watermark on both
+    sides (filtered from the output) to drain the tail deterministically —
+    the punctuation pattern any bounded replay of an outer streaming join
+    needs. Oracle: the batch LEFT JOIN."""
+    from datapipeline_spark.streaming import interval_join_stream
+
+    staging = _staged_events(spark, sf_dir)
+    key = hashlib.sha256(staging.encode()).hexdigest()[:8]
+    hb_dir = f"/tmp/spark_graft_stream_hb_{key}"
+    if not os.path.exists(os.path.join(hb_dir, "_SUCCESS")):
+        base = spark.read.parquet(staging)
+        flush = base.select(F.max("time").alias("m")).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(-1).cast("long").alias("user_id"),
+            (F.col("m") + F.expr("INTERVAL 4 HOURS")).alias("time"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit("heartbeat").alias("event_type"),
+            F.lit(None).cast("double").alias("value_n"),
+        )
+        base.select(
+            "event_id", "user_id", "time", "value", "event_type", "value_n"
+        ).unionByName(flush).coalesce(1).write.mode("overwrite").parquet(hb_dir)
+    purchases = (
+        _stream_of(spark, hb_dir)
+        .filter(F.col("event_type").isin("purchase", "heartbeat"))
+        .select("user_id", "time", "event_id")
+    )
+    clicks = (
+        _stream_of(spark, hb_dir)
+        .filter(F.col("event_type").isin("click", "heartbeat"))
+        .select("user_id", "time", "event_id")
+    )
+    out = interval_join_stream(
+        purchases, clicks, ["user_id"], lookback="1h", how="leftOuter"
+    )
+    name = "stream_loj_" + key
+    _run_to_memory(out, name, "append")
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "time", "event_id", "time_r", "event_id_r")
+    )

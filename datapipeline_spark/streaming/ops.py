@@ -212,8 +212,9 @@ def interval_join_stream(
     time_field: str = "time",
     right_suffix: str = "_r",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: pair each left row with right rows sharing
+    """Stream-stream join: pair each left row with right rows sharing
     `keys` whose time falls in ``[left.time - lookback, left.time]``.
 
     The unbounded analogue of the reference's alignment joins (SURVEY.md §2.5
@@ -223,7 +224,16 @@ def interval_join_stream(
     bounded. Inner-join results emit as soon as both sides match — no
     watermark-close wait. All non-key right columns are suffixed with
     `right_suffix`.
+
+    ``how`` may be "inner" or "leftOuter". Outer results (left rows with no
+    match) are held back until the watermark passes their window, so in a
+    bounded run the tail of the stream only flushes if something advances
+    the watermark beyond it — append a heartbeat/punctuation row past
+    ``max(time) + lookback + watermark`` (and filter it from the output) to
+    drain the state deterministically.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"interval_join_stream supports inner/leftOuter, got {how!r}")
     lb_s = parse_timecode_seconds(lookback)
     l = left.withWatermark(time_field, watermark)
     renames = {
@@ -238,7 +248,7 @@ def interval_join_stream(
     ) & (rt <= F.col(time_field))
     for k in keys:
         join_cond = join_cond & (l[k] == r[k])
-    out = l.join(r, join_cond, "inner")
+    out = l.join(r, join_cond, how)
     # drop the duplicate key columns from the right side
     for k in keys:
         out = out.drop(r[k])
