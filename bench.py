@@ -94,6 +94,7 @@ HEADLINE = [
     "daily_type_pivot",
     "monthly_revenue_growth",
     "json_props_stats",
+    "dq_report",
     "funnel_conversion",
     "weekly_retention",
     "vocab_growth",

@@ -374,6 +374,38 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_report",
+    """
+WITH {base}
+SELECT event_type,
+       count(*) AS n_rows,
+       sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS n_missing,
+       sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS n_nan,
+       sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS n_inf,
+       sum(CASE WHEN time IS NULL THEN 1 ELSE 0 END) AS n_null_time,
+       count(DISTINCT user_id) AS n_users
+FROM base GROUP BY event_type
+""".format(base=EVENTS_BASE),
+)
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit in one pass: per-group missing/NaN/Inf/null-time
+    counters — the report form of the reference's fail-fast contracts
+    (domain/value.py rejects Inf, map_records demands tz-aware time). In a
+    lazy engine the check runs as an aggregate you alert on, instead of an
+    exception mid-stream; operators/validate.py holds the raising variants."""
+    s = events_stream(spark, sf_dir)
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        one(F.col("value_n").isNull()).alias("n_missing"),
+        one(F.isnan("value")).alias("n_nan"),
+        one(F.abs(F.col("value")) == float("inf")).alias("n_inf"),
+        one(F.col("time").isNull()).alias("n_null_time"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
     "json_props_stats",
     """
 WITH j AS (

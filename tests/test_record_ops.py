@@ -203,3 +203,79 @@ def test_validate_stream_infinity_and_null_time(spark):
     )
     with _pytest.raises(ContractViolation, match="null time"):
         validate_stream(null_t, ["g"])
+
+
+class TestAnalyticsQueries:
+    """Hand-computed golden values for the event-analytics queries (their
+    oracles check engine parity; these pin the intended semantics)."""
+
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, time timestamp, value double, event_type string"
+        )
+
+    def test_funnel_counts_only_purchases_after_first_click(self, spark, monkeypatch):
+        from datetime import datetime
+
+        import datapipeline_spark.queries_core as qc
+
+        rows = [
+            # user 1: purchase BEFORE first click → not converted
+            (1, 1, datetime(2024, 1, 1, 9), 1.0, "purchase"),
+            (2, 1, datetime(2024, 1, 1, 10), 1.0, "click"),
+            # user 2: click then purchase 30 min later → converted
+            (3, 2, datetime(2024, 1, 1, 10), 1.0, "click"),
+            (4, 2, datetime(2024, 1, 1, 10, 30), 1.0, "purchase"),
+            # user 3: click then purchase 2h later → outside the hour
+            (5, 3, datetime(2024, 1, 1, 10), 1.0, "click"),
+            (6, 3, datetime(2024, 1, 1, 12), 1.0, "purchase"),
+        ]
+        df = self._events(spark, rows)
+        monkeypatch.setattr(
+            qc, "events_stream", lambda _s, _d: df.withColumn("value_n", df.value)
+        )
+        got = {r["user_id"]: r["converted"] for r in qc.funnel_conversion(spark, "_").collect()}
+        assert got == {1: 0, 2: 1, 3: 0}
+
+    def test_retention_week2_window(self, spark, monkeypatch):
+        from datetime import datetime
+
+        import datapipeline_spark.queries_core as qc
+
+        rows = [
+            # user 1: first seen day 1, active day 8 → retained
+            (1, 1, datetime(2024, 1, 1), 1.0, "click"),
+            (2, 1, datetime(2024, 1, 8), 1.0, "click"),
+            # user 2: first seen day 1, active day 14 → outside days 7-13
+            (3, 2, datetime(2024, 1, 1), 1.0, "click"),
+            (4, 2, datetime(2024, 1, 15), 1.0, "click"),
+        ]
+        df = self._events(spark, rows)
+        monkeypatch.setattr(
+            qc, "events_stream", lambda _s, _d: df.withColumn("value_n", df.value)
+        )
+        out = {
+            (r["cohort_day"].day): (r["n_users"], r["n_retained"])
+            for r in qc.weekly_retention(spark, "_").collect()
+        }
+        assert out == {1: (2, 1)}
+
+    def test_winsorize_clips_to_inclusive_band(self, spark, monkeypatch):
+        from datetime import datetime
+
+        import datapipeline_spark.queries_core as qc
+
+        # 100 values 1..100 in one group: p1 = 1st percentile value (cum>=1),
+        # p99 threshold = smallest v with 100*cum >= 99*n → v = 99
+        rows = [
+            (i, 1, datetime(2024, 1, 1, 0, min(i % 60, 59)), float(i), "click")
+            for i in range(1, 101)
+        ]
+        df = self._events(spark, rows)
+        monkeypatch.setattr(
+            qc, "events_stream", lambda _s, _d: df.withColumn("value_n", df.value)
+        )
+        got = {r["value"]: r["clipped"] for r in qc.winsorize_values(spark, "_").collect()}
+        assert got[100.0] == 99.0  # above p99 → clipped down
+        assert got[1.0] == 1.0  # p1 value itself survives (inclusive)
+        assert got[50.0] == 50.0  # interior untouched
