@@ -95,6 +95,7 @@ HEADLINE = [
     "monthly_revenue_growth",
     "json_props_stats",
     "dq_report",
+    "late_arrival_report",
     "funnel_conversion",
     "weekly_retention",
     "vocab_growth",

@@ -374,6 +374,54 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "late_arrival_report",
+    """
+WITH {base},
+o AS (
+  SELECT user_id, time, event_id,
+         max(time) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM base
+)
+SELECT user_id,
+       count(*) AS n_events,
+       sum(CASE WHEN time < hwm THEN 1 ELSE 0 END) AS n_out_of_order,
+       max(CASE WHEN time < hwm
+                THEN (epoch_us(hwm) - epoch_us(time)) // 1000000 ELSE 0 END)
+         AS max_lateness_s
+FROM o GROUP BY user_id
+""".format(base=EVENTS_BASE),
+)
+def late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit: per partition, how many records arrive
+    (by event_id, the arrival ordinal) with an event time behind the
+    partition's running high-water mark, and the worst lateness. This is the
+    report form of the reference's fail-fast unordered-input contract
+    (pipelines/stream/order.py raises; a watermark needs this number to be
+    sized). One window pass + one aggregate, exact integer microseconds."""
+    from pyspark.sql import Window
+
+    s = events_stream(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hwm = F.max("time").over(w)
+    late = F.col("time") < F.col("hwm")
+    lateness = F.expr("(unix_micros(hwm) - unix_micros(time)) DIV 1000000")
+    return (
+        s.withColumn("hwm", hwm)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_out_of_order"),
+            F.max(F.when(late, lateness).otherwise(F.lit(0))).alias("max_lateness_s"),
+        )
+    )
+
+
+@query(
     "dq_report",
     """
 WITH {base}
