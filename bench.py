@@ -86,6 +86,7 @@ HEADLINE = [
     "value_histogram",
     "embedding_stats",
     "rolling_corr",
+    "rolling_zscore",
     "asof_join_tolerance",
     "winsorize_values",
     "shared_passage_pairs",

@@ -1475,6 +1475,38 @@ def rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_zscore",
+    """
+WITH {base}
+SELECT event_id, user_id,
+       round(CASE WHEN count(value_n) OVER w4 >= 3
+                  THEN (value_n - avg(value_n) OVER w4)
+                       / nullif(stddev_samp(value_n) OVER w4, 0)
+             END, 6) AS zscore
+FROM base
+WINDOW w4 AS ({w} ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""".format(base=EVENTS_BASE, w=W),
+)
+def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling standardization: each value against its own trailing-window
+    mean/std — the online form of the dataset layer's scaler (which fits
+    global per-fold stats), used when the distribution drifts and a fixed
+    fit goes stale. Same frame/gating conventions as the other rolling ops;
+    shares their single Exchange+Sort."""
+    s = events_stream(spark, sf_dir)
+    w = canonical_window(["user_id"], ORDER).rowsBetween(-3, 0)
+    cnt = F.count("value_n").over(w)
+    z = (F.col("value_n") - F.avg("value_n").over(w)) / F.nullif(
+        F.stddev_samp("value_n").over(w), F.lit(0.0)
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        F.round(F.when(cnt >= 3, z), 6).alias("zscore"),
+    )
+
+
+@query(
     "rolling_corr",
     """
 WITH {base},
