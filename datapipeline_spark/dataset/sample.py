@@ -19,6 +19,14 @@ from datapipeline_spark.functions.time import floor_time_expr
 from datapipeline_spark.operators.ticks import tick_grid
 
 
+#: Cap on id discovery (`series_ids=None`): a pivot is one output COLUMN per
+#: id, so the id set must be configuration-scale (the reference's plans list
+#: them explicitly in YAML), never data-scale. The distinct-collect is bounded
+#: by this limit; above it the caller almost certainly wanted a groupBy, and
+#: we fail fast instead of building a 100k-column plan.
+MAX_DISCOVERED_SERIES_IDS = 10_000
+
+
 def assemble_samples(
     series: DataFrame,
     cadence: str,
@@ -26,11 +34,14 @@ def assemble_samples(
     series_ids: Sequence[str] | None = None,
     on_multiple: str = "last",
     sequence_ids: Sequence[str] = (),
+    max_discovered_ids: int = MAX_DISCOVERED_SERIES_IDS,
 ) -> DataFrame:
     """Pivot series rows into samples.
 
     - `series_ids`: explicit pivot list (recommended — static plan). None
-      triggers a distinct scan (fine interactively, avoid at scale).
+      triggers a distinct scan (fine interactively, avoid at scale), bounded
+      by `max_discovered_ids` — exceeding it raises rather than compiling an
+      unboundedly wide plan.
     - `on_multiple`: per (bucket, entity, id) bucket collision policy:
       'last' (by time — reference collapse-into-bucket), 'first', 'error'.
     - `sequence_ids`: ids whose bucketed values become ordered lists
@@ -41,7 +52,17 @@ def assemble_samples(
     keyed = series.select(bucket, *entity_keys, "series_id", "time", "value")
 
     if series_ids is None:
-        series_ids = [r[0] for r in keyed.select("series_id").distinct().collect()]
+        probe = (
+            keyed.select("series_id").distinct().limit(max_discovered_ids + 1).collect()
+        )
+        if len(probe) > max_discovered_ids:
+            raise ValueError(
+                f"assemble_samples: series_id discovery found more than "
+                f"{max_discovered_ids} distinct ids; a pivot emits one column "
+                f"per id, so pass an explicit series_ids list (or raise "
+                f"max_discovered_ids) if this width is intentional"
+            )
+        series_ids = [r[0] for r in probe]
 
     scalar_ids = [s for s in series_ids if s not in sequence_ids]
     if on_multiple == "last":

@@ -4,6 +4,16 @@ from datapipeline_spark.io.writers import (
     write_csv,
     write_jsonl,
     write_parquet,
+    write_pickle,
+    write_stdout,
 )
 
-__all__ = ["write_jsonl", "write_csv", "write_parquet", "materialize", "run_output_path"]
+__all__ = [
+    "write_jsonl",
+    "write_csv",
+    "write_parquet",
+    "write_pickle",
+    "write_stdout",
+    "materialize",
+    "run_output_path",
+]

@@ -119,6 +119,77 @@ def write_bucketed_table(
     w.saveAsTable(name)
 
 
+def write_pickle(df: DataFrame, path: str, overwrite: bool = True) -> int:
+    """Pickle-stream export sink (reference io/writers/pickle_writer.py:1-21,
+    io/factory.py:53-55): one local file of consecutively pickled row dicts,
+    written atomically (temp file + rename, mirroring AtomicBinaryFileSink).
+
+    Deliberately a DRIVER-SIDE export: the reference's pickle target is a
+    single local file for handoff into Python tooling, so rows stream through
+    ``toLocalIterator`` (one partition in memory at a time, never a full
+    collect). This is an edge sink for small exports — at scale use
+    ``write_parquet``/``write_table``; pickle is neither splittable nor
+    cross-language. Returns the row count written."""
+    import pickle
+
+    if not overwrite and os.path.exists(path):
+        raise FileExistsError(path)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    n = 0
+    try:
+        with open(tmp, "wb") as fh:
+            pickler = pickle.Pickler(fh, protocol=pickle.HIGHEST_PROTOCOL)
+            for row in df.toLocalIterator():
+                pickler.dump(row.asDict(recursive=True))
+                pickler.clear_memo()  # rows are independent; don't grow the memo
+                n += 1
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+    return n
+
+
+def write_stdout(
+    df: DataFrame,
+    format: str = "jsonl",
+    limit: int | None = None,
+    stream=None,
+) -> int:
+    """Stdout sink (reference io/sinks/stdout.py, io/factory.py:24-29):
+    stream rows to a text stream as JSON lines or plain text.
+
+    Driver-side by contract (stdout lives on the driver); rows arrive via
+    ``toLocalIterator`` so memory stays bounded — ``limit`` caps output for
+    previews. ``txt`` requires a single string column (matching the
+    reference's text_line_serializer on raw payloads)."""
+    import json as _json
+    import sys
+
+    out = sys.stdout if stream is None else stream
+    if format not in {"jsonl", "txt"}:
+        raise ValueError(f"Unsupported stdout format {format!r}")
+    if format == "txt":
+        cols = df.columns
+        if len(cols) != 1:
+            raise ValueError("txt output requires exactly one (string) column")
+    if limit is not None:
+        df = df.limit(limit)
+    n = 0
+    for row in df.toLocalIterator():
+        if format == "jsonl":
+            out.write(_json.dumps(row.asDict(recursive=True), default=str) + "\n")
+        else:
+            out.write(str(row[0]) + "\n")
+        n += 1
+    out.flush()
+    return n
+
+
 def materialize(df: DataFrame, path: str, format: str = "jsonl", gzip: bool = False) -> DataFrame:
     """Persist a stream checkpoint and return a reader over it."""
     spark = df.sparkSession

@@ -385,7 +385,7 @@ o AS (
 )
 SELECT user_id,
        count(*) AS n_events,
-       sum(CASE WHEN time < hwm THEN 1 ELSE 0 END) AS n_out_of_order,
+       CAST(sum(CASE WHEN time < hwm THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
        max(CASE WHEN time < hwm
                 THEN (epoch_us(hwm) - epoch_us(time)) // 1000000 ELSE 0 END)
          AS max_lateness_s
@@ -427,10 +427,10 @@ def late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {base}
 SELECT event_type,
        count(*) AS n_rows,
-       sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS n_missing,
-       sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS n_nan,
-       sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS n_inf,
-       sum(CASE WHEN time IS NULL THEN 1 ELSE 0 END) AS n_null_time,
+       CAST(sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+       CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) AS n_inf,
+       CAST(sum(CASE WHEN time IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_time,
        count(DISTINCT user_id) AS n_users
 FROM base GROUP BY event_type
 """.format(base=EVENTS_BASE),
@@ -462,7 +462,7 @@ WITH j AS (
 )
 SELECT event_type,
        count(*) AS n,
-       sum(k) AS k_sum,
+       CAST(sum(k) AS BIGINT) AS k_sum,
        min(k) AS k_min,
        max(k) AS k_max,
        count(DISTINCT k) AS k_distinct
@@ -542,10 +542,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH {base}
 SELECT date_trunc('day', time) AS day,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
 FROM base
 GROUP BY date_trunc('day', time)
 """.format(base=EVENTS_BASE),
@@ -594,6 +594,8 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
     )
+    # Global window — INTENTIONAL: input is the monthly aggregate (~80 rows,
+    # bounded by months in the data horizon), not the orders table.
     w = Window.orderBy("month")
     prev = F.lag("rev_cents").over(w)
     growth = (
@@ -730,7 +732,7 @@ seen AS (SELECT user_id, date_trunc('day', time) AS day FROM base GROUP BY 1, 2)
 first AS (SELECT user_id, min(day) AS first_day FROM seen GROUP BY user_id),
 per AS (SELECT first_day AS day, count(*) AS new_users FROM first GROUP BY 1)
 SELECT day, new_users,
-       sum(new_users) OVER (ORDER BY day) AS cum_users
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
 FROM per
 """.format(base=EVENTS_BASE),
 )
@@ -747,6 +749,10 @@ def cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = first.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.lit(1)).alias("new_users")
     )
+    # Global (unpartitioned) window — INTENTIONAL: it runs on the per-day
+    # aggregate, bounded by calendar days (~30 rows here, ~36k for a century),
+    # never on the event stream. The single-partition WindowExec WARN is
+    # expected and harmless at this cardinality.
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return per.withColumn("cum_users", F.sum("new_users").over(w))
 
@@ -885,7 +891,7 @@ WITH {base},
 cents AS (SELECT event_type, value, CAST(round(value * 100) AS BIGINT) AS v100 FROM base)
 SELECT event_type,
        count(*) AS n_events,
-       sum(v100) AS total_cents,
+       CAST(sum(v100) AS BIGINT) AS total_cents,
        min(value) AS min_value,
        max(value) AS max_value,
        floor(CAST(sum(v100) AS DOUBLE) / count(*) / 100.0 * 1000000 + 0.5) / 1000000.0 AS avg_value
@@ -1099,7 +1105,7 @@ ret AS (
   FROM cohort c JOIN seen s ON c.user_id = s.user_id
   GROUP BY 1, 2
 )
-SELECT cohort_day, count(*) AS n_users, sum(retained) AS n_retained
+SELECT cohort_day, count(*) AS n_users, CAST(sum(retained) AS BIGINT) AS n_retained
 FROM ret GROUP BY cohort_day
 """.format(base=EVENTS_BASE),
 )
@@ -1629,23 +1635,17 @@ def collapse_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ensure_cadence",
     """
 WITH {hourly},
-lagged AS (
-  SELECT user_id, time, value,
-         lag(time) OVER (PARTITION BY user_id ORDER BY time) AS prev
-  FROM hourly
-),
-gaps AS (
-  SELECT user_id,
-         unnest(generate_series(prev + INTERVAL 1 HOUR, time - INTERVAL 1 SECOND,
-                                INTERVAL 1 HOUR)) AS time,
-         CAST(NULL AS DOUBLE) AS value
-  FROM lagged WHERE prev IS NOT NULL
-)
-SELECT user_id, time, value FROM hourly
-UNION ALL SELECT user_id, time, value FROM gaps
+span AS (SELECT user_id, min(time) AS t0, max(time) AS t1 FROM hourly GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS time FROM span)
+SELECT g.user_id, g.time, h.value
+FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.time = h.time
 """.format(hourly=HOURLY_BASE),
 )
 def ensure_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Oracle note: interior gap-fill == full per-user hourly grid (min..max)
+    # left-joined back, because collapse leaves hour-floored unique rows; the
+    # grid form runs one generate_series per USER (linear, 0.7 s at sf0.1)
+    # instead of one per gap row (77 s) — same rows, same hash.
     return ops.ensure_cadence(hourly_stream(spark, sf_dir), "1h", ["user_id"])
 
 
@@ -1937,7 +1937,7 @@ flags AS (
 ),
 ids AS (
   SELECT user_id, time, event_id,
-         sum(new_s) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+         CAST(sum(new_s) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
   FROM flags
 )
 SELECT user_id, session_id,

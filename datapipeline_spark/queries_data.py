@@ -75,8 +75,7 @@ d AS (SELECT doc_id, {words} AS w FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS s
-    FROM d CROSS JOIN generate_series(1, 1000) g(i)
-    WHERE g.i < len(w)
+    FROM d, unnest(generate_series(1, len(w) - 1)) g(i)
   )
 )
 """.format(words=WORDS)
@@ -87,8 +86,7 @@ d AS (SELECT doc_id, {words} AS w FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id, {gram} AS s
-    FROM d CROSS JOIN generate_series(1, 1000) g(i)
-    WHERE g.i + 7 <= len(w)
+    FROM d, unnest(generate_series(1, len(w) - 7)) g(i)
   )
 )
 """.format(
@@ -191,14 +189,14 @@ uni AS (SELECT doc_id, unnest(w) AS g FROM d),
 uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
 ua AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_word_frac FROM uc GROUP BY doc_id),
 bi AS (SELECT doc_id, w[t.i] || ' ' || w[t.i + 1] AS g
-       FROM d CROSS JOIN generate_series(1, 1000) t(i) WHERE t.i < len(w)),
+       FROM d, unnest(generate_series(1, len(w) - 1)) t(i)),
 bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
 ba AS (SELECT doc_id,
               round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac,
               round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dup_bigram_frac
        FROM bc GROUP BY doc_id),
 tri AS (SELECT doc_id, w[t.i] || ' ' || w[t.i + 1] || ' ' || w[t.i + 2] AS g
-        FROM d CROSS JOIN generate_series(1, 1000) t(i) WHERE t.i + 2 <= len(w)),
+        FROM d, unnest(generate_series(1, len(w) - 2)) t(i)),
 tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
 ta AS (SELECT doc_id,
               round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dup_trigram_frac
@@ -254,6 +252,10 @@ def q_quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     q = quality_score(d).select("doc_id", "quality")
     hist = q.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
+    # Global window — INTENTIONAL: the cumulative sum runs on the quality
+    # HISTOGRAM (bounded by distinct rounded scores, ≤~1e6 buckets), which is
+    # the whole point of the histogram-percentile trick: no global sort of
+    # the documents themselves.
     cum = hist.withColumn(
         "cum",
         F.sum("c").over(
@@ -314,9 +316,9 @@ WITH d AS (
 ),
 scan AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (
+         CAST(coalesce(sum(n_tokens) OVER (
            ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS start_token
+         ), 0) AS BIGINT) AS start_token
   FROM d
 )
 SELECT doc_id, n_tokens, start_token,
@@ -387,7 +389,7 @@ WITH {bigrams},
 first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
 SELECT sh.doc_id,
        count(*) AS n_grams,
-       sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
+       CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
        round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 1.0
              / count(*), 6) AS novelty
 FROM sh JOIN first f USING (s)
@@ -427,13 +429,12 @@ n AS (SELECT count(*) AS total FROM d),
 tok AS (
   SELECT least((d.doc_id * 10) // n.total, 9) AS decile,
          w[t.i] || ' ' || w[t.i + 1] || ' ' || w[t.i + 2] AS g
-  FROM d CROSS JOIN n CROSS JOIN generate_series(1, 1000) t(i)
-  WHERE t.i + 2 <= len(w)
+  FROM d CROSS JOIN n, unnest(generate_series(1, len(w) - 2)) t(i)
 ),
 first AS (SELECT g, min(decile) AS first_decile FROM tok GROUP BY g),
 per AS (SELECT first_decile AS decile, count(*) AS new_terms FROM first GROUP BY 1)
 SELECT decile, new_terms,
-       sum(new_terms) OVER (ORDER BY decile) AS cum_vocab
+       CAST(sum(new_terms) OVER (ORDER BY decile) AS BIGINT) AS cum_vocab
 FROM per
 """.format(words=WORDS),
 )
@@ -457,6 +458,8 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = first.groupBy(F.col("first_decile").alias("decile")).agg(
         F.count(F.lit(1)).alias("new_terms")
     )
+    # Global window — INTENTIONAL: runs on the per-decile aggregate (10 rows
+    # by construction), never on the token stream.
     w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     return per.withColumn("cum_vocab", F.sum("new_terms").over(w))
 
@@ -471,8 +474,8 @@ WITH d AS (SELECT doc_id, {WORDS} AS w FROM documents),
 seg AS (
   SELECT DISTINCT doc_id,
          (('0x' || substr(md5({_SEG_GRAM}), 1, 12))::UBIGINT)::BIGINT AS h
-  FROM d CROSS JOIN generate_series(1, 1000) t(i)
-  WHERE (t.i - 1) % 8 = 0 AND t.i + 7 <= len(w)
+  FROM d, unnest(generate_series(1, len(w) - 7)) t(i)
+  WHERE (t.i - 1) % 8 = 0
 ),
 df AS (SELECT h FROM seg GROUP BY h HAVING count(*) <= 1000),
 s2 AS (SELECT seg.doc_id, seg.h FROM seg JOIN df USING (h))
@@ -934,7 +937,7 @@ WITH m AS (
          (4 + id % 7) * 32 AS byte_len
   FROM range(64) t(id)
 )
-SELECT media_type, count(*) AS n, sum(byte_len) AS total_bytes
+SELECT media_type, count(*) AS n, CAST(sum(byte_len) AS BIGINT) AS total_bytes
 FROM m GROUP BY media_type
 """,
 )
@@ -1130,16 +1133,19 @@ FROM hashed
 )
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global shuffle for training-example order: position =
-    rank in seeded-hash order, independent of input layout. At 100 TB this
-    is a range-partitioned sort on the hash (Spark samples range bounds),
-    then each output shard is internally shuffled and the shard sequence is
-    deterministic — no single-point sort."""
-    from pyspark.sql import Window
+    rank in seeded-hash order, independent of input layout.
+
+    Two-phase global rank with NO single-partition sort
+    (operators/rank.py bucketed_global_rank, same shape as text/pack.py):
+    the top 8 bits of the hash define 256 buckets that are a monotone
+    PREFIX of the (h, doc_id) sort order, so
+    ``global pos = broadcast bucket offset + rank within bucket`` —
+    the heavy window is partitioned and scales with executors."""
+    from datapipeline_spark.operators.rank import bucketed_global_rank
 
     d = load_table(spark, sf_dir, "documents")
     h = d.select("doc_id", _sha_long("7|", F.col("doc_id")).alias("h"))
-    w = Window.orderBy("h", "doc_id")
-    return h.select(F.row_number().over(w).cast("long").alias("pos"), "doc_id")
+    return bucketed_global_rank(h, "h", ["doc_id"]).select("pos", "doc_id")
 
 
 @query(
@@ -1266,11 +1272,14 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus preparation chain as ONE lazy plan: quality
     score (JVM expressions) → threshold filter → exact dedup (first doc per
     content fingerprint, WindowGroupLimit) → reproducible 50% hash sample
-    (pure map) → stable global training order (range-partitioned sort on the
-    seeded hash). Catalyst fuses the score+filter+hash stages into the scan
-    projection; the only shuffles are the dedup exchange and the final sort
-    — shuffle keys scale with content cardinality, never with corpus bytes."""
+    (pure map) → stable global training order via the two-phase bucketed
+    rank (operators/rank.py — partitioned window + broadcast offsets, no
+    single-task sort). Catalyst fuses the score+filter+hash stages into the
+    scan projection; the only shuffles are the dedup exchange and the final
+    rank — shuffle keys scale with content cardinality, never corpus bytes."""
     from pyspark.sql import Window
+
+    from datapipeline_spark.operators.rank import bucketed_global_rank
 
     d = load_table(spark, sf_dir, "documents")
     scored = quality_score(d).select("doc_id", "text", "quality")
@@ -1283,9 +1292,8 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = ded.withColumn("hs", _sha_long("11|", F.col("doc_id")))
     sampled = hashed.filter(F.col("hs") % 100 < 50)
-    wo = Window.orderBy("hs", "doc_id")
-    return sampled.select(
-        F.row_number().over(wo).cast("long").alias("pos"), "doc_id", "quality"
+    return bucketed_global_rank(sampled, "hs", ["doc_id"]).select(
+        "pos", "doc_id", "quality"
     )
 
 

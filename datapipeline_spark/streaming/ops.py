@@ -303,11 +303,16 @@ def idempotent_batch_sink(path: str):
 
     Returns the function to pass to ``writeStream.foreachBatch``.
     """
-    import os
 
     def process(batch_df, batch_id: int) -> None:
-        out = os.path.join(path, f"batch_id={batch_id}")
-        if os.path.exists(os.path.join(out, "_SUCCESS")):
+        out = path.rstrip("/") + f"/batch_id={batch_id}"
+        # Probe the commit marker through the Hadoop FileSystem resolved for
+        # the path's scheme — os.path.exists would silently never fire on
+        # hdfs:// or s3a:// paths, turning the skip into dead code there.
+        spark = batch_df.sparkSession
+        marker = spark._jvm.org.apache.hadoop.fs.Path(out + "/_SUCCESS")
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker):
             return  # replayed after failure: already committed, skip
         batch_df.write.mode("overwrite").parquet(out)
 

@@ -25,6 +25,13 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Analyzed-scan cache: (appId, sf_dir, table, file-stats) → DataFrame.
+#: One bench/checker process touches the same table dozens of times; the
+#: repeated spark.read.parquet costs driver-side footer reads + file listing
+#: (~10-50 ms each) that dominate tiny-aggregate queries. The stat stamp in
+#: the key invalidates automatically when the driver regenerates testdata.
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS), from the footer only."""
@@ -59,9 +66,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampNTZType, TimestampType
 
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        stamp = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        stamp = None
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name, stamp)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     apply_runtime_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_columns(path):
         # integer DIV — float division loses precision on epoch-nano magnitudes
@@ -69,6 +86,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
     for col in ntz:
         df = df.withColumn(col, F.col(col).cast(TimestampType()))
+    _SCAN_CACHE[key] = df
     return df
 
 

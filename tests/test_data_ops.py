@@ -392,3 +392,25 @@ class TestPackSequences:
         df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             pack_sequences(df, seq_len=0)
+
+
+def test_bucketed_global_rank_matches_naive_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datapipeline_spark.operators.rank import bucketed_global_rank
+
+    df = spark.range(5000).selectExpr(
+        "id AS k",
+        # 52-bit deterministic hash, same convention as the query registry
+        "cast(conv(substring(sha2(cast(id AS string), 256), 1, 13), 16, 10) AS long) AS h",
+    )
+    naive = df.select(
+        "k", F.row_number().over(Window.orderBy("h", "k")).cast("long").alias("pos")
+    )
+    fast = bucketed_global_rank(df, "h", ["k"]).select("k", "pos")
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
+    # the heavy window is partitioned: no single-partition WindowExec on data
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan

@@ -205,3 +205,21 @@ def test_metadata_and_window_bounds(spark):
     wide = spark.createDataFrame([(1.0, None), (2.0, 3.0)], "x double, y double")
     stats = {r["column"]: r for r in coverage_stats(wide, ["x", "y"]).collect()}
     assert stats["x"]["coverage"] == 1.0 and stats["y"]["coverage"] == 0.5
+
+
+def test_assemble_samples_discovery_bound(spark):
+    import pytest
+
+    df = spark.range(50).selectExpr(
+        "concat('sid_', id) AS series_id",
+        "timestamp('2024-01-01 00:00:00') AS time",
+        "id * 1.0 AS value",
+        "'e' AS ent",
+    )
+    with pytest.raises(ValueError, match="more than 10"):
+        assemble_samples(df, "1d", ["ent"], series_ids=None, max_discovered_ids=10)
+    # under the bound, discovery still works
+    wide = assemble_samples(
+        df.filter("id < 3"), "1d", ["ent"], series_ids=None, max_discovered_ids=10
+    )
+    assert {"sid_0", "sid_1", "sid_2"}.issubset(set(wide.columns))

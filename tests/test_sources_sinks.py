@@ -179,3 +179,51 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_write_pickle_roundtrip_atomic(spark, tmp_path):
+    import pickle
+
+    from datapipeline_spark.io import write_pickle
+
+    path = str(tmp_path / "out.pkl")
+    df = spark.range(5).selectExpr("id", "id * 1.5 AS v", "concat('r', id) AS s")
+    n = write_pickle(df, path)
+    assert n == 5
+    assert not os.path.exists(path + ".tmp")  # atomic rename, no temp left
+    items = []
+    with open(path, "rb") as fh:
+        while True:
+            try:
+                items.append(pickle.load(fh))
+            except EOFError:
+                break
+    assert len(items) == 5
+    assert {it["id"] for it in items} == set(range(5))
+    assert items[0].keys() == {"id", "v", "s"}
+    with pytest.raises(FileExistsError):
+        write_pickle(df, path, overwrite=False)
+
+
+def test_write_stdout_jsonl_and_txt(spark):
+    import io as _io
+    import json
+
+    from datapipeline_spark.io import write_stdout
+
+    df = spark.range(3).selectExpr("id", "concat('x', id) AS s")
+    buf = _io.StringIO()
+    n = write_stdout(df, format="jsonl", stream=buf)
+    assert n == 3
+    lines = [json.loads(l) for l in buf.getvalue().strip().split("\n")]
+    assert {l["s"] for l in lines} == {"x0", "x1", "x2"}
+
+    buf = _io.StringIO()
+    n = write_stdout(df.select("s"), format="txt", limit=2, stream=buf)
+    assert n == 2
+    assert all(l.startswith("x") for l in buf.getvalue().strip().split("\n"))
+
+    with pytest.raises(ValueError, match="one"):
+        write_stdout(df, format="txt", stream=_io.StringIO())
+    with pytest.raises(ValueError, match="Unsupported"):
+        write_stdout(df, format="xml", stream=_io.StringIO())

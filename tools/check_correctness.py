@@ -20,8 +20,45 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _normalize(df, float_round=None):
-    """pandas DataFrame → sorted list of value tuples with canonical types."""
+def _tag(v, float_round=None):
+    """Scalar → (type_tag, canonical_value).
+
+    The driver's value-hash is TYPE-strict (round-1 judge finding: DuckDB
+    HUGEINT sums arrive as float64 while Spark emits bigint, and `7` vs `7.0`
+    hash differently even though Python `==` says equal). Mirror that by
+    tagging every scalar with its post-pandas Python type so int/float drift
+    is a hard FAIL here too.
+    """
+    import numpy as np
+
+    if v is None:
+        return ("n", None)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("n", None)
+        if float_round is not None:
+            f = round(f, float_round)
+        return ("f", f)
+    if isinstance(v, bytes):
+        return ("y", v)
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, tuple):
+        return ("t", tuple(_tag(x, float_round) for x in v))
+    if v != v:  # NaT / NaN objects
+        return ("n", None)
+    return ("o:" + type(v).__name__, str(v))
+
+
+def _canon_df(df):
+    """Canonicalize a pandas DataFrame: sorted columns, datetime→int64 micros,
+    floats→float64, lists→tuples. Returned dtypes are directly comparable
+    across engines (int vs float drift survives canonicalization and FAILS)."""
     import pandas as pd
     import numpy as np
 
@@ -36,23 +73,31 @@ def _normalize(df, float_round=None):
             df[c] = s.map(
                 lambda v: tuple(np.asarray(v).tolist()) if isinstance(v, (list, np.ndarray)) else v
             )
+    return df
+
+
+def _dtypes(df):
+    """Column → dtype KIND ('i'nt / 'f'loat / 'b'ool / 'O'bject).
+
+    Width is deliberately ignored (int32 vs int64): the driver hash treats
+    both as Python ints (q7_nation_volume emits int32 l_year vs the oracle's
+    int64 and was driver-green in round 1). What must match is the KIND —
+    int vs float is exactly the HUGEINT→float64 class the driver rejects.
+    """
+    kinds = {}
+    for c, dt in _canon_df(df).dtypes.items():
+        k = dt.kind
+        kinds[c] = "i" if k in "iu" else k
+    return kinds
+
+
+def _normalize(df, float_round=None):
+    """pandas DataFrame → sorted list of type-tagged value tuples."""
+    df = _canon_df(df)
     rows = []
     for t in df.itertuples(index=False, name=None):
-        norm = []
-        for v in t:
-            if isinstance(v, float):
-                if math.isnan(v):
-                    norm.append(None)
-                elif float_round is not None:
-                    norm.append(round(v, float_round))
-                else:
-                    norm.append(v)
-            elif v is None or v != v:  # NaT / NaN objects
-                norm.append(None)
-            else:
-                norm.append(v)
-        rows.append(tuple(norm))
-    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+        rows.append(tuple(_tag(v, float_round) for v in t))
+    return sorted(rows, key=lambda r: tuple((x[1] is None, x[0], str(x[1])) for x in r))
 
 
 def main() -> int:
@@ -109,6 +154,12 @@ def main() -> int:
         if len(sdf) != len(ddf):
             failed.append((name, f"rowcount {len(sdf)} != {len(ddf)}"))
             print(f"FAIL  {name}: rowcount spark={len(sdf)} duck={len(ddf)}")
+            continue
+        sdt, ddt = _dtypes(sdf), _dtypes(ddf)
+        if sdt != ddt:
+            diff = {c: (sdt[c], ddt[c]) for c in sdt if sdt[c] != ddt[c]}
+            failed.append((name, f"dtype drift {diff}"))
+            print(f"FAIL  {name}: dtype drift (spark, duck) = {diff}")
             continue
         s_rows = _normalize(sdf, args.float_round)
         d_rows = _normalize(ddf, args.float_round)
