@@ -17,6 +17,11 @@ RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce post-shuffle partitions to the advisory size (64 MB) instead of
+    # preserving parallelism: at 100 TB the advisory target still yields
+    # thousands of partitions, while at small inputs it collapses tiny shuffles
+    # to a handful of tasks (measured 2-3x on sub-second aggregates).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

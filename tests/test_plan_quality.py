@@ -119,9 +119,13 @@ def test_corpus_pipeline_plan(spark):
     plan = _plan(q_corpus_pipeline(spark, SF))
     # dedup keeps one row per content fingerprint below the exchange
     assert "WindowGroupLimit" in plan
-    # score + threshold + hash-sample fuse into the scan-side projection:
-    # only the dedup exchange and the final order sort shuffle data
-    assert _shuffles(plan) <= 2
+    # the final training order comes from the two-phase bucketed rank, NOT a
+    # global sort: no range partitioning anywhere, offsets broadcast back
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
+    assert "BroadcastExchange" in plan
+    # exchanges: dedup hash-partition, bucket-count agg (+ its single-row
+    # offsets window over <=256 aggregate rows), per-bucket rank partition
+    assert _shuffles(plan) <= 5
 
 
 def test_q5_plan(spark):
