@@ -47,6 +47,13 @@ HEADLINE = [
     "q5_regional_revenue",
     "q10_returned_revenue",
     "q18_large_orders",
+    "q8_market_share",
+    "q12_priority_class",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q21_late_supplier",
+    "q22_dormant_customers",
     "bucketed_join_revenue",
     "semi_join_customers",
     "anti_join_customers",

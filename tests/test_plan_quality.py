@@ -229,3 +229,46 @@ def test_q6_plan(spark):
         r"l_discount:double,l_shipdate", plan
     )
     assert _shuffles(plan) <= 1
+
+
+def test_q21_plan(spark):
+    from datapipeline_spark.queries_core import q21_late_supplier
+
+    plan = _plan(q21_late_supplier(spark, SF))
+    # exists/not-exists rewritten as a per-order aggregate joined back on
+    # l_orderkey: the fact table is shuffled on orderkey once and the
+    # aggregate + join reuse that partitioning (no second fact exchange);
+    # supplier is broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "o_orderstatus" in plan and "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_q17_plan(spark):
+    from datapipeline_spark.queries_core import q17_small_qty_revenue
+
+    plan = _plan(q17_small_qty_revenue(spark, SF))
+    # selective part filter pushed to the part scan and applied to the fact
+    # rows FIRST via broadcast join — the per-part average never sees
+    # unselected parts
+    assert "EqualTo(p_brand,Brand#1)" in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q15_plan(spark):
+    from datapipeline_spark.queries_core import q15_top_supplier
+
+    plan = _plan(q15_top_supplier(spark, SF))
+    # date range pushed into the lineitem scan; the scalar max arrives as a
+    # 1-row broadcast, not a collect
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q22_plan(spark):
+    from datapipeline_spark.queries_core import q22_dormant_customers
+
+    plan = _plan(q22_dormant_customers(spark, SF))
+    # dormancy = anti join against the date-filtered orders scan
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
