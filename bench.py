@@ -107,6 +107,9 @@ HEADLINE = [
     "funnel_conversion",
     "weekly_retention",
     "vocab_growth",
+    "interval_join_events",
+    "robust_scale",
+    "multi_res_rollup",
 ]
 
 

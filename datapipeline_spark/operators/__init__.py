@@ -21,6 +21,7 @@ from datapipeline_spark.operators.window import (
 )
 from datapipeline_spark.operators.ticks import ensure_cadence, ensure_ticks
 from datapipeline_spark.operators.align import align_streams, broadcast_stream
+from datapipeline_spark.operators.interval import interval_join
 
 __all__ = [
     "where",
@@ -44,4 +45,5 @@ __all__ = [
     "ensure_ticks",
     "align_streams",
     "broadcast_stream",
+    "interval_join",
 ]

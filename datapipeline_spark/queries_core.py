@@ -2587,3 +2587,155 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("b100").cast("double") / 100.0, 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "interval_join_events",
+    """
+WITH {base},
+iv AS (
+  SELECT event_id AS incident_id, user_id,
+         time - INTERVAL 30 MINUTE AS win_start,
+         time + INTERVAL 30 MINUTE AS win_end
+  FROM base WHERE event_type = 'error'
+)
+SELECT f.event_id, f.user_id, f.time, f.event_type,
+       iv.incident_id, iv.win_start, iv.win_end
+FROM base f JOIN iv
+  ON f.user_id = iv.user_id
+ AND f.time >= iv.win_start AND f.time < iv.win_end
+WHERE f.event_type <> 'error'
+""".format(base=EVENTS_BASE),
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval (range) join — SURVEY.md §2.5 beyond-reference row,
+    operators/interval.py: activity during incident windows (±30 min around
+    each error event, half-open). The naive non-equi join degenerates to
+    per-key cross products when a key has many windows; the operator
+    decomposes it into one-bucket facts x exploded-bucket intervals, an
+    EQUI-join Catalyst can hash/broadcast, and an exact residual range
+    filter. One row per containing window, timestamps bit-identical (moved,
+    never computed)."""
+    from datapipeline_spark.operators.interval import interval_join
+
+    s = events_stream(spark, sf_dir)
+    iv = s.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        (F.col("time") - F.expr("INTERVAL 30 MINUTES")).alias("win_start"),
+        (F.col("time") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+    )
+    facts = s.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", "time", "event_type"
+    )
+    return interval_join(
+        facts, iv, on=["user_id"],
+        time_col="time", start_col="win_start", end_col="win_end", bucket="30m",
+    )
+
+
+@query(
+    "robust_scale",
+    """
+WITH {base},
+st AS (
+  SELECT event_type,
+         quantile_cont(value, 0.50) AS med,
+         quantile_cont(value, 0.25) AS p25,
+         quantile_cont(value, 0.75) AS p75
+  FROM base GROUP BY event_type
+)
+SELECT event_id, b.event_type, value,
+       round((value - med) / (p75 - p25), 6) AS robust
+FROM base b JOIN st ON b.event_type = st.event_type
+""".format(base=EVENTS_BASE),
+)
+def robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust standardization — the outlier-resistant companion
+    to the Welford z-score scaler (dataset/scaler.py): per-group exact
+    interpolated quantiles (one sort-aggregate pass, same engine-parity
+    contract as percentile_stats), broadcast back onto the stream as a pure
+    map. Fact rows are never sorted globally; the only shuffle is the tiny
+    per-type aggregate."""
+    s = events_stream(spark, sf_dir)
+    st = s.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.50)).alias("med"),
+        F.percentile(F.col("value"), F.lit(0.25)).alias("p25"),
+        F.percentile(F.col("value"), F.lit(0.75)).alias("p75"),
+    )
+    return (
+        s.join(F.broadcast(st), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(
+                (F.col("value") - F.col("med")) / (F.col("p75") - F.col("p25")), 6
+            ).alias("robust"),
+        )
+    )
+
+
+@query(
+    "multi_res_rollup",
+    """
+WITH {base},
+m AS (
+  SELECT date_trunc('minute', time) AS bucket, event_type,
+         count(*) AS n_events,
+         sum(CAST(round(value * 100) AS BIGINT)) AS v100
+  FROM base GROUP BY 1, 2
+),
+h AS (
+  SELECT date_trunc('hour', bucket) AS bucket, event_type,
+         CAST(sum(n_events) AS BIGINT) AS n_events, sum(v100) AS v100
+  FROM m GROUP BY 1, 2
+),
+d AS (
+  SELECT date_trunc('day', bucket) AS bucket, event_type,
+         CAST(sum(n_events) AS BIGINT) AS n_events, sum(v100) AS v100
+  FROM h GROUP BY 1, 2
+)
+SELECT resolution, bucket, event_type, n_events,
+       round(CAST(v100 AS DOUBLE) / 100.0, 2) AS sum_value
+FROM (
+  SELECT 'minute' AS resolution, * FROM m
+  UNION ALL SELECT 'hour', * FROM h
+  UNION ALL SELECT 'day', * FROM d
+)
+""".format(base=EVENTS_BASE),
+)
+def multi_res_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (TimescaleDB continuous
+    aggregates; absent from the reference): minute → hour → day in ONE lazy
+    plan where each coarser level re-aggregates the level below it, never
+    the raw stream — the raw data is read exactly once, and the hour/day
+    aggregates run over inputs that are already 1/60 (1/1440) the size.
+    Counts and cent-sums are integers, so the cascade is exactly associative
+    at every level. At 100 TB this is the materialized-rollup pattern:
+    persist the minute level, derive the rest."""
+    s = events_stream(spark, sf_dir)
+    m = s.groupBy(
+        F.date_trunc("minute", F.col("time")).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v100"),
+    )
+    h = m.groupBy(
+        F.date_trunc("hour", F.col("bucket")).alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("v100").alias("v100"))
+    d = h.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("v100").alias("v100"))
+    out = (
+        m.select(F.lit("minute").alias("resolution"), "bucket", "event_type", "n_events", "v100")
+        .unionByName(h.select(F.lit("hour").alias("resolution"), "bucket", "event_type", "n_events", "v100"))
+        .unionByName(d.select(F.lit("day").alias("resolution"), "bucket", "event_type", "n_events", "v100"))
+    )
+    return out.select(
+        "resolution",
+        "bucket",
+        "event_type",
+        "n_events",
+        F.round(F.col("v100").cast("double") / 100.0, 2).alias("sum_value"),
+    )
