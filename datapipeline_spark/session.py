@@ -17,11 +17,11 @@ RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Coalesce post-shuffle partitions to the advisory size (64 MB) instead of
-    # preserving parallelism: at 100 TB the advisory target still yields
-    # thousands of partitions, while at small inputs it collapses tiny shuffles
-    # to a handful of tasks (measured 2-3x on sub-second aggregates).
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # coalescePartitions.parallelismFirst stays at Spark's default (true):
+    # a steady-state A/B at sf0.1 showed `false` (coalesce to the 64 MB
+    # advisory size) loses 10-30% on window-heavy queries by collapsing
+    # mid-size shuffles below the core count, while gaining nothing
+    # measurable on tiny aggregates once warm.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
