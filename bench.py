@@ -110,6 +110,7 @@ HEADLINE = [
     "interval_join_events",
     "robust_scale",
     "multi_res_rollup",
+    "cm_user_counts",
 ]
 
 

@@ -2739,3 +2739,60 @@ def multi_res_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("v100").cast("double") / 100.0, 2).alias("sum_value"),
     )
+
+
+_CM_H = "(('0x' || substr(sha256('cm' || {j}::VARCHAR || '|' || {key}::VARCHAR), 1, 13))::UBIGINT)::BIGINT"
+
+
+@query(
+    "cm_user_counts",
+    """
+WITH {base},
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+cells AS (
+  SELECT j, CAST({h_base} % 256 AS INT) AS bucket, count(*) AS c
+  FROM base, js GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT user_id FROM base),
+est AS (
+  SELECT user_id, min(coalesce(c, 0)) AS est
+  FROM (SELECT k.user_id, js.j,
+               CAST({h_key} % 256 AS INT) AS bucket
+        FROM keys k, js) q
+  LEFT JOIN cells USING (j, bucket)
+  GROUP BY user_id
+),
+exact AS (SELECT user_id, count(*) AS n FROM base GROUP BY user_id)
+SELECT e.user_id,
+       CAST(est AS BIGINT) AS est_count,
+       n AS exact_count,
+       CAST(est - n AS BIGINT) AS overcount
+FROM est e JOIN exact USING (user_id)
+""".format(
+        base=EVENTS_BASE,
+        h_base=_CM_H.format(j="j", key="user_id"),
+        h_key=_CM_H.format(j="js.j", key="k.user_id"),
+    ),
+)
+def cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (sketch/cm.py — the reference
+    has no sketches; this is the 'novel sketch' row of the beyond-reference
+    inventory): build a 4x256 sketch of per-user event frequencies in one
+    map-side-combined aggregation whose shuffle is bounded by the sketch
+    size (not the stream), then point-query every user via a broadcast
+    join + min. Deterministic seeded-sha hashing makes the estimates
+    exactly reproducible cross-engine, so even the OVERCOUNTS hash-match
+    the oracle; est >= exact always (test asserts it)."""
+    from datapipeline_spark.sketch import build_cm_sketch, cm_estimate
+
+    s = events_stream(spark, sf_dir)
+    sketch = build_cm_sketch(s, "user_id", depth=4, width=256)
+    keys = s.select("user_id").distinct()
+    est = cm_estimate(sketch, keys, "user_id", depth=4, width=256, out="est_count")
+    exact = s.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+    )

@@ -1,0 +1,92 @@
+"""Count-Min sketch as a DataFrame aggregate.
+
+The classic streaming frequency sketch (Cormode & Muthukrishnan 2005)
+expressed Spark-first: the sketch IS a tiny DataFrame of ``depth x width``
+counter cells produced by ONE map-side-combined aggregation over the
+stream, and a point query is a broadcast join + min. Everything is
+deterministic — the hash rows are seeded sha256 prefixes (the same
+cross-engine hash contract as dataset/split.py) — so estimates are exactly
+reproducible in any engine, which is what makes the sketch oracle-checkable
+(the estimate is data-dependent but not order- or partition-dependent).
+
+Guarantees: estimate >= true count always (counters only overcount on
+collisions); with width w and depth d, the overestimate exceeds 2N/w with
+probability at most (1/2)^d over the hash choice.
+
+Scale posture: the shuffle carries at most ``depth x width`` cells per map
+task regardless of input rows — this is the sketch whose entire point is
+that its size is INDEPENDENT of the 100 TB it summarizes. Estimation
+broadcasts the finished sketch (a few KB) back onto whatever key set needs
+frequencies.
+
+Reference gap: the reference engine has no sketches at all (nearest
+neighbor is CoverageStatsAccumulator, an exact counter —
+src/datapipeline/pipelines/dataset/stats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(col, seed: int, width: int):
+    """Deterministic bucket for hash row ``seed``: 52-bit sha256 prefix of
+    'cm{seed}|{key}' mod width — identical arithmetic in Spark and ANSI SQL."""
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit(f"cm{seed}|"), col.cast("string")), 256), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % width).cast("int")
+
+
+def build_cm_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """One aggregation pass -> sketch DataFrame (j int, bucket int, c long).
+
+    Each input row increments one cell per hash row; rows with the same
+    (j, bucket) merge associatively, so partial aggregation does the heavy
+    lifting map-side and the shuffle is bounded by depth x width cells."""
+    rows = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cell(F.col(key_col), j, width).alias("bucket"))
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("cell"))
+        .groupBy(F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    out: str = "est",
+) -> DataFrame:
+    """Point-query every row of ``keys``: ``out`` = min over hash rows of the
+    matching counter. The sketch is broadcast (depth x width rows); missing
+    cells count 0 (key never seen)."""
+    rows = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cell(F.col(key_col), j, width).alias("bucket"))
+            for j in range(depth)
+        ]
+    )
+    exploded = keys.select(key_col, F.explode(rows).alias("cell")).select(
+        key_col, F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket")
+    )
+    return (
+        exploded.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .fillna(0, ["c"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias(out))
+    )

@@ -1,0 +1,45 @@
+"""Unit tests for the Count-Min sketch (sketch/cm.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipeline_spark.sketch import build_cm_sketch, cm_estimate
+
+
+def test_cm_never_underestimates(spark):
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(500)] + [(99,)] * 40, "k int"
+    )
+    sketch = build_cm_sketch(df, "k", depth=4, width=16)  # tiny width: collisions
+    keys = df.select("k").distinct()
+    est = cm_estimate(sketch, keys, "k", depth=4, width=16)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    rows = est.join(exact, "k").collect()
+    assert len(rows) == 8
+    assert all(r.est >= r.n for r in rows)  # CM guarantee: overcount only
+
+
+def test_cm_exact_when_no_collisions(spark):
+    df = spark.createDataFrame([(1,)] * 5 + [(2,)] * 3, "k int")
+    sketch = build_cm_sketch(df, "k", depth=4, width=4096)
+    est = cm_estimate(sketch, df.select("k").distinct(), "k", depth=4, width=4096)
+    got = {r.k: r.est for r in est.collect()}
+    assert got == {1: 5, 2: 3}
+
+
+def test_cm_sketch_size_bounded(spark):
+    df = spark.createDataFrame([(i,) for i in range(10_000)], "k int")
+    sketch = build_cm_sketch(df, "k", depth=4, width=32)
+    assert sketch.count() <= 4 * 32  # cells, independent of input rows
+    # total mass per hash row equals the input row count
+    per_row = {r.j: r.s for r in sketch.groupBy("j").agg(F.sum("c").alias("s")).collect()}
+    assert per_row == {0: 10_000, 1: 10_000, 2: 10_000, 3: 10_000}
+
+
+def test_cm_unseen_key_estimates_zero_or_collision(spark):
+    df = spark.createDataFrame([(1,)] * 10, "k int")
+    sketch = build_cm_sketch(df, "k", depth=4, width=4096)
+    unseen = spark.createDataFrame([(777,)], "k int")
+    est = cm_estimate(sketch, unseen, "k", depth=4, width=4096)
+    assert est.collect()[0].est == 0
