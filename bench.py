@@ -111,6 +111,7 @@ HEADLINE = [
     "robust_scale",
     "multi_res_rollup",
     "cm_user_counts",
+    "cdc_apply_changes",
 ]
 
 

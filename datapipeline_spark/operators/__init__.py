@@ -22,6 +22,7 @@ from datapipeline_spark.operators.window import (
 from datapipeline_spark.operators.ticks import ensure_cadence, ensure_ticks
 from datapipeline_spark.operators.align import align_streams, broadcast_stream
 from datapipeline_spark.operators.interval import interval_join
+from datapipeline_spark.operators.cdc import apply_changes
 
 __all__ = [
     "where",
@@ -46,4 +47,5 @@ __all__ = [
     "align_streams",
     "broadcast_stream",
     "interval_join",
+    "apply_changes",
 ]

@@ -2796,3 +2796,62 @@ def cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_count",
         (F.col("est_count") - F.col("exact_count")).alias("overcount"),
     )
+
+
+@query(
+    "cdc_apply_changes",
+    """
+WITH {base},
+snap AS (
+  SELECT user_id, time, event_id, value, 'U' AS op FROM (
+    SELECT user_id, time, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY time DESC, event_id DESC) AS rn
+    FROM base WHERE time < TIMESTAMP '2024-01-16 00:00:00'
+  ) WHERE rn = 1
+),
+chg AS (
+  SELECT user_id, time, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM base WHERE time >= TIMESTAMP '2024-01-16 00:00:00'
+),
+merged AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY time DESC, event_id DESC) AS rn
+    FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg)
+  ) WHERE rn = 1
+)
+SELECT user_id, time, event_id, value FROM merged WHERE op <> 'D'
+""".format(base=EVENTS_BASE),
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (operators/cdc.py — Delta/Iceberg MERGE INTO semantics,
+    absent from the reference's rebuild-from-scratch artifact model): the
+    per-user state as of Jan 16 is the snapshot; later events are the
+    changelog (errors = deletes, everything else = upserts). Latest-change-
+    per-key wins via WindowGroupLimit (one candidate row per key per map
+    task crosses the wire); users whose final change is a delete drop out.
+    One shuffle, keyed on the merge key."""
+    from datapipeline_spark.operators.cdc import apply_changes
+    from pyspark.sql import Window
+
+    cutoff = datetime(2024, 1, 16)
+    s = events_stream(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("time").desc(), F.col("event_id").desc()
+    )
+    snap = (
+        s.filter(F.col("time") < F.lit(cutoff))
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("user_id", "time", "event_id", "value")
+    )
+    chg = s.filter(F.col("time") >= F.lit(cutoff)).select(
+        "user_id",
+        "time",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_changes(snap, chg, keys=["user_id"], seq=["time", "event_id"])
