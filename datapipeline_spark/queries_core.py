@@ -2522,11 +2522,15 @@ def q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("late"),
     )
-    os_ = ll.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("late") == 1, F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    # two distinct-counts over the same rows would plan as an Expand (2x row
+    # duplication + an extra exchange); the two-level aggregate gets both
+    # exactly with plain map-side-combinable aggs
+    per_supp = ll.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    os_ = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
     )
     return (
         ll.join(os_, "l_orderkey")
