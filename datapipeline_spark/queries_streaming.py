@@ -416,3 +416,32 @@ def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") >= 0)
         .select("user_id", "time", "event_id", "time_r", "event_id_r")
     )
+
+
+@query(
+    "streaming_cm_sketch",
+    """
+WITH {base},
+js AS (SELECT unnest([0, 1, 2, 3]) AS j)
+SELECT j,
+       CAST((('0x' || substr(sha256('cm' || j::VARCHAR || '|' || user_id::VARCHAR), 1, 13))::UBIGINT)::BIGINT % 256 AS INT) AS bucket,
+       count(*) AS c
+FROM base, js GROUP BY 1, 2
+""".format(base=EVENTS_BASE),
+)
+def streaming_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch (sketch/cm.py over an unbounded stream —
+    the canonical streaming-frequency use of the sketch): the cell table is
+    a running aggregation in complete mode whose state is bounded by
+    depth x width cells no matter how long the stream runs. Deterministic
+    seeded-sha hashing means the final cells are byte-identical to the
+    batch sketch, so the batch SQL is an exact oracle (streaming == batch,
+    SURVEY.md §2.10)."""
+    from datapipeline_spark.sketch import build_cm_sketch
+
+    staging = _staged_events(spark, sf_dir)
+    sdf = _stream_of(spark, staging)
+    out = build_cm_sketch(sdf, "user_id", depth=4, width=256)
+    name = "stream_cm_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
+    _run_to_memory(out, name, "complete")
+    return spark.table(name).select("j", "bucket", "c")
