@@ -112,6 +112,7 @@ HEADLINE = [
     "multi_res_rollup",
     "cm_user_counts",
     "cdc_apply_changes",
+    "weighted_sample",
 ]
 
 

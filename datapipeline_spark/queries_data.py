@@ -1524,3 +1524,28 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
         )
     )
+
+
+@query(
+    "weighted_sample",
+    """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE {h} * 400 < least(n_chars, 400) * 4503599627370496
+""".format(h=_SHA_SQL.format(prefix="31|", col="doc_id")),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling — importance sampling for
+    training mixtures (longer documents kept proportionally more often,
+    p = min(1, n_chars/400)): keep doc iff hash < p * 2^52, evaluated as an
+    exact INTEGER cross-multiplication (h*400 < min(n_chars,400)*2^52) so
+    no float rounding can flip a boundary doc between engines. Like
+    corpus_sample this is a pure map — membership is a function of
+    (doc_id, weight) alone, stable across reruns/partitioning, and the
+    filter runs beside the scan at 100 TB. For fixed-n weighted sampling
+    see balance_labels (per-group top-n by hash order)."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = _sha_long("31|", F.col("doc_id")) * 400 < F.least(
+        F.col("n_chars"), F.lit(400)
+    ) * F.lit(4503599627370496)
+    return d.filter(keep).select("doc_id", "source", "n_chars")
