@@ -2859,3 +2859,32 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
     )
     return apply_changes(snap, chg, keys=["user_id"], seq=["time", "event_id"])
+
+
+@query("approx_distinct_users", None)  # rows-only: HLL++ estimates are
+# engine-specific (Spark relativeSD=0.01 vs DuckDB's own sketch), so there
+# is no cross-engine value oracle; the error bound is asserted in
+# tests/test_sketch.py instead.
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting (HLL++, SURVEY.md §2.6 approx-distinct
+    row): per-type unique users with approx_count_distinct(rsd=0.01)
+    alongside the exact count and the relative error. At 100 TB this is THE
+    swap for distinct_daily_users: HLL state is a few KB per group (vs the
+    exact path's shuffle of every distinct (group, user) pair), merges
+    associatively map-side, and composes with rollups. Deterministic for a
+    fixed input (hash-based, order-independent), but not across engines."""
+    s = events_stream(spark, sf_dir)
+    out = s.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return out.select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        F.round(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            6,
+        ).alias("rel_err"),
+    )

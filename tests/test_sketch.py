@@ -43,3 +43,12 @@ def test_cm_unseen_key_estimates_zero_or_collision(spark):
     unseen = spark.createDataFrame([(777,)], "k int")
     est = cm_estimate(sketch, unseen, "k", depth=4, width=4096)
     assert est.collect()[0].est == 0
+
+
+def test_approx_distinct_within_bound(spark):
+    from datapipeline_spark.queries_core import approx_distinct_users
+
+    rows = approx_distinct_users(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.rel_err <= 0.05  # rsd=0.01 -> 5 sigma headroom
