@@ -113,6 +113,8 @@ HEADLINE = [
     "cm_user_counts",
     "cdc_apply_changes",
     "weighted_sample",
+    "zorder_layout",
+    "approx_distinct_users",
 ]
 
 

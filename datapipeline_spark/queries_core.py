@@ -2888,3 +2888,33 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+@query(
+    "zorder_layout",
+    """
+WITH {base}
+SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS vbucket,
+       (((((((((((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) | (((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) | (((((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) | (((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) | (((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) | (((((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) | (((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | (((((((((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) | (((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) | (((((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) | (((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) | (((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) | (((((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) | (((CAST(user_id AS BIGINT) | (CAST(user_id AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205) | (((((((((((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) | (((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) | (((((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) | (((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) | (((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) | (((((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) | (((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | (((((((((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) | (((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) | (((((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) | (((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) | (((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) | (((((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) | (((CAST(CAST(floor(value) AS BIGINT) AS BIGINT) | (CAST(CAST(floor(value) AS BIGINT) AS BIGINT) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205) << 1)) AS zkey
+FROM base
+""".format(base=EVENTS_BASE),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys (functions/zorder.py): interleave
+    user_id and the quantized value so that sorting files by zkey keeps
+    BOTH columns locally clustered — parquet row-group min/max stats then
+    prune on either predicate (the Delta OPTIMIZE ZORDER idea, applied at
+    write time via sortWithinPartitions(zkey); no read-path change). Pure
+    64-bit integer bit arithmetic, bit-identical across engines — the
+    oracle runs the same formula rendered to SQL. The locality win is
+    measured in tests/test_zorder.py."""
+    from datapipeline_spark.functions.zorder import zorder_key
+
+    s = events_stream(spark, sf_dir)
+    vb = F.floor(F.col("value")).cast("long")
+    return s.select(
+        "event_id",
+        "user_id",
+        vb.alias("vbucket"),
+        zorder_key(F.col("user_id"), vb).alias("zkey"),
+    )
