@@ -29,6 +29,7 @@ def apply_changes(
     seq: Sequence[str],
     op_col: str = "op",
     delete_op: str = "D",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Merge ``changes`` into ``snapshot``.
 
@@ -38,13 +39,25 @@ def apply_changes(
     to precede every change for sane semantics, but ties and inversions
     still resolve deterministically by the full seq order). Output schema =
     snapshot schema; keys whose latest row is a delete disappear.
+
+    ``keep_tombstones=True`` keeps winning deletes in the output (with
+    ``op_col`` retained, and the snapshot treated as carrying its own
+    ``op_col``): required when the merge is FOLDED over micro-batches that
+    may deliver changes out of seq order across batches — without the
+    tombstone, a late-arriving older upsert would resurrect a deleted key.
+    Filter ``op_col != delete_op`` when reading the folded state.
     """
-    snap = snapshot.withColumn(op_col, F.lit("U"))
+    if keep_tombstones:
+        snap = snapshot
+    else:
+        snap = snapshot.withColumn(op_col, F.lit("U"))
     allr = snap.unionByName(changes.select(*snap.columns))
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in seq])
-    return (
+    winners = (
         allr.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
-        .filter(F.col(op_col) != delete_op)
-        .drop("__rn__", op_col)
+        .drop("__rn__")
     )
+    if keep_tombstones:
+        return winners
+    return winners.filter(F.col(op_col) != delete_op).drop(op_col)

@@ -317,3 +317,56 @@ def idempotent_batch_sink(path: str):
         batch_df.write.mode("overwrite").parquet(out)
 
     return process
+
+
+def cdc_upsert_sink(path: str, keys, seq, op_col: str = "op", delete_op: str = "D"):
+    """foreachBatch CDC consumer: fold each micro-batch of changes into a
+    materialized latest-state table (the Delta/Iceberg ``MERGE INTO``
+    pattern, expressed on plain parquet).
+
+    Each trigger applies :func:`datapipeline_spark.operators.cdc.
+    apply_changes` — snapshot ⊕ batch — and swaps the state directory via a
+    staging write + Hadoop FileSystem rename (never overwriting a directory
+    that is still being read; works on any FS the path's scheme resolves
+    to). The state RETAINS tombstones (winning deletes, with ``op_col``):
+    per-key ordering is only guaranteed within a source partition, so a
+    late micro-batch can carry an upsert OLDER than an applied delete —
+    without the tombstone it would resurrect the key. With tombstones the
+    fold is associative (last-writer-wins by ``seq``), so folding N
+    micro-batches equals one batch apply, which the test asserts. Read the
+    live state with :func:`read_cdc_state`. On a transactional table format
+    this whole function collapses to ``MERGE INTO`` per batch (with the
+    format's own tombstone retention).
+
+    Returns the function to pass to ``writeStream.foreachBatch``.
+    """
+    from datapipeline_spark.operators.cdc import apply_changes
+
+    def process(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        state = jvm.org.apache.hadoop.fs.Path(path)
+        fs = state.getFileSystem(conf)
+        if fs.exists(state):
+            snap = spark.read.parquet(path)
+        else:
+            snap = spark.createDataFrame([], batch_df.schema)
+        merged = apply_changes(
+            snap, batch_df, keys, seq, op_col, delete_op, keep_tombstones=True
+        )
+        staging = path.rstrip("/") + f".staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        fs.delete(state, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(staging), state)
+
+    return process
+
+
+def read_cdc_state(spark, path: str, op_col: str = "op", delete_op: str = "D"):
+    """Live rows of a :func:`cdc_upsert_sink` state table (tombstones
+    filtered, op column dropped)."""
+    from pyspark.sql import functions as F
+
+    st = spark.read.parquet(path)
+    return st.filter(F.col(op_col) != delete_op).drop(op_col)
