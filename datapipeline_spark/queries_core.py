@@ -2713,8 +2713,11 @@ def multi_res_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup (TimescaleDB continuous
     aggregates; absent from the reference): minute → hour → day in ONE lazy
     plan where each coarser level re-aggregates the level below it, never
-    the raw stream — the raw data is read exactly once, and the hour/day
-    aggregates run over inputs that are already 1/60 (1/1440) the size.
+    the raw stream — at execution AQE's exchange reuse feeds the hour and
+    day branches from the minute aggregate's shuffle output (>=2
+    ReusedExchange in the final plan, asserted in test_plan_quality), so
+    the raw data is scanned once and the coarser aggregates run over
+    inputs already 1/60 (1/1440) the size.
     Counts and cent-sums are integers, so the cascade is exactly associative
     at every level. At 100 TB this is the materialized-rollup pattern:
     persist the minute level, derive the rest."""

@@ -272,3 +272,15 @@ def test_q22_plan(spark):
     # dormancy = anti join against the date-filtered orders scan
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_multi_res_rollup_reuses_minute_level(spark):
+    from datapipeline_spark.queries_core import multi_res_rollup
+
+    df = multi_res_rollup(spark, SF)
+    df.collect()  # AQE exchange reuse only appears in the executed final plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # hour and day branches reuse the minute aggregate's shuffle instead of
+    # re-scanning + re-aggregating the raw events
+    assert plan.count("ReusedExchange") >= 2
