@@ -115,6 +115,7 @@ HEADLINE = [
     "weighted_sample",
     "zorder_layout",
     "approx_distinct_users",
+    "ewma_value",
 ]
 
 

@@ -9,6 +9,7 @@ from datapipeline_spark.operators.record import (
     shift_time,
 )
 from datapipeline_spark.operators.window import (
+    ewma,
     fill,
     forward_fill,
     forward_sum,
@@ -33,6 +34,7 @@ __all__ = [
     "log1p_op",
     "floor_time",
     "shift_time",
+    "ewma",
     "fill",
     "forward_fill",
     "forward_sum",

@@ -288,3 +288,38 @@ def sequence_windows(
     if not keep_partial:
         out_df = out_df.filter(F.col("__seq_keep__"))
     return out_df.drop("__seq_keep__")
+
+
+def ewma(
+    df: DataFrame,
+    field: str,
+    window: int,
+    decay: float = 0.5,
+    partition_by: Sequence[str] = (),
+    out: str = "ewma",
+    order_by: Sequence[str] = (TIME,),
+) -> DataFrame:
+    """Exponentially-weighted moving average over a strict trailing window.
+
+    weight of the i-th newest row = ``decay**i``; normalized by the sum of
+    weights actually present (shorter frames at a partition head use the
+    weights they have — pandas ``ewm(adjust=True)`` semantics, truncated to
+    ``window`` rows so state never grows unboundedly).
+
+    Beyond-reference companion to `rolling` (the reference has no
+    exponentially-weighted stats). Implementation is a JVM-side array fold
+    over the frame (collect_list preserves frame order under the total
+    ordering contract). With ``decay=0.5`` (the default) every weight is an
+    exact power of two, so scaling is exact exponent arithmetic and the
+    fold is bit-identical in any engine that folds left — the property the
+    DuckDB oracle relies on; other decays are engine-parity-accurate only
+    to pow() ulp differences.
+    """
+    w = canonical_window(partition_by, order_by).rowsBetween(-(window - 1), 0)
+    arr = F.collect_list(field).over(w)
+    n = F.size(arr)
+    d = F.lit(float(decay))
+    terms = F.transform(arr, lambda x, i: x * F.pow(d, (n - 1 - i).cast("double")))
+    wts = F.transform(arr, lambda x, i: F.pow(d, (n - 1 - i).cast("double")))
+    fold = lambda a: F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    return df.withColumn(out, fold(terms) / fold(wts))

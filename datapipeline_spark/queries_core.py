@@ -2921,3 +2921,37 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         vb.alias("vbucket"),
         zorder_key(F.col("user_id"), vb).alias("zkey"),
     )
+
+
+@query(
+    "ewma_value",
+    """
+WITH {base},
+fr AS (
+  SELECT event_id, user_id, time, value,
+         list(value) OVER ({w} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS a
+  FROM base
+)
+SELECT event_id, user_id, time, value,
+       round(
+         list_reduce(list_transform(a, (x, i) -> x * pow(0.5, len(a) - i)), (p, q) -> p + q)
+         / list_reduce(list_transform(a, (x, i) -> pow(0.5, len(a) - i)), (p, q) -> p + q),
+       6) AS ewma
+FROM fr
+""".format(base=EVENTS_BASE, w=W),
+)
+def ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (operators/window.py ewma —
+    beyond-reference: the reference's rolling stats weight every tick
+    equally). 8-row trailing frame, decay 0.5: every weight is an exact
+    power of two, so the weighted fold is bit-identical across engines and
+    the oracle hash-matches without tolerance. Shares the canonical
+    (user, time, event_id) exchange with every other window op."""
+    from datapipeline_spark.operators.window import ewma
+
+    s = events_stream(spark, sf_dir).select("event_id", "user_id", "time", "value")
+    out = ewma(
+        s, "value", window=8, decay=0.5,
+        partition_by=["user_id"], order_by=["time", "event_id"],
+    )
+    return out.withColumn("ewma", F.round(F.col("ewma"), 6))

@@ -188,3 +188,32 @@ def test_rolling_corr_zero_variance_null(spark):
     df = spark.createDataFrame(data, "part string, time timestamp, x double, y double")
     out = [r["corr"] for r in rolling_corr(df, "x", "y", 2, ["part"]).collect()]
     assert out == [None, None]
+
+
+def test_ewma_matches_pandas_short_series(spark):
+    """Within the first `window` rows the truncated EWMA equals pandas
+    ewm(adjust=True) exactly (decay 0.5 = alpha 0.5 -> exact powers of 2)."""
+    import pandas as pd
+
+    from datapipeline_spark.operators.window import ewma
+
+    vals = [3.0, 1.5, 4.25, -2.0, 0.5, 10.0]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], "g string, t long, v double"
+    )
+    out = ewma(df, "v", window=8, decay=0.5, partition_by=["g"], order_by=["t"])
+    got = [r.ewma for r in out.orderBy("t").collect()]
+    want = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean().tolist()
+    assert got == want  # bit-exact, no tolerance
+
+
+def test_ewma_truncates_to_window(spark):
+    """Rows beyond the frame must not influence the result: a huge old value
+    outside the 3-row window is invisible."""
+    from datapipeline_spark.operators.window import ewma
+
+    rows = [("a", 0, 1e9), ("a", 1, 1.0), ("a", 2, 1.0), ("a", 3, 1.0)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = ewma(df, "v", window=3, decay=0.5, partition_by=["g"], order_by=["t"])
+    last = out.orderBy("t").collect()[-1].ewma
+    assert last == 1.0  # frame = [1, 1, 1]; the 1e9 is gone
