@@ -244,3 +244,47 @@ def preview(
     raise ValueError(
         f"unknown preview stage {stage!r}; use records|series|samples|postprocess"
     )
+
+
+def register_views(
+    spark: SparkSession,
+    project_dir: str | Path | None = None,
+    tables_dir: str | None = None,
+    prefix: str = "",
+) -> list[str]:
+    """Expose data as SQL temp views: every stream of a compiled project
+    (lazy plans — views carry the full transform chain, not materialized
+    data) and/or every raw table under a testdata directory. Returns the
+    registered view names.
+
+    This is the escape hatch the reference cannot offer (its runtime is a
+    Python iterator, not a query engine): once registered, users mix
+    ``spark.sql`` freely with the DataFrame API and Catalyst optimizes
+    across the boundary.
+    """
+    names: list[str] = []
+    if project_dir is not None:
+        proj = open_project(spark, project_dir)
+        for stream_id in proj.definition.streams:
+            view = f"{prefix}{stream_id}".replace("-", "_").replace(".", "_")
+            proj.stream(stream_id).createOrReplaceTempView(view)
+            names.append(view)
+    if tables_dir is not None:
+        from datapipeline_spark.tables import load_tables
+
+        for name, df in load_tables(spark, tables_dir).items():
+            view = f"{prefix}{name}"
+            df.createOrReplaceTempView(view)
+            names.append(view)
+    return names
+
+
+def sql(
+    spark: SparkSession,
+    query: str,
+    project_dir: str | Path | None = None,
+    tables_dir: str | None = None,
+) -> DataFrame:
+    """Run ANSI SQL over registered project streams / raw tables."""
+    register_views(spark, project_dir=project_dir, tables_dir=tables_dir)
+    return spark.sql(query)

@@ -191,3 +191,32 @@ def test_preview_stages(spark, project, capsys):
 
     with pytest.raises(ValueError, match="requires stream"):
         preview(spark, project, "records")
+
+
+def test_sql_over_project_streams(spark, project):
+    """register_views exposes compiled streams as lazy temp views; spark.sql
+    composes with the whole transform chain through Catalyst."""
+    from datapipeline_spark.api import register_views, sql
+
+    names = register_views(spark, project_dir=project)
+    assert "s_m" in names
+    out = sql(
+        spark,
+        "SELECT loc, count(*) AS n, round(avg(value), 2) AS avg_v "
+        "FROM s_m GROUP BY loc ORDER BY loc",
+    )
+    rows = out.collect()
+    assert [r.loc for r in rows] == ["a", "b"]
+    assert rows[0].n == 6 and rows[1].n == 6
+    assert rows[1].avg_v == rows[0].avg_v + 10.0
+
+
+def test_sql_over_raw_tables(spark):
+    from datapipeline_spark.api import sql
+
+    df = sql(
+        spark,
+        "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+        tables_dir="/root/testdata/sf0.001",
+    )
+    assert df.collect()[0].n == 6000
