@@ -116,6 +116,7 @@ HEADLINE = [
     "zorder_layout",
     "approx_distinct_users",
     "ewma_value",
+    "token_budget_mixture",
 ]
 
 

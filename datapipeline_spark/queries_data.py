@@ -1549,3 +1549,80 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars"), F.lit(400)
     ) * F.lit(4503599627370496)
     return d.filter(keep).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "token_budget_mixture",
+    """
+WITH counted AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, $bpe${bpe}$bpe$))::BIGINT AS n_tokens,
+         {h} AS hs,
+         (1 + {hsrc} % 4) * 2000 AS budget
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens, budget,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY hs, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM counted
+)
+SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+FROM cum WHERE cum_before < budget
+""".format(
+        bpe=BPE_PATTERN,
+        h=_SHA_SQL.format(prefix="37|", col="doc_id"),
+        hsrc=_SHA_SQL.format(prefix="mix|", col="source"),
+    ),
+)
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing — THE sampling primitive for training-set
+    composition: each source contributes documents, chosen in seeded-hash
+    order, until its token budget is covered (budget = deterministic
+    per-source target; the doc crossing the boundary is kept, so the
+    budget is a covered minimum).
+
+    The per-source exclusive token scan uses the same two-phase bucketed
+    shape as text/pack.py — per-(source, bucket) totals, cumulative bucket
+    offsets over a tiny broadcast frame, rank within (source, bucket) —
+    so NO per-source single-partition window exists: a 50 TB source scans
+    as 256 parallel buckets, and the result is exact integers, identical
+    to the naive per-source cumsum the oracle runs."""
+    from pyspark.sql import Window
+
+    from datapipeline_spark.text.analysis import bpe_token_count
+
+    d = bpe_token_count(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.col("n_bpe_tokens").alias("n_tokens"),
+        _sha_long("37|", F.col("doc_id")).alias("hs"),
+        ((1 + _sha_long("mix|", F.col("source")) % 4) * 2000).alias("budget"),
+    )
+    d = d.withColumn("__b__", F.shiftright(F.col("hs"), 44).cast("int"))
+    # phase 1: per-(source, bucket) token totals -> exclusive offsets over a
+    # frame bounded by sources x 256 rows (broadcast back)
+    totals = d.groupBy("source", "__b__").agg(F.sum("n_tokens").alias("__t__"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("__b__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off__", F.coalesce(F.sum("__t__").over(w_off), F.lit(0))
+    ).select("source", "__b__", "__off__")
+    # phase 2: exclusive scan WITHIN each (source, bucket) partition
+    w_in = (
+        Window.partitionBy("source", "__b__")
+        .orderBy("hs", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        d.join(F.broadcast(offsets), ["source", "__b__"])
+        .withColumn(
+            "cum_before",
+            F.col("__off__") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
+        )
+        .filter(F.col("cum_before") < F.col("budget"))
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_before")
