@@ -370,3 +370,59 @@ def read_cdc_state(spark, path: str, op_col: str = "op", delete_op: str = "D"):
 
     st = spark.read.parquet(path)
     return st.filter(F.col(op_col) != delete_op).drop(op_col)
+
+
+def ewma_stream(
+    sdf: DataFrame,
+    field: str,
+    window: int,
+    entity_keys: Sequence[str],
+    decay: float = 0.5,
+    time_field: str = "time",
+    out: str = "ewma",
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-key truncated EWMA over event-time order — the streaming form of
+    operators/window.ewma, via `applyInPandasWithState` (state = last
+    `window` values per key, bounded). The fold runs the identical IEEE
+    double operations as the batch JVM array fold (oldest→newest, acc from
+    0.0), so with decay 0.5 (exact powers of two) streaming == batch
+    bit-for-bit — asserted in tests/test_streaming.py."""
+    payload = [c for c in sdf.columns]
+    sort_cols = list(order_cols) if order_cols else [time_field]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
+    ) + f", `{out}` double"
+    state_schema = "values array<double>"
+
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        buf = list(state.get[0]) if state.exists else []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(sort_cols)
+            res = []
+            for v in pdf[field]:
+                buf.append(float(v))
+                if len(buf) > window:
+                    buf.pop(0)
+                n = len(buf)
+                num = 0.0
+                den = 0.0
+                for i, x in enumerate(buf):  # oldest -> newest, as the batch fold
+                    w = decay ** float(n - 1 - i)
+                    num = num + x * w
+                    den = den + w
+                res.append(num / den)
+            pdf = pdf.copy()
+            pdf[out] = pd.Series(res, index=pdf.index, dtype="float64")
+            yield pdf[payload + [out]]
+        state.update((buf,))
+
+    return sdf.groupBy(*entity_keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -310,3 +310,48 @@ def test_multi_microbatch_equals_single_batch(spark, tmp_path):
     )
     want = sorted((r["user_id"], r["time"]) for r in df.dropDuplicates(["user_id", "time"]).collect())
     assert got == want
+
+
+def test_ewma_stream_matches_batch_bit_exact(spark, tmp_path):
+    """Streaming EWMA (stateful, multi-micro-batch) equals the batch array
+    fold bit-for-bit at decay 0.5 (exact powers of two)."""
+    from datapipeline_spark.operators.window import ewma
+    from datapipeline_spark.streaming.ops import ewma_stream
+
+    src = str(tmp_path / "src")
+    rows = [
+        (u, float(h), (h * 37 + u * 11) % 100 / 3.0)
+        for u in range(5)
+        for h in range(40)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t double, v double").selectExpr(
+        "user_id", "CAST(timestamp '2024-01-01' + t * INTERVAL 1 HOUR AS TIMESTAMP) AS time", "v"
+    )
+    df.orderBy("time").coalesce(1).write.parquet(src)
+
+    want = {
+        (r.user_id, r.time): r.ewma
+        for r in ewma(
+            df, "v", window=6, decay=0.5, partition_by=["user_id"], order_by=["time"]
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("user_id long, time timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ewma_stream(stream, "v", window=6, entity_keys=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.user_id, r.time): r.ewma for r in spark.table("ewma_stream_t").collect()
+    }
+    assert len(got) == len(want)
+    assert got == want  # bit-exact, no tolerance
