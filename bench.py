@@ -117,6 +117,7 @@ HEADLINE = [
     "approx_distinct_users",
     "ewma_value",
     "token_budget_mixture",
+    "dedup_passages",
 ]
 
 

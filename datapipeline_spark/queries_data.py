@@ -1626,3 +1626,82 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_before") < F.col("budget"))
     )
     return out.select("doc_id", "source", "n_tokens", "cum_before")
+
+
+@query(
+    "dedup_passages",
+    """
+WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+ch AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(w[(i * 8 + 1):(i * 8 + 8)], ' ') AS chunk
+  FROM w, LATERAL (SELECT unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i)
+),
+h AS (SELECT doc_id, idx, chunk, md5(chunk) AS hsh FROM ch),
+firsts AS (SELECT hsh, min(doc_id * 1000000 + idx) AS first_key FROM h GROUP BY hsh),
+kept AS (
+  SELECT h.doc_id, h.idx, h.chunk FROM h JOIN firsts USING (hsh)
+  WHERE h.doc_id * 1000000 + h.idx = firsts.first_key
+),
+tot AS (SELECT doc_id, count(*) AS n_chunks FROM h GROUP BY doc_id),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY idx) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT tot.doc_id, n_chunks,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(cleaned, '') AS cleaned
+FROM tot LEFT JOIN reb USING (doc_id)
+""".format(words=WORDS),
+)
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global passage dedup WITH document rebuild: split every doc
+    into consecutive 8-word spans, keep only the globally-FIRST occurrence
+    of each span (ordered by (doc_id, position) — exact integer key, no
+    tie ambiguity), and reassemble each document from its surviving spans.
+    This is the span-removal counterpart of exact_dedup (whole docs) and
+    shared_passage_pairs (detection only). Scale shape: one narrow chunk
+    explode, a first-occurrence aggregate keyed by span hash (map-side
+    combinable min), a hash join back, and a per-doc rebuild whose
+    sort_array runs inside the row — no global sort anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    n_chunk = F.ceil(F.size("w") / F.lit(8.0)).cast("long")
+    # guard: Spark sequence(0, -1) counts DOWN ([0,-1]) instead of returning
+    # empty, so an empty document must short-circuit to an empty chunk list
+    ch = w.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("w") == 0, F.array().cast("array<struct<idx:bigint,chunk:string>>"))
+            .otherwise(F.transform(
+                F.sequence(F.lit(0), n_chunk - 1),
+                lambda i: F.struct(
+                    i.alias("idx"),
+                    F.array_join(F.slice(F.col("w"), i * 8 + 1, 8), " ").alias("chunk"),
+                ),
+            ))
+        ).alias("c"),
+    ).select("doc_id", F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk"))
+    h = ch.withColumn("hsh", F.md5("chunk")).withColumn(
+        "okey", F.col("doc_id") * 1000000 + F.col("idx")
+    )
+    firsts = h.groupBy("hsh").agg(F.min("okey").alias("first_key"))
+    kept = h.join(firsts, "hsh").filter(F.col("okey") == F.col("first_key"))
+    tot = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    reb = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return tot.join(reb, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+    )
