@@ -2283,9 +2283,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # supplier/part are NOT hint-broadcast: they scale with SF (10M+/200M
+        # rows at SF1000) — the static planner broadcasts them while under
+        # the threshold and AQE upgrades the join at runtime when they fit;
+        # only the bounded dims (nation, region) carry explicit hints
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
@@ -2419,8 +2423,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = rev.agg(F.max("r100").alias("mx"))
     return (
-        rev.join(F.broadcast(mx), rev.r100 == mx.mx)
-        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        rev.join(F.broadcast(mx), rev.r100 == mx.mx)  # scalar: always 1 row
+        # supplier scales with SF — no hint; the rev side is 1 row post-max
+        # anyway, so either side broadcast is cheap and AQE picks at runtime
+        .join(s, rev.supplier_no == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -2537,7 +2543,8 @@ def q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        # supplier scales with SF — planner/AQE choice, no forced broadcast
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
