@@ -118,6 +118,7 @@ HEADLINE = [
     "ewma_value",
     "token_budget_mixture",
     "dedup_passages",
+    "cohort_retention_grid",
 ]
 
 

@@ -2968,3 +2968,43 @@ def ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["user_id"], order_by=["time", "event_id"],
     )
     return out.withColumn("ewma", F.round(F.col("ewma"), 6))
+
+
+@query(
+    "cohort_retention_grid",
+    """
+WITH {base},
+seen AS (
+  SELECT DISTINCT user_id, date_trunc('week', time) AS wk FROM base
+),
+first AS (SELECT user_id, min(wk) AS cohort FROM seen GROUP BY user_id)
+SELECT f.cohort,
+       CAST((epoch_us(s.wk) - epoch_us(f.cohort)) // (604800 * CAST(1000000 AS BIGINT)) AS BIGINT)
+         AS week_offset,
+       count(*) AS n_users
+FROM seen s JOIN first f USING (user_id)
+GROUP BY 1, 2
+""".format(base=EVENTS_BASE),
+)
+def cohort_retention_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cohort-retention triangle (generalizes weekly_retention's
+    week-2-only check): users grouped by first-seen week, counted in every
+    subsequent week they return — THE product-analytics dashboard query.
+    One dedup to (user, week), one min-aggregate for cohorts, a join that
+    re-uses the user_id partitioning, and a tiny grid aggregate; the
+    week offset is exact epoch-microsecond integer arithmetic so the grid
+    cells hash-match across engines."""
+    s = events_stream(spark, sf_dir)
+    seen = s.select(
+        "user_id", F.date_trunc("week", F.col("time")).alias("wk")
+    ).distinct()
+    first = seen.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    off = (
+        (F.unix_micros("wk") - F.unix_micros("cohort"))
+        / F.lit(7 * 86400 * 1000000)
+    ).cast("long")
+    return (
+        seen.join(first, "user_id")
+        .groupBy("cohort", off.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
