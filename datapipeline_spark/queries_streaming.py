@@ -445,3 +445,101 @@ def streaming_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_cm_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
     _run_to_memory(out, name, "complete")
     return spark.table(name).select("j", "bucket", "c")
+
+
+@query(
+    "streaming_cdc_state",
+    """
+WITH {base},
+snap AS (
+  SELECT user_id, time, event_id, value, 'U' AS op FROM (
+    SELECT user_id, time, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY time DESC, event_id DESC) AS rn
+    FROM base WHERE time < TIMESTAMP '2024-01-16 00:00:00'
+  ) WHERE rn = 1
+),
+chg AS (
+  SELECT user_id, time, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM base WHERE time >= TIMESTAMP '2024-01-16 00:00:00'
+),
+merged AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY time DESC, event_id DESC) AS rn
+    FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg)
+  ) WHERE rn = 1
+)
+SELECT user_id, time, event_id, value FROM merged WHERE op <> 'D'
+""".format(base=EVENTS_BASE),
+)
+def streaming_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC consumption (cdc_upsert_sink — SURVEY.md §2.10 meets
+    the CDC merge): the pre-Jan-16 snapshot is seeded as the state table,
+    later events stream in as a changelog (errors = deletes) and fold
+    batch-by-batch through foreachBatch apply_changes with tombstone
+    retention. The materialized final state equals the one-shot batch
+    merge, so cdc_apply_changes' SQL is an exact oracle — the strongest
+    form of the streaming == batch contract (stateful, multi-batch,
+    delete-bearing)."""
+    from datapipeline_spark.operators.cdc import apply_changes
+    from datapipeline_spark.streaming.ops import cdc_upsert_sink, read_cdc_state
+
+    staging = _staged_events(spark, sf_dir)
+    key = hashlib.sha256(("cdc|" + staging).encode()).hexdigest()[:8]
+    state = f"/tmp/spark_graft_cdc_state_{key}"
+    marker = state + "/_DONE"
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(state, ignore_errors=True)
+        base = spark.read.parquet(staging)
+        cutoff = "2024-01-16 00:00:00"
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("time").desc(), F.col("event_id").desc()
+        )
+        snap = (
+            base.filter(F.col("time") < F.lit(cutoff).cast("timestamp"))
+            .withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select("user_id", "time", "event_id", "value", F.lit("U").alias("op"))
+        )
+        # seed the state table with the snapshot (tombstone-bearing layout)
+        snap.write.mode("overwrite").parquet(state)
+        chg_dir = state + "_chg"
+        if not os.path.exists(os.path.join(chg_dir, "_SUCCESS")):
+            (
+                base.filter(F.col("time") >= F.lit(cutoff).cast("timestamp"))
+                .select(
+                    "user_id",
+                    "time",
+                    "event_id",
+                    "value",
+                    F.when(F.col("event_type") == "error", F.lit("D"))
+                    .otherwise(F.lit("U"))
+                    .alias("op"),
+                )
+                .repartition(3)  # 3 files -> 3 micro-batches
+                .write.mode("overwrite")
+                .parquet(chg_dir)
+            )
+        sch = "user_id bigint, time timestamp, event_id bigint, value double, op string"
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chg_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                cdc_upsert_sink(state, ["user_id"], ["time", "event_id"])
+            )
+            .option("checkpointLocation", state + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_cdc_state did not finish in 300s")
+        open(marker, "w").write("done")
+    return read_cdc_state(spark, state).select("user_id", "time", "event_id", "value")
