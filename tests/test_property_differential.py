@@ -188,3 +188,81 @@ def test_rolling_slope_matches_reference_model(spark, xy, window):
         .collect()
     ]
     assert got == pytest.approx(expected, rel=1e-6, abs=1e-9)
+
+
+# ---------------------------------------------------------------- round 2 ops
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    fact_times=st.lists(st.integers(0, 200), min_size=0, max_size=15),
+    windows=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(1, 60)), min_size=0, max_size=8
+    ),
+    bucket_minutes=st.sampled_from([7, 30, 120]),
+)
+def test_interval_join_matches_naive_model(spark, fact_times, windows, bucket_minutes):
+    """Bucketed interval join == brute-force containment check, for any
+    bucket width (including widths that don't divide the window lengths)."""
+    from datapipeline_spark.operators.interval import interval_join
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    facts = spark.createDataFrame(
+        [("k", t0 + timedelta(minutes=m), i) for i, m in enumerate(fact_times)],
+        "g string, time timestamp, fid int",
+    )
+    iv = spark.createDataFrame(
+        [
+            ("k", t0 + timedelta(minutes=s), t0 + timedelta(minutes=s + d), j)
+            for j, (s, d) in enumerate(windows)
+        ],
+        "g string, start timestamp, end timestamp, wid int",
+    )
+    got = sorted(
+        (r.fid, r.wid)
+        for r in interval_join(
+            facts, iv, ["g"], bucket=f"{bucket_minutes}m"
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, m in enumerate(fact_times)
+        for j, (s, d) in enumerate(windows)
+        if s <= m < s + d
+    )
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 5),            # key
+            st.integers(0, 30),           # seq
+            st.booleans(),                # is delete
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_apply_changes_matches_naive_model(spark, changes):
+    """CDC merge == last-writer-wins dict fold (ties impossible: unique
+    (key, seq))."""
+    from datapipeline_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame(
+        [(k, -1, f"init{k}") for k in range(3)], "k int, seq int, v string"
+    )
+    chg = spark.createDataFrame(
+        [(k, s, None if d else f"v{k}_{s}", "D" if d else "U") for k, s, d in changes],
+        "k int, seq int, v string, op string",
+    )
+    got = {r.k: (r.seq, r.v) for r in apply_changes(snap, chg, ["k"], ["seq"]).collect()}
+
+    state = {k: (-1, f"init{k}", "U") for k in range(3)}
+    for k, s, d in sorted(changes, key=lambda t: t[1]):
+        if k not in state or s > state[k][0]:
+            state[k] = (s, None if d else f"v{k}_{s}", "D" if d else "U")
+    want = {k: (s, v) for k, (s, v, op) in state.items() if op != "D"}
+    assert got == want
