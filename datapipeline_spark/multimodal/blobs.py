@@ -8,10 +8,12 @@ Spark-side design (the part that matters at 100 TB):
 - partitioning: blobs are large → `spark.sql.files.maxPartitionBytes` governs
   scan parallelism; repartition by id before UDF stages to balance batches.
 
-The actual codec calls are STUBBED: image/audio libraries are not available
-in this environment. `decode_media(..., codec="real")` raises
-NotImplementedError at the exact integration point; the default
-deterministic fake decoder exercises the full schema/batching path.
+Codec reality: `decode_media(..., codec="real")` ACTUALLY decodes the
+uncompressed formats numpy/stdlib can handle — PPM (P6) images and PCM WAV
+audio — and raises NotImplementedError for compressed codecs (JPEG/PNG/
+MP3/video) at the exact spot PIL/ffmpeg/torchaudio plug in (unavailable in
+this environment). The default deterministic fake decoder exercises the
+full schema/batching path and keeps the queries oracle-checkable.
 """
 
 from __future__ import annotations
@@ -81,26 +83,66 @@ DECODED_SCHEMA = (
 )
 
 
+def _decode_real(blob: bytes) -> dict:
+    """REAL decode for the uncompressed formats numpy/stdlib can handle:
+
+    - PPM (P6) raster images: header parse + raw RGB dims;
+    - PCM WAV audio: stdlib ``wave`` for frames/rate/channels.
+
+    Compressed codecs (JPEG/PNG/MP3/H.264) genuinely need external
+    libraries, absent in this environment — those raise NotImplementedError
+    at this exact integration point (swap in PIL/ffmpeg/torchaudio here).
+    """
+    if blob[:2] == b"P6":
+        # PPM: 'P6' <ws> width <ws> height <ws> maxval '\n' raw RGB
+        import re as _re
+
+        m = _re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", blob)
+        if not m:
+            raise ValueError("malformed PPM header")
+        w, h = int(m.group(1)), int(m.group(2))
+        return {"width": w, "height": h, "n_frames": 1, "sample_rate": None}
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(blob)) as wf:
+            return {
+                "width": None,
+                "height": None,
+                "n_frames": wf.getnframes(),
+                "sample_rate": wf.getframerate(),
+            }
+    raise NotImplementedError(
+        "compressed media codecs (JPEG/PNG/MP3/video) need PIL/ffmpeg/"
+        "torchaudio, unavailable in this environment; PPM and PCM-WAV decode "
+        "natively, or use codec='fake' to exercise the pipeline shape"
+    )
+
+
 def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
     """Decode blobs → typed dimensions. Arrow-batched mapInPandas.
 
-    codec="real" marks where PIL/ffmpeg/torchaudio would be invoked; it
-    raises NotImplementedError (libraries unavailable in this environment).
+    codec="real" decodes uncompressed formats for real (PPM images, PCM WAV
+    audio — numpy/stdlib only) and raises NotImplementedError for
+    compressed codecs at the exact spot PIL/ffmpeg/torchaudio plug in.
+    codec="fake" is the deterministic stand-in that keeps the full
+    schema/batching path exercised (and oracle-checkable) without binaries.
     """
-    if codec == "real":
-        raise NotImplementedError(
-            "real media codecs (PIL/ffmpeg/torchaudio) are not available in "
-            "this environment; use codec='fake' to exercise the pipeline"
-        )
-
     import pandas as pd
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            meta = [
-                _fake_decode(t, bytes(b) if b is not None else b"")
-                for t, b in zip(pdf["media_type"], pdf["media"])
-            ]
+            if codec == "real":
+                meta = [
+                    _decode_real(bytes(b) if b is not None else b"")
+                    for b in pdf["media"]
+                ]
+            else:
+                meta = [
+                    _fake_decode(t, bytes(b) if b is not None else b"")
+                    for t, b in zip(pdf["media_type"], pdf["media"])
+                ]
             out = pd.DataFrame(meta)
             out.insert(0, "media_id", pdf["media_id"].values)
             out.insert(1, "media_type", pdf["media_type"].values)
