@@ -49,6 +49,7 @@ def interval_join(
     end_col: str = "end",
     bucket: str = "1h",
     how: str = "inner",
+    max_buckets_per_interval: int = 10_000,
 ) -> DataFrame:
     """Join ``facts`` rows to every interval containing them.
 
@@ -56,21 +57,49 @@ def interval_join(
     back-to-back windows never double-match a boundary fact. ``how`` is
     ``inner`` (matching facts only, one row per containing window) or
     ``left`` (keep unmatched facts with null interval columns).
+
+    An interval spanning more than ``max_buckets_per_interval`` buckets
+    fails fast with a clear error instead of silently exploding the
+    interval side (a year-long window at a 1-minute bucket is ~525k rows
+    PER interval — the fix is a coarser ``bucket``, and the guard is how
+    you find out).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"interval_join supports inner/left, got {how!r}")
     width_us = parse_cadence_seconds(bucket) * 1_000_000
     keys = list(on)
 
+    last_b = _bucket(F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND"), width_us)
+    first_b = _bucket(F.col(start_col), width_us)
+    span = last_b - first_b + 1
+    # the guard must live INSIDE an expression the plan actually evaluates
+    # (a standalone projected-then-dropped column gets pruned by Catalyst
+    # and the raise_error would never fire)
+    guard = F.coalesce(
+        F.when(
+            span > max_buckets_per_interval,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_join: interval spans more than "
+                        f"{max_buckets_per_interval} x {bucket} buckets ("
+                    ),
+                    span.cast("string"),
+                    F.lit("); widen bucket= or raise max_buckets_per_interval"),
+                )
+            ).cast("long"),
+        ),
+        F.lit(0),
+    )
     f = facts.withColumn("__b__", _bucket(F.col(time_col), width_us))
     iv = intervals.withColumn(
         "__b__",
         F.explode(
             F.sequence(
-                _bucket(F.col(start_col), width_us),
+                first_b + guard,
                 # end is exclusive: a window ending exactly on a bucket edge
                 # does not reach into that bucket
-                _bucket(F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND"), width_us),
+                last_b,
             )
         ),
     )

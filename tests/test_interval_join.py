@@ -77,3 +77,15 @@ def test_left_keeps_unmatched(facts, windows):
 def test_bad_how_raises(facts, windows):
     with pytest.raises(ValueError):
         interval_join(facts, windows, ["k"], how="full")
+
+
+def test_pathological_interval_fails_fast(spark, facts):
+    wide = spark.createDataFrame(
+        [("a", datetime(2020, 1, 1), datetime(2025, 1, 1), 1)],
+        "k string, start timestamp, end timestamp, win int",
+    )
+    with pytest.raises(Exception, match="spans more than"):
+        interval_join(facts, wide, ["k"], bucket="5m", max_buckets_per_interval=100).collect()
+    # same window with a coarse enough bucket is fine
+    ok = interval_join(facts, wide, ["k"], bucket="6h", max_buckets_per_interval=10_000)
+    assert ok.count() >= 1
