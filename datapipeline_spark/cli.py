@@ -136,6 +136,26 @@ def cmd_version(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    from datapipeline_spark.api import sql
+
+    df = sql(
+        _spark(args),
+        args.query,
+        project_dir=args.project,
+        tables_dir=args.tables_dir,
+    )
+    n = args.limit
+    rows = df.limit(n + 1).collect() if n else df.collect()
+    cols = df.columns
+    print("\t".join(cols))
+    for r in rows[: n or len(rows)]:
+        print("\t".join("" if r[c] is None else str(r[c]) for c in cols))
+    if n and len(rows) > n:
+        print(f"... (truncated at {n} rows; pass --limit 0 for all)", file=sys.stderr)
+    return 0
+
+
 def cmd_clean(args) -> int:
     from datapipeline_spark.plans.scaffold import clean
 
@@ -151,6 +171,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None, help="Spark master (default: local[*])")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     sub = p.add_subparsers(dest="command", required=True)
+
+    q = sub.add_parser("sql", help="run ANSI SQL over project streams / raw tables")
+    q.add_argument("query", help="SQL text; stream ids become views (dots/dashes -> _)")
+    q.add_argument("--project", default=None, help="project dir whose streams to register")
+    q.add_argument("--tables-dir", default=None, help="directory of <name>.parquet tables")
+    q.add_argument("--limit", type=int, default=100, help="max rows to print (0 = all)")
+    q.set_defaults(fn=cmd_sql)
 
     s = sub.add_parser("serve", help="build dataset and write fold outputs")
     s.add_argument("project")

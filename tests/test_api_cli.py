@@ -220,3 +220,12 @@ def test_sql_over_raw_tables(spark):
         tables_dir="/root/testdata/sf0.001",
     )
     assert df.collect()[0].n == 6000
+
+
+def test_cli_sql_over_project(spark, project, capsys):
+    from datapipeline_spark import cli
+
+    rc = cli.main(["sql", "SELECT count(*) AS n FROM s_m", "--project", str(project)])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "n" and out[1] == "12"
