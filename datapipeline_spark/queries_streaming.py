@@ -543,3 +543,44 @@ def streaming_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("streaming_cdc_state did not finish in 300s")
         open(marker, "w").write("done")
     return read_cdc_state(spark, state).select("user_id", "time", "event_id", "value")
+
+
+@query(
+    "streaming_ewma",
+    """
+WITH {base},
+fr AS (
+  SELECT event_id, user_id, time, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY time, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS a
+  FROM base
+)
+SELECT event_id, user_id, time, value,
+       round(
+         list_reduce(list_transform(a, (x, i) -> x * pow(0.5, len(a) - i)), (p, q) -> p + q)
+         / list_reduce(list_transform(a, (x, i) -> pow(0.5, len(a) - i)), (p, q) -> p + q),
+       6) AS ewma
+FROM fr
+""".format(base=EVENTS_BASE),
+)
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming truncated EWMA (streaming/ops.py ewma_stream,
+    applyInPandasWithState): per-user stateful fold over the event stream.
+    Because the Python fold performs the identical IEEE operations as the
+    batch JVM array fold and decay 0.5 weights are exact powers of two,
+    the streamed values are bit-identical to batch — so the batch SQL is
+    an exact oracle even though the computation ran through per-key state
+    across micro-batches."""
+    from datapipeline_spark.streaming.ops import ewma_stream
+
+    staging = _staged_events(spark, sf_dir)
+    sdf = _stream_of(spark, staging).select("event_id", "user_id", "time", "value")
+    out = ewma_stream(
+        sdf, "value", window=8, entity_keys=["user_id"],
+        order_cols=["time", "event_id"],
+    )
+    name = "stream_ewma_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
+    _run_to_memory(out, name, "append")
+    return spark.table(name).select(
+        "event_id", "user_id", "time", "value", F.round(F.col("ewma"), 6).alias("ewma")
+    )
