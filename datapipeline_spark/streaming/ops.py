@@ -426,3 +426,53 @@ def ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_rollup_sink(
+    path: str,
+    keys: Sequence[str],
+    counters: Sequence[str],
+):
+    """foreachBatch incremental aggregate maintenance: keep a materialized
+    per-key table of ASSOCIATIVE counters (counts, integer sums) current as
+    micro-batches arrive — the continuous-aggregate refresh pattern
+    (TimescaleDB/Materialize) on plain parquet.
+
+    Each trigger pre-aggregates ONLY the batch (tiny), unions it with the
+    matching rows of the existing state, re-sums, and swaps the state dir
+    via staging + Hadoop FS rename. Because every counter is associative
+    and commutative, folding N micro-batches equals one batch aggregate —
+    asserted in tests. Counters must be pre-computed columns (e.g. a 1 for
+    counts, cent-scaled longs for sums); the merge is a plain SUM over
+    (state ∪ batch-aggregate).
+
+    Bootstrap: first batch creates the state. Read the live rollup with a
+    plain ``spark.read.parquet(path)``.
+    """
+
+    def process(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        state = jvm.org.apache.hadoop.fs.Path(path)
+        fs = state.getFileSystem(conf)
+        from pyspark.sql import functions as F
+
+        delta = batch_df.groupBy(*keys).agg(
+            *[F.sum(c).alias(c) for c in counters]
+        )
+        if fs.exists(state):
+            prev = spark.read.parquet(path)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy(*keys)
+                .agg(*[F.sum(c).alias(c) for c in counters])
+            )
+        else:
+            merged = delta
+        staging = path.rstrip("/") + f".staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        fs.delete(state, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(staging), state)
+
+    return process

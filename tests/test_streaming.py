@@ -355,3 +355,54 @@ def test_ewma_stream_matches_batch_bit_exact(spark, tmp_path):
     }
     assert len(got) == len(want)
     assert got == want  # bit-exact, no tolerance
+
+
+def test_incremental_rollup_fold_equals_one_shot(spark, tmp_path):
+    """Maintaining the per-(user, day) rollup one micro-batch at a time must
+    equal aggregating everything at once — the continuous-aggregate
+    refresh invariant (all counters associative integers)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spark.streaming.ops import incremental_rollup_sink
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "rollup")
+    rows = [
+        (i % 9, f"2024-01-{1 + i % 5:02d} 0{i % 8}:00:00", (i * 7) % 100 / 4.0)
+        for i in range(200)
+    ]
+    df = (
+        spark.createDataFrame(rows, "user_id long, ts string, v double")
+        .selectExpr(
+            "user_id",
+            "CAST(ts AS TIMESTAMP) AS time",
+            "CAST(round(v * 100) AS BIGINT) AS v100",
+        )
+        .withColumn("day", F.date_trunc("day", F.col("time")))
+        .withColumn("n", F.lit(1).cast("long"))
+        .select("user_id", "day", "n", "v100")
+    )
+    df.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    stream = (
+        spark.readStream.schema("user_id long, day timestamp, n long, v100 long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_rollup_sink(state, ["user_id", "day"], ["n", "v100"])
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    want = sorted(
+        map(tuple, df.groupBy("user_id", "day").agg(
+            F.sum("n").alias("n"), F.sum("v100").alias("v100")
+        ).collect())
+    )
+    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert got == want and len(got) > 0
