@@ -212,8 +212,11 @@ def test_multimodal_pipeline(spark):
     fr = frames.collect()
     assert len(fr) > 0 and all(r["frame_idx"] % 8 == 0 for r in fr)
 
-    with pytest.raises(NotImplementedError):
-        decode_media(media, codec="real")
+    # codec="real" decodes PPM/PCM-WAV natively (tests/test_multimodal.py);
+    # these synthetic sha-stream blobs are neither, so the real path raises
+    # at execution, at the compressed-codec integration point
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        decode_media(media, codec="real").collect()
 
 
 # --------------------------------------------------- near-dup clustering (CC)
