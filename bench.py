@@ -119,6 +119,7 @@ HEADLINE = [
     "token_budget_mixture",
     "dedup_passages",
     "cohort_retention_grid",
+    "salted_join_enrich",
 ]
 
 

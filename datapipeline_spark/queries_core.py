@@ -3008,3 +3008,38 @@ def cohort_retention_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", off.alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "salted_join_enrich",
+    """
+WITH {base},
+prof AS (
+  SELECT user_id, min(time) AS first_seen, count(*) AS n_events
+  FROM base GROUP BY user_id
+)
+SELECT b.event_id, b.user_id, b.time, b.value,
+       prof.first_seen, prof.n_events
+FROM base b JOIN prof USING (user_id)
+""".format(base=EVENTS_BASE),
+)
+def salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join in the registry (operators/skew.py salted_join — the
+    explicit fallback for join skew AQE's runtime splitting doesn't
+    rewrite, measured 2x on a 90%-hot-key workload in
+    tools/skew_experiment.py): the skewed fact side keeps its layout while
+    the small profile side explodes salt x, spreading each hot key over
+    salt shuffle partitions. Results are identical to the plain join (the
+    oracle) by construction — the salt only changes WHERE rows meet."""
+    from datapipeline_spark.operators.skew import salted_join
+
+    s = events_stream(spark, sf_dir)
+    prof = s.groupBy("user_id").agg(
+        F.min("time").alias("first_seen"), F.count(F.lit(1)).alias("n_events")
+    )
+    out = salted_join(
+        s.select("event_id", "user_id", "time", "value"), prof, ["user_id"], salt=8
+    )
+    return out.select(
+        "event_id", "user_id", "time", "value", "first_seen", "n_events"
+    )
