@@ -54,6 +54,11 @@ HEADLINE = [
     "q17_small_qty_revenue",
     "q21_late_supplier",
     "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_part_value",
+    "q16_parts_supplier_count",
+    "q20_dominant_suppliers",
     "bucketed_join_revenue",
     "semi_join_customers",
     "anti_join_customers",

@@ -2411,6 +2411,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
             & (F.col("l_shipdate") < F.lit(datetime(1996, 4, 1)))
+            # explicit, though parquet keys are non-null: the supplier join
+            # branch INFERS IsNotNull(l_suppkey) on its scan while the
+            # scalar-max branch doesn't, and that one-filter asymmetry makes
+            # the two otherwise-identical aggregate subtrees canonically
+            # different — AQE then materializes the fact scan+agg TWICE
+            # instead of reusing the shuffle stage. Stating the filter on the
+            # shared subtree restores ReusedExchange (asserted in
+            # test_plan_quality).
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
@@ -2597,6 +2606,307 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("b100").cast("double") / 100.0, 2).alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+WITH sel AS (SELECT p_partkey, p_name FROM part WHERE p_type = 'STANDARD' AND p_size <= 15),
+offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)) AS cost100
+  FROM lineitem JOIN sel ON p_partkey = l_partkey
+  GROUP BY l_partkey, l_suppkey
+),
+eligible AS (
+  SELECT o.l_partkey AS partkey, o.l_suppkey AS suppkey, o.cost100
+  FROM offers o
+  JOIN supplier ON s_suppkey = o.l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+best AS (SELECT partkey, min(cost100) AS min_cost FROM eligible GROUP BY partkey)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+       e.partkey AS p_partkey, sel.p_name,
+       round(CAST(e.cost100 AS DOUBLE) / 100.0, 2) AS supply_cost
+FROM eligible e
+JOIN best b ON e.partkey = b.partkey AND e.cost100 = b.min_cost
+JOIN sel ON sel.p_partkey = e.partkey
+JOIN supplier ON s_suppkey = e.suppkey
+JOIN nation ON n_nationkey = s_nationkey
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (region-scoped minimum-cost supplier per part),
+    adapted: the trimmed schema has no partsupp, so the part-supplier
+    offer book is derived from lineitem history — a supplier's cost for a
+    part is its best observed unit price (min extendedprice/quantity).
+    The correlated `= (SELECT min(ps_supplycost) ...)` becomes a groupwise
+    -min computed as a WINDOW min over the part key — one exchange on
+    partkey, no duplicated offer subtree (an agg-and-rejoin would carry
+    the whole offers⋈supplier branch twice and shuffle again on
+    (part, cost)). The selective part filter is broadcast into the fact
+    scan FIRST and the region filter restricts suppliers via broadcast
+    dims. Per-part groups are bounded by the supplier count for a part,
+    so the WindowExec buffer is small at any corpus scale. Unit price
+    floors at x*100+0.5 (the shared tie convention); min over exact
+    integer cents is order-independent at any parallelism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_name")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # bounded dims broadcast; supplier scales with SF → planner/AQE choice
+    euro_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+    offers = (
+        li.join(F.broadcast(sel.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100 + 0.5)
+            ).alias("cost100")
+        )
+    )
+    from pyspark.sql import Window
+
+    eligible = offers.join(euro_supp, offers.l_suppkey == euro_supp.s_suppkey).select(
+        F.col("l_partkey").alias("partkey"),
+        "s_name",
+        "n_name",
+        "s_acctbal",
+        "cost100",
+    )
+    min_cost = F.min("cost100").over(Window.partitionBy("partkey"))
+    return (
+        eligible.withColumn("min_cost", min_cost)
+        .filter(F.col("cost100") == F.col("min_cost"))
+        .join(F.broadcast(sel), F.col("partkey") == sel.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("partkey").alias("p_partkey"),
+            "p_name",
+            F.round(F.col("cost100").cast("double") / 100.0, 2).alias("supply_cost"),
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+WITH profit AS (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+         - CAST(floor(p_retailprice * l_quantity * 80 + 0.5) AS BIGINT) AS amt100
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%gear%'
+)
+SELECT nation, o_year, round(CAST(sum(amt100) AS DOUBLE)/100.0, 2) AS sum_profit
+FROM profit GROUP BY nation, o_year
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-line profit by supplier nation and year),
+    adapted: with no partsupp, supply cost is modeled as 80% of the
+    part's retail price per unit (revenue and cost both floor to exact
+    integer cents BEFORE the subtraction, so the per-line profit — and
+    therefore the sum in any accumulation order — is engine-exact). The
+    name-substring part filter prunes the fact scan via a broadcast
+    semi-side; orders joins on the fact's own key; nation is broadcast.
+    One wide join tree, one aggregate, no Expand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+    cost = F.floor(F.col("p_retailprice") * F.col("l_quantity") * 80 + 0.5)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (rev - cost).alias("amt100"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amt100").cast("double") / 100.0, 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_part_value",
+    """
+WITH v AS (
+  SELECT l_partkey, CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS v100
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7'
+),
+pv AS (SELECT l_partkey AS p_partkey, sum(v100) AS part_v100 FROM v GROUP BY l_partkey),
+tot AS (SELECT sum(v100) AS total_v100 FROM v)
+SELECT p_partkey, round(CAST(part_v100 AS DOUBLE)/100.0, 2) AS part_value
+FROM pv, tot WHERE part_v100 * 1000 > total_v100
+""",
+)
+def q11_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (parts holding an outsized share of one nation's
+    traded value; partsupp stock value adapted to lineitem traded value).
+    The HAVING-vs-global-scalar becomes: per-part integer-cent sums
+    (one keyed shuffle), a 1-row grand total that Spark reuses from the
+    SAME shuffle output (exchange reuse, not a second fact scan),
+    broadcast back for the threshold. `part_v * 1000 > total_v` keeps the
+    0.1% threshold in exact integer arithmetic — a boundary part cannot
+    flip between engines the way `> total/1000.0` could."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    v = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "l_partkey",
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+            ).alias("v100"),
+        )
+    )
+    pv = v.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum("v100").alias("part_v100")
+    )
+    tot = pv.agg(F.sum("part_v100").alias("total_v100"))  # reuses pv's exchange
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("part_v100") * 1000 > F.col("total_v100"))
+        .select(
+            "p_partkey",
+            F.round(F.col("part_v100").cast("double") / 100.0, 2).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q16_parts_supplier_count",
+    """
+WITH pairs AS (
+  SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+    AND p_size IN (1, 5, 11, 15, 23, 28, 37, 42)
+    AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
+FROM pairs GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (how many suppliers can provide each part class;
+    partsupp adapted to observed lineitem part-supplier pairs, the
+    complaint-supplier NOT IN adapted to negative account balance). The
+    count(DISTINCT l_suppkey) is a two-level aggregate — distinct pairs
+    first, then a plain count — rather than a distinct-agg Expand; the
+    NOT IN is a broadcast LEFT ANTI join (the excluded set is tiny and,
+    being non-null keys, anti-join and NOT IN agree)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 11, 15, 23, 28, 37, 42)
+    )
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        li.join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("supplier_cnt")
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    """
+WITH sel AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+sq AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q100
+  FROM lineitem JOIN sel ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+pq AS (SELECT l_partkey, sum(q100) AS pt100 FROM sq GROUP BY l_partkey)
+SELECT DISTINCT s_suppkey, s_name, n_name
+FROM sq JOIN pq USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE 2 * q100 > pt100 AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+""",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers positioned to promote a part line;
+    `ps_availqty > 0.5 * sum(l_quantity)` adapted to: the supplier shipped
+    more than half of a small-part's total 1997 volume). The nested
+    correlated IN chain flattens to a per-(part,supplier) aggregate plus
+    a WINDOW sum over the part key (one exchange; an agg-and-rejoin would
+    duplicate the aggregate subtree and shuffle twice) — an integer-exact
+    majority test (2*supp > total), then supplier/nation lookups on the
+    few survivors. Per-part window groups are bounded by suppliers-per-
+    part. The distinct output collapses multi-part dominators."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1998, 1, 1)))
+    )
+    sel = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    from pyspark.sql import Window
+
+    sq = (
+        li.join(F.broadcast(sel), li.l_partkey == sel.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q100"))
+    )
+    pt100 = F.sum("q100").over(Window.partitionBy("l_partkey"))
+    return (
+        sq.withColumn("pt100", pt100)
+        .filter(2 * F.col("q100") > F.col("pt100"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
     )
 
 

@@ -265,6 +265,97 @@ def test_q15_plan(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_q15_reuses_revenue_aggregate(spark):
+    from datapipeline_spark.queries_core import q15_top_supplier
+
+    df = q15_top_supplier(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # the scalar-max branch reuses the quarterly revenue aggregate's shuffle
+    # stage instead of re-scanning + re-aggregating lineitem (requires the
+    # explicit l_suppkey IsNotNull in the shared subtree — the supplier join
+    # branch infers it, and the constraint asymmetry otherwise breaks
+    # canonical equality between the two branches)
+    assert "ReusedExchange" in plan
+
+
+def test_q2_plan(spark):
+    from datapipeline_spark.queries_core import q2_min_cost_supplier
+
+    plan = _plan(q2_min_cost_supplier(spark, SF))
+    # part-class filter pushed to the part scan and broadcast into the fact
+    # scan before the offer aggregate; groupwise min is a window over the
+    # part key — no duplicated offers subtree, no (part, cost) re-shuffle
+    assert "EqualTo(p_type,STANDARD)" in plan
+    assert "LessThanOrEqual(p_size,15)" in plan
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert _shuffles(plan) <= 4
+
+
+def test_q9_plan(spark):
+    from datapipeline_spark.queries_core import q9_product_profit
+
+    plan = _plan(q9_product_profit(spark, SF))
+    # name-substring part filter pushed to the part scan; every dim join
+    # broadcast; ONE shuffle total (the final nation×year aggregate)
+    assert "StringContains(p_name,gear)" in plan
+    assert plan.count("BroadcastHashJoin") == 4
+    assert _shuffles(plan) == 1
+
+
+def test_q11_plan(spark):
+    from datapipeline_spark.queries_core import q11_part_value
+
+    plan = _plan(q11_part_value(spark, SF))
+    # nation filter pushed; the 0.1% threshold arrives as a 1-row broadcast
+    # (scalar grand total), never a driver collect
+    assert "EqualTo(n_name,NATION_7)" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _shuffles(plan) <= 3
+
+
+def test_q11_reuses_part_aggregate(spark):
+    from datapipeline_spark.queries_core import q11_part_value
+
+    # sf0.001 has no NATION_7 lineitem rows: AQE propagates EmptyRelation
+    # before stage reuse can appear, so assert at sf0.01 where the branch
+    # is real
+    df = q11_part_value(spark, "/root/testdata/sf0.01")
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # the grand-total branch reuses the per-part aggregate's shuffle stage
+    # instead of re-scanning the fact subtree
+    assert "ReusedExchange" in plan
+
+
+def test_q16_plan(spark):
+    from datapipeline_spark.queries_core import q16_parts_supplier_count
+
+    plan = _plan(q16_parts_supplier_count(spark, SF))
+    # complaint-supplier exclusion is a broadcast anti join; the distinct
+    # supplier count is a two-level aggregate (distinct pairs then count),
+    # never a distinct-agg Expand
+    assert "LeftAnti" in plan
+    assert "LessThan(s_acctbal,0.0)" in plan
+    assert "Expand" not in plan
+    assert _shuffles(plan) <= 2
+
+
+def test_q20_plan(spark):
+    from datapipeline_spark.queries_core import q20_dominant_suppliers
+
+    plan = _plan(q20_dominant_suppliers(spark, SF))
+    # ship-date range pushed into the fact scan; the per-part total is a
+    # window over the part key, so the per-(part,supplier) aggregate subtree
+    # is never duplicated
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan
+    assert "Window" in plan
+    assert _shuffles(plan) <= 3
+
+
 def test_q22_plan(spark):
     from datapipeline_spark.queries_core import q22_dormant_customers
 
