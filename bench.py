@@ -125,6 +125,10 @@ HEADLINE = [
     "dedup_passages",
     "cohort_retention_grid",
     "salted_join_enrich",
+    "scd2_user_segments",
+    "pagerank_parts",
+    "pii_redact",
+    "fuzzy_match_customers",
 ]
 
 

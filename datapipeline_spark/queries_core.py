@@ -3353,3 +3353,142 @@ def salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "time", "value", "first_seen", "n_events"
     )
+
+
+@query(
+    "scd2_user_segments",
+    """
+WITH {base},
+seg AS (SELECT user_id, time, event_id, CAST(floor(value / 25) AS BIGINT) AS segment FROM base),
+marked AS (
+  SELECT user_id, time, event_id, segment,
+         CASE WHEN lag(segment) OVER ({w}) IS DISTINCT FROM segment THEN 1 ELSE 0 END AS chg
+  FROM seg
+),
+runs AS (
+  SELECT *, CAST(sum(chg) OVER ({w} ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+  FROM marked
+),
+hist AS (
+  SELECT user_id, run_id, min(segment) AS segment, min(time) AS valid_from,
+         count(*) AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, segment, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current,
+       n_events
+FROM hist
+""".format(base=EVENTS_BASE, w=W),
+)
+def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history (lakehouse-standard; beyond the
+    reference's rebuild-only artifact model, companion to
+    operators/cdc.py): each user's value-segment changes become validity
+    intervals — gaps-and-islands via lag-compare + running change count,
+    one run-level aggregate, then valid_to = next run's valid_from (lead;
+    null ⇒ current row flag). Everything rides the canonical
+    (user, time, event_id) window exchange: ONE shuffle for lag + running
+    sum + the run aggregate + the interval lead. Timestamps are moved,
+    never computed, so intervals hash-match bit-exactly across engines."""
+    from pyspark.sql import Window
+
+    s = events_stream(spark, sf_dir)
+    w = canonical_window(["user_id"], ORDER)
+    seg = s.select(
+        "user_id",
+        "time",
+        "event_id",
+        F.floor(F.col("value") / 25).alias("segment"),
+    )
+    chg = (
+        ~F.lag("segment").over(w).eqNullSafe(F.col("segment"))
+    ).cast("int")
+    runs = seg.withColumn("chg", chg).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    hist = runs.groupBy("user_id", "run_id").agg(
+        F.min("segment").alias("segment"),
+        F.min("time").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("run_id")
+    return hist.select(
+        "user_id",
+        "segment",
+        "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+        F.lead("valid_from").over(wl).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+@query(
+    "pagerank_parts",
+    """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+it1 AS (
+  SELECT e.dst AS node, 150000 + (85 * sum(r.rank // d.outdeg)) // 100 AS rank
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+it2 AS (
+  SELECT e.dst AS node, 150000 + (85 * sum(r.rank // d.outdeg)) // 100 AS rank
+  FROM edges e JOIN it1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+it3 AS (
+  SELECT e.dst AS node, 150000 + (85 * sum(r.rank // d.outdeg)) // 100 AS rank
+  FROM edges e JOIN it2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)
+SELECT node AS p_partkey, CAST(rank AS BIGINT) AS rank_micros FROM it3
+""",
+)
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the part co-purchase graph (iterative
+    graph algorithm — a class the reference's linear pipeline model cannot
+    express at all). Edges = distinct part pairs sharing an order (the
+    self-join is keyed on l_orderkey and bounded by lines-per-order, so it
+    cannot degenerate at corpus scale); 3 damped iterations entirely in
+    integer micro-units — rank DIV outdeg per edge, exact bigint sums,
+    (85*s) DIV 100 damping — so every iteration is order-independent and
+    the final ranks hash-match DuckDB's unrolled-CTE oracle exactly. Each
+    iteration shuffles on the join key then the dst aggregate (in a
+    long-running job the static edge relation would be persisted; at 3
+    iterations AQE exchange reuse of the distinct-edges shuffle gives the
+    same effect for free)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src")  # static: (src, dst, outdeg)
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1000000).cast("long").alias("rank")
+    )
+    for _ in range(3):
+        contrib = ed.join(ranks, ed.src == ranks.node).select(
+            "dst", F.expr("rank DIV outdeg").alias("c")
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(150000) + F.expr("(85 * sum(c)) DIV 100")).alias("rank")
+        )
+    return ranks.select(
+        F.col("node").alias("p_partkey"), F.col("rank").cast("long").alias("rank_micros")
+    )

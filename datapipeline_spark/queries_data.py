@@ -1705,3 +1705,99 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
     )
+
+
+@query(
+    "pii_redact",
+    r"""
+WITH contacts AS (
+  SELECT c_custkey,
+         c_name || ' <' || lower(replace(c_name, '#', '')) || '@corp.example> tel +1-555-'
+                || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS contact
+  FROM customer
+)
+SELECT c_custkey, contact,
+       regexp_replace(
+         regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(contact, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+FROM contacts
+""",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""PII scrubbing (standard pre-training hygiene pass; the reference has
+    no text-scrubbing surface at all): regex redaction of emails and phone
+    numbers with per-record match counts for an audit trail. The corpus
+    tables are synthetic word soup with no PII, so the contact strings are
+    derived deterministically from customer rows INSIDE the query — the
+    point under test is the scrubbing plumbing itself (pattern
+    compatibility between Spark's Java regex and DuckDB's RE2 on the
+    character-class subset, global replacement, count extraction), all
+    JVM-side regexp_replace/regexp_count in a fused map-only projection:
+    zero shuffles, trivially scale-parallel."""
+    c = load_table(spark, sf_dir, "customer")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    phone = r"\+1-[0-9]{3}-[0-9]{4}"
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.regexp_replace("c_name", "#", "")),
+        F.lit("@corp.example> tel +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    out = c.select("c_custkey", contact.alias("contact"))
+    return out.select(
+        "c_custkey",
+        "contact",
+        F.regexp_replace(
+            F.regexp_replace("contact", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+        F.regexp_count("contact", F.lit(email)).alias("n_emails"),
+        F.regexp_count("contact", F.lit(phone)).alias("n_phones"),
+    )
+
+
+@query(
+    "fuzzy_match_customers",
+    """
+SELECT a.c_custkey AS left_key, b.c_custkey AS right_key,
+       CAST(a.c_nationkey AS BIGINT) AS block,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (entity resolution — the standard
+    dedupe shape for structured records, complementing the text-side
+    MinHash pipeline): candidate pairs only WITHIN a blocking key
+    (nation), ordered (left < right) to emit each pair once, scored with
+    JVM-side Levenshtein and thresholded. The equi-join on the block key
+    is the scale contract: comparisons are O(sum of block-size squared),
+    never all-pairs over the corpus, and each block's pairs generate
+    inside one shuffle partition. At production scale the blocking key
+    would be a composite (e.g. prefix + geography) to bound block sizes;
+    the skew mitigation for a hot block is the same salting used in
+    operators/skew.py."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("left_key"),
+            F.col("b.c_custkey").alias("right_key"),
+            F.col("a.c_nationkey").cast("long").alias("block"),
+            dist.cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )

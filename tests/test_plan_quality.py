@@ -375,3 +375,46 @@ def test_multi_res_rollup_reuses_minute_level(spark):
     # hour and day branches reuse the minute aggregate's shuffle instead of
     # re-scanning + re-aggregating the raw events
     assert plan.count("ReusedExchange") >= 2
+
+
+def test_scd2_plan(spark):
+    from datapipeline_spark.queries_core import scd2_user_segments
+
+    plan = _plan(scd2_user_segments(spark, SF))
+    # lag + running change count + run aggregate + interval lead all ride
+    # ONE user_id exchange: hashpartitioning(user_id) satisfies the
+    # (user_id, run_id) clustering of the aggregate and the lead window
+    assert "Window" in plan
+    assert _shuffles(plan) == 1
+
+
+def test_pii_redact_plan(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["pii_redact"][0](spark, SF))
+    # scrubbing is a fused map-only projection: zero shuffles, no Python
+    assert _shuffles(plan) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzzy_match_plan(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["fuzzy_match_customers"][0](spark, SF))
+    # pair generation is an equi-join on the blocking key with the distance
+    # threshold as a residual — never an all-pairs cartesian
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_pagerank_reuses_edges(spark):
+    from datapipeline_spark.queries_core import pagerank_parts
+
+    df = pagerank_parts(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # the static edge relation's distinct/degree exchanges are reused across
+    # the three rank iterations instead of re-deriving the self-join
+    assert plan.count("ReusedExchange") >= 3
+    assert "CartesianProduct" not in plan
