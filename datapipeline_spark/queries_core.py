@@ -2765,9 +2765,9 @@ WITH v AS (
   WHERE n_name = 'NATION_7'
 ),
 pv AS (SELECT l_partkey AS p_partkey, sum(v100) AS part_v100 FROM v GROUP BY l_partkey),
-tot AS (SELECT sum(v100) AS total_v100 FROM v)
+tot AS (SELECT sum(part_v100) AS total_v100, count(*) AS n_parts FROM pv)
 SELECT p_partkey, round(CAST(part_v100 AS DOUBLE)/100.0, 2) AS part_value
-FROM pv, tot WHERE part_v100 * 1000 > total_v100
+FROM pv, tot WHERE 2 * part_v100 * n_parts > 3 * total_v100
 """,
 )
 def q11_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2776,9 +2776,12 @@ def q11_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     The HAVING-vs-global-scalar becomes: per-part integer-cent sums
     (one keyed shuffle), a 1-row grand total that Spark reuses from the
     SAME shuffle output (exchange reuse, not a second fact scan),
-    broadcast back for the threshold. `part_v * 1000 > total_v` keeps the
-    0.1% threshold in exact integer arithmetic — a boundary part cannot
-    flip between engines the way `> total/1000.0` could."""
+    broadcast back for the threshold. TPC-H's fixed fraction must shrink
+    with SF or the result degenerates to empty as the part count grows, so
+    the threshold is relative: parts above 1.5x the average part value —
+    `2 * part_v * n_parts > 3 * total_v` keeps it in exact integer
+    arithmetic, so a boundary part cannot flip between engines the way
+    `> 1.5 * total/n` could."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
@@ -2795,10 +2798,12 @@ def q11_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = v.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
         F.sum("v100").alias("part_v100")
     )
-    tot = pv.agg(F.sum("part_v100").alias("total_v100"))  # reuses pv's exchange
+    tot = pv.agg(  # reuses pv's exchange (asserted in test_plan_quality)
+        F.sum("part_v100").alias("total_v100"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         pv.join(F.broadcast(tot))
-        .filter(F.col("part_v100") * 1000 > F.col("total_v100"))
+        .filter(2 * F.col("part_v100") * F.col("n_parts") > 3 * F.col("total_v100"))
         .select(
             "p_partkey",
             F.round(F.col("part_v100").cast("double") / 100.0, 2).alias("part_value"),
