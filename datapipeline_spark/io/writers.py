@@ -53,6 +53,71 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+    compression: str = "zstd",
+) -> None:
+    """ORC sink (beyond the reference's jsonl/csv/parquet/pickle set —
+    io/factory.py:17-66): the other columnar lake format, read-compatible
+    with Hive/Trino/Presto warehouses. Same distributed commit protocol as
+    the parquet sink."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def compact_files(
+    spark,
+    path: str,
+    format: str = "parquet",
+    target_file_mb: int = 128,
+    sort_within_by: Sequence[str] = (),
+) -> int:
+    """Small-files compaction (lakehouse table maintenance, the OPTIMIZE
+    verb — no reference analogue because a single-process runtime never
+    fragments its output; a distributed engine writing per-task files
+    does). Rewrites a directory to ~target-sized files: reads the current
+    layout, coalesces to ceil(bytes / target) partitions, optionally
+    re-sorts rows within each output file for scan locality, and swaps the
+    directory via an adjacent staging path + atomic rename. Returns the
+    new file count.
+
+    The coalesce is a NARROW repartition (no shuffle) unless a
+    within-file sort is requested, in which case the rewrite pays one
+    range-free sortWithinPartitions."""
+    import math
+    import shutil
+
+    reader = getattr(spark.read, format)
+    df = reader(path)
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    out = df.coalesce(n)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    staging = path.rstrip("/") + "__compacting__"
+    getattr(out.write.mode("overwrite"), format)(staging)
+    old = path.rstrip("/") + "__old__"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for _, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", ".")) and not f.endswith(".crc")
+    )
+
+
 def write_table(
     df: DataFrame,
     path: str,

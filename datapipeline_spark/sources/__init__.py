@@ -3,6 +3,7 @@ from datapipeline_spark.sources.readers import (
     read_csv,
     read_json,
     read_jsonl,
+    read_orc_glob,
     read_parquet_glob,
     temporal_csv,
     time_ticks,
@@ -13,6 +14,7 @@ __all__ = [
     "read_json",
     "read_jsonl",
     "read_parquet_glob",
+    "read_orc_glob",
     "temporal_csv",
     "time_ticks",
     "http_source",

@@ -153,6 +153,17 @@ def read_parquet_glob(spark: SparkSession, path: str | Sequence[str]) -> DataFra
     return df
 
 
+def read_orc_glob(spark: SparkSession, path: str | Sequence[str]) -> DataFrame:
+    """ORC source (beyond the reference loader set — the other columnar
+    lake format). Same duplicate-column contract as the parquet loader."""
+    df = spark.read.orc(*(path if isinstance(path, (list, tuple)) else [path]))
+    cols = [c.lower() for c in df.columns]
+    if len(set(cols)) != len(cols):
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        raise ValueError(f"orc {path}: duplicate columns {dupes}")
+    return df
+
+
 def time_ticks(
     spark: SparkSession,
     start: str | datetime,

@@ -227,3 +227,39 @@ def test_write_stdout_jsonl_and_txt(spark):
         write_stdout(df, format="txt", stream=_io.StringIO())
     with pytest.raises(ValueError, match="Unsupported"):
         write_stdout(df, format="xml", stream=_io.StringIO())
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from datapipeline_spark.io import write_orc
+    from datapipeline_spark.sources import read_orc_glob
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v", "CAST(id % 3 AS STRING) AS k")
+    path = str(tmp_path / "t.orc")
+    write_orc(df, path, partition_by=["k"])
+    back = read_orc_glob(spark, path)
+    assert back.count() == 100
+    assert {r.v for r in back.filter("id < 3").collect()} == {0, 2, 4}
+    # partition pruning reaches the ORC scan
+    plan = back.filter("k = '1'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(k" in plan
+
+
+def test_compact_files(spark, tmp_path):
+    import os
+
+    from datapipeline_spark.io import compact_files
+
+    path = str(tmp_path / "frag.parquet")
+    # fragment: 24 tiny files
+    spark.range(10000).selectExpr("id", "id % 7 AS k").repartition(24).write.parquet(path)
+    n_before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert n_before == 24
+    before = spark.read.parquet(path).groupBy().sum("id", "k").collect()
+    n_after = compact_files(spark, path, target_file_mb=128, sort_within_by=["k"])
+    assert n_after == 1  # tiny data -> one target-sized file
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == n_after
+    after = spark.read.parquet(path).groupBy().sum("id", "k").collect()
+    assert before == after
