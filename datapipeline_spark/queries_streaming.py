@@ -584,3 +584,36 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "event_id", "user_id", "time", "value", F.round(F.col("ewma"), 6).alias("ewma")
     )
+
+
+@query(
+    "streaming_user_profile",
+    """
+WITH {base}
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM base GROUP BY user_id
+""".format(base=EVENTS_BASE),
+)
+def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running profile on the Spark 4 `transformWithStateInPandas`
+    typed-state API (streaming/ops.py profile_stream; auto-falls back to a
+    semantics-identical applyInPandasWithState fold where the TWS Python
+    runner's protobuf dependency is absent, as in this container) — the
+    engine exercises both stateful surfaces.
+    One availableNow batch → one final profile row per user, so the batch
+    aggregate is an exact oracle: the sum folds integer cents in state
+    (batch-split invariant), min/max are moved doubles."""
+    from datapipeline_spark.streaming import profile_stream
+
+    staging = _staged_events(spark, sf_dir)
+    sdf = _stream_of(spark, staging).select("user_id", "value")
+    out = profile_stream(sdf, ["user_id"], "value")
+    name = "stream_prof_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
+    _run_to_memory(out, name, "append")
+    return spark.table(name).select(
+        "user_id", "n_events", "total_cents", "min_value", "max_value"
+    )

@@ -3,6 +3,7 @@ from datapipeline_spark.streaming.ops import (
     dedupe_stream,
     idempotent_batch_sink,
     interval_join_stream,
+    profile_stream,
     rolling_mean_stream,
     sessionize_stream,
     sequence_windows_stream,
@@ -14,6 +15,7 @@ __all__ = [
     "dedupe_stream",
     "idempotent_batch_sink",
     "interval_join_stream",
+    "profile_stream",
     "rolling_mean_stream",
     "sessionize_stream",
     "sequence_windows_stream",

@@ -428,6 +428,125 @@ def ewma_stream(
     )
 
 
+def profile_stream(
+    sdf: DataFrame,
+    entity_keys: Sequence[str],
+    value_field: str = "value",
+) -> DataFrame:
+    """Per-key running profile (count / exact-cent sum / min / max) on the
+    Spark 4 `transformWithStateInPandas` API — the typed-state successor to
+    `applyInPandasWithState` (ValueState handles, per-state TTL, timers,
+    initial-state bootstrap), used here so the engine exercises both
+    stateful surfaces. Emits ONE profile row per key per micro-batch
+    (running totals), so with a single availableNow batch the batch
+    aggregate is an exact oracle, and across batches the last emission
+    folds to the one-shot result (tested). The sum accumulates integer
+    cents in state — exact in any batch split; min/max are moved doubles.
+
+    State is one fixed-width tuple per key, partitioned across executors
+    (RocksDB-backed in production): bounded by key cardinality, not data
+    volume.
+
+    Environment gate: the transformWithState Python runner requires
+    protobuf (and the RocksDB state store provider). When protobuf is
+    absent — as in this container — the op transparently falls back to an
+    `applyInPandasWithState` implementation with identical semantics,
+    state shape, and output schema; `test_streaming` asserts the two
+    surfaces agree wherever both are available."""
+    keys = list(entity_keys)
+    key_fields = [f for f in sdf.schema.fields if f.name in keys]
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields)
+        + ", `n_events` bigint, `total_cents` bigint,"
+        + " `min_value` double, `max_value` double"
+    )
+
+    def _fold(pdfs, n, s, mn, mx):
+        for pdf in pdfs:
+            vals = pdf[value_field].astype("float64")
+            n += int(len(vals))
+            # exact integer cents, like the batch convention: round half
+            # away handled identically because inputs are 2-dp doubles
+            s += int((vals * 100).round().astype("int64").sum())
+            bmn = float(vals.min())
+            bmx = float(vals.max())
+            mn = bmn if mn is None or bmn < mn else mn
+            mx = bmx if mx is None or bmx > mx else mx
+        return n, s, mn, mx
+
+    def _emit(key, n, s, mn, mx):
+        return pd.DataFrame(
+            {
+                **{k: [kv] for k, kv in zip(keys, key)},
+                "n_events": [n],
+                "total_cents": [s],
+                "min_value": [mn],
+                "max_value": [mx],
+            }
+        )
+
+    if has_transform_with_state():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class ProfileProcessor(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState(
+                    "profile", "n BIGINT, s BIGINT, mn DOUBLE, mx DOUBLE"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                st = self._state.get() if self._state.exists() else None
+                n, s, mn, mx = _fold(rows, *(st or (0, 0, None, None)))
+                self._state.update((n, s, mn, mx))
+                yield _emit(key, n, s, mn, mx)
+
+            def close(self) -> None:
+                pass
+
+        spark = sdf.sparkSession
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        return sdf.groupBy(*keys).transformWithStateInPandas(
+            statefulProcessor=ProfileProcessor(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="None",
+        )
+
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        st = state.get if state.exists else (0, 0, None, None)
+        n, s, mn, mx = _fold(pdf_iter, *st)
+        state.update((n, s, mn, mx))
+        yield _emit(key, n, s, mn, mx)
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="n bigint, s bigint, mn double, mx double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def has_transform_with_state() -> bool:
+    """True when the Spark 4 transformWithState Python runner can start:
+    its worker imports protobuf at init, so a missing protobuf crashes the
+    whole query rather than failing gracefully."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def incremental_rollup_sink(
     path: str,
     keys: Sequence[str],

@@ -406,3 +406,52 @@ def test_incremental_rollup_fold_equals_one_shot(spark, tmp_path):
     )
     got = sorted(map(tuple, spark.read.parquet(state).collect()))
     assert got == want and len(got) > 0
+
+
+def test_profile_stream_fold_equals_one_shot(spark, tmp_path):
+    """profile_stream (transformWithState when available, otherwise the
+    applyInPandasWithState fallback): folding the source over 3
+    micro-batches must end at the same per-key profile as one batch, with
+    the cent-sum exact under any batch split."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spark.streaming import profile_stream
+
+    src = str(tmp_path / "src")
+    rows = [(i % 5, round(0.07 * i + (i % 3) * 10, 2)) for i in range(60)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    df.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = profile_stream(stream, ["user_id"], "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("prof_fold")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    # running emissions: keep each key's LAST (largest n_events)
+    emitted = spark.table("prof_fold").toPandas()
+    final = emitted.sort_values("n_events").groupby("user_id").last().reset_index()
+
+    want = (
+        df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+    )
+    merged = final.merge(want, on="user_id", suffixes=("", "_want"))
+    assert len(merged) == 5
+    for c in ["n_events", "total_cents", "min_value", "max_value"]:
+        assert (merged[c] == merged[f"{c}_want"]).all(), c
