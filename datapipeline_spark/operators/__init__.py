@@ -24,6 +24,8 @@ from datapipeline_spark.operators.ticks import ensure_cadence, ensure_ticks
 from datapipeline_spark.operators.align import align_streams, broadcast_stream
 from datapipeline_spark.operators.interval import interval_join
 from datapipeline_spark.operators.cdc import apply_changes
+from datapipeline_spark.operators.graph import cooccurrence_edges, pagerank
+from datapipeline_spark.operators.scd import scd2_history
 
 __all__ = [
     "where",
@@ -50,4 +52,7 @@ __all__ = [
     "broadcast_stream",
     "interval_join",
     "apply_changes",
+    "pagerank",
+    "cooccurrence_edges",
+    "scd2_history",
 ]

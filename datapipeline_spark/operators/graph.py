@@ -1,0 +1,74 @@
+"""Iterative graph analytics on DataFrames (beyond-reference: the
+reference's linear generator pipeline cannot express iteration at all; cf.
+its one-pass alignment operators, src/datapipeline/alignment/).
+
+Determinism contract: ranks are exact integers (micro-units) — every
+per-edge contribution is an integer division, every aggregate an exact
+bigint sum, damping is integer multiply-then-divide — so results are
+independent of partitioning, join order, and accumulation order, and an
+unrolled SQL transcription hash-matches bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: initial rank per node, in micro-units
+RANK_ONE = 1_000_000
+#: damping factor 0.85 expressed as an integer ratio
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration damped PageRank over a directed edge list.
+
+    Returns (node, rank) with rank in integer micro-units
+    (RANK_ONE = 1.0). Nodes are those with out-edges; with a symmetric
+    edge list (the co-occurrence construction) that is every connected
+    node, so no dangling-mass redistribution is needed — callers with
+    asymmetric graphs should symmetrize or handle dangling nodes first.
+
+    Each iteration costs one join shuffle keyed on the edge source plus
+    one destination aggregate; the static (src, dst, outdeg) relation is
+    identical across iterations, so AQE reuses its exchange rather than
+    recomputing it (in a long-lived job, persist it instead).
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, src)
+    ranks = deg.select(
+        F.col(src).alias("node"), F.lit(RANK_ONE).cast("long").alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = ed.join(ranks, F.col(src) == F.col("node")).select(
+            F.col(dst).alias("__dst__"), F.expr("rank DIV outdeg").alias("c")
+        )
+        base = RANK_ONE - RANK_ONE * DAMP_NUM // DAMP_DEN  # 150000
+        ranks = contrib.groupBy(F.col("__dst__").alias("node")).agg(
+            (F.lit(base) + F.expr(f"({DAMP_NUM} * sum(c)) DIV {DAMP_DEN}")).alias(
+                "rank"
+            )
+        )
+    return ranks
+
+
+def cooccurrence_edges(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Distinct directed item-item edges for items sharing a group (both
+    directions). The self-join is keyed on the group column and bounded by
+    items-per-group, so it cannot degenerate at corpus scale; dedup is one
+    hash aggregate."""
+    a = df.select(F.col(group_col).alias("__g__"), F.col(item_col).alias("src"))
+    b = df.select(F.col(group_col).alias("__g__"), F.col(item_col).alias("dst"))
+    return (
+        a.join(b, "__g__")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )

@@ -3396,36 +3396,17 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, time, event_id) window exchange: ONE shuffle for lag + running
     sum + the run aggregate + the interval lead. Timestamps are moved,
     never computed, so intervals hash-match bit-exactly across engines."""
-    from pyspark.sql import Window
+    from datapipeline_spark.operators.scd import scd2_history
 
     s = events_stream(spark, sf_dir)
-    w = canonical_window(["user_id"], ORDER)
     seg = s.select(
         "user_id",
         "time",
         "event_id",
         F.floor(F.col("value") / 25).alias("segment"),
     )
-    chg = (
-        ~F.lag("segment").over(w).eqNullSafe(F.col("segment"))
-    ).cast("int")
-    runs = seg.withColumn("chg", chg).withColumn(
-        "run_id",
-        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    hist = runs.groupBy("user_id", "run_id").agg(
-        F.min("segment").alias("segment"),
-        F.min("time").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    wl = Window.partitionBy("user_id").orderBy("run_id")
-    return hist.select(
-        "user_id",
-        "segment",
-        "valid_from",
-        F.lead("valid_from").over(wl).alias("valid_to"),
-        F.lead("valid_from").over(wl).isNull().alias("is_current"),
-        "n_events",
+    return scd2_history(
+        seg, keys=["user_id"], attr="segment", order_cols=list(ORDER)
     )
 
 
@@ -3470,30 +3451,11 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-running job the static edge relation would be persisted; at 3
     iterations AQE exchange reuse of the distinct-edges shuffle gives the
     same effect for free)."""
+    from datapipeline_spark.operators.graph import cooccurrence_edges, pagerank
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src")  # static: (src, dst, outdeg)
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(1000000).cast("long").alias("rank")
-    )
-    for _ in range(3):
-        contrib = ed.join(ranks, ed.src == ranks.node).select(
-            "dst", F.expr("rank DIV outdeg").alias("c")
-        )
-        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
-            (F.lit(150000) + F.expr("(85 * sum(c)) DIV 100")).alias("rank")
-        )
+    edges = cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
+    ranks = pagerank(edges, iterations=3)
     return ranks.select(
         F.col("node").alias("p_partkey"), F.col("rank").cast("long").alias("rank_micros")
     )

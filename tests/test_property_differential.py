@@ -266,3 +266,103 @@ def test_apply_changes_matches_naive_model(spark, changes):
             state[k] = (s, None if d else f"v{k}_{s}", "D" if d else "U")
     want = {k: (s, v) for k, (s, v, op) in state.items() if op != "D"}
     assert got == want
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _ref_pagerank(edges, iterations=3):
+    """Pure-python transcription of the integer-exact PageRank contract."""
+    from collections import defaultdict
+
+    outdeg = defaultdict(int)
+    for s, d in edges:
+        outdeg[s] += 1
+    ranks = {n: 1_000_000 for n in outdeg}
+    for _ in range(iterations):
+        agg = defaultdict(int)
+        for s, d in edges:
+            agg[d] += ranks[s] // outdeg[s]
+        ranks = {n: 150_000 + (85 * v) // 100 for n, v in agg.items()}
+    return ranks
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_pagerank_matches_reference_and_is_order_invariant(spark, edges):
+    from datapipeline_spark.operators.graph import pagerank
+
+    # symmetrize, as the co-occurrence construction does
+    sym = sorted({(s, d) for s, d in edges} | {(d, s) for s, d in edges})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=3).collect()}
+    want = _ref_pagerank(sym, iterations=3)
+    assert got == want
+
+    # partition/order invariance: reversed rows, different layout
+    df2 = spark.createDataFrame(sym[::-1], "src long, dst long").repartition(5)
+    got2 = {r.node: r.rank for r in pagerank(df2, iterations=3).collect()}
+    assert got2 == want
+
+
+# ---------------------------------------------------------------- scd2
+
+
+def _ref_scd2(rows):
+    """Pure-python gaps-and-islands transcription: rows = (t, attr) sorted."""
+    out = []
+    for t, a in rows:
+        if not out or out[-1]["attr"] != a:
+            out.append({"attr": a, "from": t, "n": 1})
+        else:
+            out[-1]["n"] += 1
+    for i, iv in enumerate(out):
+        iv["to"] = out[i + 1]["from"] if i + 1 < len(out) else None
+        iv["current"] = iv["to"] is None
+    return out
+
+
+@given(
+    st.lists(st.integers(0, 3), min_size=1, max_size=25)
+)
+@settings(max_examples=10, deadline=None)
+def test_scd2_matches_reference_and_shuffle_invariant(spark, attrs):
+    from datetime import datetime, timedelta
+
+    from datapipeline_spark.operators.scd import scd2_history
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(t0 + timedelta(hours=i), a) for i, a in enumerate(attrs)]
+    df = spark.createDataFrame(
+        [("k", t, a) for t, a in rows], "key string, time timestamp, attr long"
+    )
+    got = sorted(
+        (
+            (r.valid_from, r.valid_to, r.attr, r.n_events, r.is_current)
+            for r in scd2_history(df, ["key"], "attr").collect()
+        )
+    )
+    want = sorted(
+        (iv["from"], iv["to"], iv["attr"], iv["n"], iv["current"])
+        for iv in _ref_scd2(rows)
+    )
+    assert got == want
+
+    # shuffle invariance: scrambled input order and layout
+    df2 = spark.createDataFrame(
+        [("k", t, a) for t, a in rows[::-1]], "key string, time timestamp, attr long"
+    ).repartition(4)
+    got2 = sorted(
+        (
+            (r.valid_from, r.valid_to, r.attr, r.n_events, r.is_current)
+            for r in scd2_history(df2, ["key"], "attr").collect()
+        )
+    )
+    assert got2 == want
