@@ -129,6 +129,7 @@ HEADLINE = [
     "pagerank_parts",
     "pii_redact",
     "fuzzy_match_customers",
+    "embedding_quantize",
 ]
 
 

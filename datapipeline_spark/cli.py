@@ -206,7 +206,7 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("project")
     m.add_argument("stream")
     m.add_argument("out")
-    m.add_argument("--format", default="jsonl", choices=["jsonl", "parquet"])
+    m.add_argument("--format", default="jsonl", choices=["jsonl", "parquet", "orc"])
     m.add_argument("--gzip", action="store_true")
     m.add_argument("--limit", type=int, default=None)
     m.set_defaults(fn=cmd_materialize)

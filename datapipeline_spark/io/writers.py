@@ -264,6 +264,9 @@ def materialize(df: DataFrame, path: str, format: str = "jsonl", gzip: bool = Fa
     if format == "parquet":
         write_parquet(df, path)
         return spark.read.parquet(path)
+    if format == "orc":
+        write_orc(df, path)
+        return spark.read.orc(path)
     raise ValueError(f"materialize: unsupported format {format!r}")
 
 

@@ -1813,3 +1813,70 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") >= 0)
     )
+
+
+@query(
+    "embedding_quantize",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (
+  SELECT vec_id, v,
+         greatest(abs(list_aggregate(v, 'min')), abs(list_aggregate(v, 'max'))) AS maxabs
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, maxabs, maxabs / 127 AS scale,
+         CASE WHEN maxabs = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x / (maxabs / 127) + 0.5) AS INTEGER))
+         END AS qvec
+  FROM m
+)
+SELECT vec_id,
+       floor(scale * 1000000000 + 0.5) / 1000000000 AS scale,
+       qvec,
+       CAST(len(list_filter(qvec, c -> abs(c) = 127)) AS BIGINT) AS n_saturated
+FROM q
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column (the standard
+    4x storage/bandwidth shrink before ANN serving; scale = maxabs/127
+    per vector, values floor(x/scale + 0.5)) plus the saturation count as
+    an integer audit column. Pure map stage — JVM higher-order array
+    functions, no shuffle, no Python — so it composes with the ANN
+    queries at any corpus size. The audit column is deliberately an
+    INTEGER: a float max-reconstruction-error output proved one-ulp
+    plan-shape-sensitive inside Spark itself (the same query with one
+    extra projected column flips the last bit of the double — codegen
+    subexpression reuse changes FP evaluation), so no rounding convention
+    can pin it; the codes and scale are stable and hash-match exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    maxabs = F.greatest(F.abs(F.array_min(v)), F.abs(F.array_max(v)))
+    scale = (F.col("maxabs") / 127).alias("scale")
+    m = e.select("vec_id", v.alias("v"), maxabs.alias("maxabs"))
+    q = m.select(
+        "vec_id",
+        "v",
+        "maxabs",
+        (F.col("maxabs") / 127).alias("scale"),
+        F.when(
+            F.col("maxabs") == 0,
+            F.transform(F.col("v"), lambda x: F.lit(0)),
+        )
+        .otherwise(
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(x / (F.col("maxabs") / 127) + 0.5).cast("int"),
+            )
+        )
+        .alias("qvec"),
+    )
+    n_sat = F.size(F.filter(F.col("qvec"), lambda c: F.abs(c) == 127))
+    return q.select(
+        "vec_id",
+        (F.floor(F.col("scale") * 1e9 + 0.5) / 1e9).alias("scale"),
+        "qvec",
+        n_sat.cast("long").alias("n_saturated"),
+    )
