@@ -167,6 +167,23 @@ def apply_transform(
         return collapse(df, partition_by, keep=spec.keep)
     if op == "ensure_cadence":
         return ensure_cadence(df, spec.cadence, partition_by)
+    if op == "ewma":
+        from datapipeline_spark.operators.window import ewma
+
+        return ewma(
+            df,
+            spec.field,
+            window=spec.window,
+            decay=spec.decay if spec.decay is not None else 0.5,
+            partition_by=partition_by,
+            out=spec.to or "ewma",
+        )
+    if op == "rolling_corr":
+        from datapipeline_spark.operators.window import rolling_corr
+
+        return rolling_corr(
+            df, spec.x, spec.y, spec.window, partition_by, out=spec.to or "corr"
+        )
     if op == "ensure_ticks":
         # grid_by == partition_by (reference ensure_ticks.py:42-92); the grid
         # spans each partition's observed bounds at the given cadence — the

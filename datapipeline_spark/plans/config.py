@@ -147,6 +147,9 @@ class TransformSpec(_Strict):
         "collapse",
         "ensure_cadence",
         "ensure_ticks",
+        # beyond-reference window ops, same per-stream transform shape
+        "ewma",
+        "rolling_corr",
     ]
     # where
     operator: str | None = None
@@ -172,6 +175,8 @@ class TransformSpec(_Strict):
     keep: Literal["first", "last"] = "last"
     # ensure_ticks
     grid: NonEmpty | None = None
+    # ewma
+    decay: float | None = None
 
     @model_validator(mode="after")
     def validate_per_operation(self) -> "TransformSpec":

@@ -340,3 +340,33 @@ def test_unknown_stream_reference_fails(tmp_path):
     )
     with pytest.raises(ValueError, match="unknown source"):
         load_project(root)
+
+
+def test_beyond_reference_transforms_in_yaml_grammar(spark):
+    """ewma / rolling_corr are reachable from the declarative plan layer with
+    the same per-stream transform shape as the reference grammar."""
+    from datetime import datetime, timedelta
+
+    from datapipeline_spark.plans.compiler import apply_transform
+    from datapipeline_spark.plans.config import TransformSpec
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("A", t0 + timedelta(hours=i), float(i), float(i) * 2) for i in range(6)]
+    df = spark.createDataFrame(rows, "part string, time timestamp, value double, v2 double")
+
+    out = apply_transform(
+        df,
+        TransformSpec(operation="ewma", field="value", window=4, decay=0.5, to="e"),
+        ["part"],
+    )
+    got = [r.e for r in out.orderBy("time").collect()]
+    assert got[0] == 0.0 and abs(got[1] - (0.5 * 0 + 1.0) / 1.5) < 1e-12
+
+    out = apply_transform(
+        df,
+        TransformSpec(operation="rolling_corr", x="value", y="v2", window=3, to="c"),
+        ["part"],
+    )
+    got = [r.c for r in out.orderBy("time").collect()]
+    # y = 2x exactly: correlation 1.0 once the window is full
+    assert got[:2] == [None, None] and all(abs(c - 1.0) < 1e-9 for c in got[2:])
