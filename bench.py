@@ -130,6 +130,8 @@ HEADLINE = [
     "pii_redact",
     "fuzzy_match_customers",
     "embedding_quantize",
+    "scd2_point_in_time",
+    "snapshot_diff",
 ]
 
 

@@ -23,7 +23,7 @@ from datapipeline_spark.operators.window import (
 from datapipeline_spark.operators.ticks import ensure_cadence, ensure_ticks
 from datapipeline_spark.operators.align import align_streams, broadcast_stream
 from datapipeline_spark.operators.interval import interval_join
-from datapipeline_spark.operators.cdc import apply_changes
+from datapipeline_spark.operators.cdc import apply_changes, snapshot_diff
 from datapipeline_spark.operators.graph import cooccurrence_edges, pagerank
 from datapipeline_spark.operators.scd import scd2_history
 
@@ -52,6 +52,7 @@ __all__ = [
     "broadcast_stream",
     "interval_join",
     "apply_changes",
+    "snapshot_diff",
     "pagerank",
     "cooccurrence_edges",
     "scd2_history",

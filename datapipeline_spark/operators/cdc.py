@@ -61,3 +61,45 @@ def apply_changes(
     if keep_tombstones:
         return winners
     return winners.filter(F.col(op_col) != delete_op).drop(op_col)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Change data feed between two keyed snapshots (Delta CDF's
+    table_changes / the diff a MERGE would apply — no reference analogue:
+    its artifact model rebuilds rather than diffs).
+
+    Emits one row per changed key: 'insert' (key only in `new`),
+    'delete' (key only in `old`), 'update' (both, any compare column
+    differs under null-safe comparison). Output carries the keys, the op,
+    and old_<col>/new_<col> pairs for every compare column.
+
+    One full-outer sort-merge/hash join keyed on the diff keys — both
+    snapshots shuffle once on the same key, so the compare is co-located;
+    unchanged keys are dropped before anything else touches them.
+    """
+    keys = list(keys)
+    compare = list(compare)
+    o = old.select(*keys, *[F.col(c).alias(f"old_{c}") for c in compare], F.lit(1).alias("__in_old__"))
+    n = new.select(*keys, *[F.col(c).alias(f"new_{c}") for c in compare], F.lit(1).alias("__in_new__"))
+    j = o.join(n, keys, "full_outer")
+    changed = F.lit(False)
+    for c in compare:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    op = (
+        F.when(F.col("__in_old__").isNull(), F.lit("insert"))
+        .when(F.col("__in_new__").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        j.withColumn(op_col, op)
+        .filter(
+            F.col("__in_old__").isNull() | F.col("__in_new__").isNull() | changed
+        )
+        .select(*keys, op_col, *[f"old_{c}" for c in compare], *[f"new_{c}" for c in compare])
+    )

@@ -3459,3 +3459,125 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("p_partkey"), F.col("rank").cast("long").alias("rank_micros")
     )
+
+
+@query(
+    "scd2_point_in_time",
+    """
+WITH {base},
+seg AS (SELECT user_id, time, event_id, CAST(floor(value / 25) AS BIGINT) AS segment FROM base),
+marked AS (
+  SELECT user_id, time, event_id, segment,
+         CASE WHEN lag(segment) OVER ({w}) IS DISTINCT FROM segment THEN 1 ELSE 0 END AS chg
+  FROM seg
+),
+runs AS (
+  SELECT *, CAST(sum(chg) OVER ({w} ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+  FROM marked
+),
+hist AS (
+  SELECT user_id, run_id, min(segment) AS segment, min(time) AS valid_from
+  FROM runs GROUP BY user_id, run_id
+),
+dim AS (
+  SELECT user_id, segment, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to
+  FROM hist
+),
+errs AS (SELECT event_id, user_id, time FROM base WHERE event_type = 'error')
+SELECT e.event_id, e.user_id, e.time, d.segment AS segment_at_event
+FROM errs e JOIN dim d
+  ON e.user_id = d.user_id
+ AND e.time >= d.valid_from AND (d.valid_to IS NULL OR e.time < d.valid_to)
+""".format(base=EVENTS_BASE, w=W),
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 history — the
+    feature-store temporal-correctness join (each fact sees the dimension
+    version that was valid AT ITS OWN event time, never a later one).
+    The oracle is the literal interval-containment range join; the engine
+    side exploits that SCD2 intervals are non-overlapping and contiguous
+    per key, so containment == backward as-of against the interval
+    STARTS: one union + one (user, time) shuffle + forward-fill
+    (operators/asof.py), zero interval explosion and no range-join
+    cross-product risk at any history length."""
+    from datapipeline_spark.operators.asof import asof_join
+    from datapipeline_spark.operators.scd import scd2_history
+
+    s = events_stream(spark, sf_dir)
+    seg = s.select(
+        "user_id", "time", "event_id", F.floor(F.col("value") / 25).alias("segment")
+    )
+    dim = scd2_history(seg, ["user_id"], "segment", order_cols=list(ORDER)).select(
+        "user_id", F.col("valid_from").alias("time"), "segment"
+    )
+    errs = s.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "time"
+    )
+    out = asof_join(errs, dim, ["user_id"], right_fields=["segment"])
+    return out.select(
+        "event_id", "user_id", "time", F.col("segment_asof").alias("segment_at_event")
+    )
+
+
+@query(
+    "snapshot_diff",
+    """
+WITH {base},
+snap_a AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY time DESC, event_id DESC) AS rn
+    FROM base WHERE time >= TIMESTAMP '2024-01-08 00:00:00' AND time < TIMESTAMP '2024-01-16 00:00:00'
+  ) WHERE rn = 1),
+snap_b AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY time DESC, event_id DESC) AS rn
+    FROM base WHERE time >= TIMESTAMP '2024-01-16 00:00:00' AND time < TIMESTAMP '2024-01-24 00:00:00'
+  ) WHERE rn = 1)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       coalesce(a.event_type, b.event_type) AS event_type,
+       CASE WHEN a.user_id IS NULL THEN 'insert'
+            WHEN b.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       a.value AS old_value, b.value AS new_value
+FROM snap_a a FULL OUTER JOIN snap_b b
+  ON a.user_id = b.user_id AND a.event_type = b.event_type
+WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.value IS DISTINCT FROM b.value
+""".format(base=EVENTS_BASE),
+)
+def snapshot_diff_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two keyed snapshots (operators/cdc.py
+    snapshot_diff — Delta CDF's table_changes shape): per (user, type)
+    latest-state in week A vs week B, emitting insert/delete/update rows
+    with old/new values. Latest-per-key is WindowGroupLimit (one candidate
+    row per key crosses the wire per map task); the diff itself is ONE
+    full-outer join with both sides shuffled on the same key, unchanged
+    keys dropped in the joined projection before anything downstream."""
+    from datapipeline_spark.operators.cdc import snapshot_diff
+    from pyspark.sql import Window
+
+    s = events_stream(spark, sf_dir)
+
+    def snap(lo: datetime, hi: datetime) -> DataFrame:
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("time").desc(), F.col("event_id").desc()
+        )
+        return (
+            s.filter((F.col("time") >= F.lit(lo)) & (F.col("time") < F.lit(hi)))
+            .withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    a = snap(datetime(2024, 1, 8), datetime(2024, 1, 16))
+    b = snap(datetime(2024, 1, 16), datetime(2024, 1, 24))
+    out = snapshot_diff(a, b, keys=["user_id", "event_type"], compare=["value"])
+    return out.select(
+        "user_id",
+        "event_type",
+        "op",
+        F.col("old_value").alias("old_value"),
+        F.col("new_value").alias("new_value"),
+    )

@@ -418,3 +418,23 @@ def test_pagerank_reuses_edges(spark):
     # the three rank iterations instead of re-deriving the self-join
     assert plan.count("ReusedExchange") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_point_in_time_plan(spark):
+    from datapipeline_spark.queries_core import scd2_point_in_time
+
+    plan = _plan(scd2_point_in_time(spark, SF))
+    # interval containment rides the as-of union + forward-fill: no range
+    # join, no interval explosion, no cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_snapshot_diff_plan(spark):
+    from datapipeline_spark.queries_core import snapshot_diff_states
+
+    plan = _plan(snapshot_diff_states(spark, SF))
+    # latest-per-key keeps one candidate row per key below the exchange
+    assert "WindowGroupLimit" in plan
+    assert "FullOuter" in plan
