@@ -132,6 +132,7 @@ HEADLINE = [
     "embedding_quantize",
     "scd2_point_in_time",
     "snapshot_diff",
+    "dq_expectations",
 ]
 
 

@@ -24,6 +24,11 @@ from datapipeline_spark.operators.ticks import ensure_cadence, ensure_ticks
 from datapipeline_spark.operators.align import align_streams, broadcast_stream
 from datapipeline_spark.operators.interval import interval_join
 from datapipeline_spark.operators.cdc import apply_changes, snapshot_diff
+from datapipeline_spark.operators.expect import (
+    Expectation,
+    apply_expectations,
+    expectation_report,
+)
 from datapipeline_spark.operators.graph import cooccurrence_edges, pagerank
 from datapipeline_spark.operators.scd import scd2_history
 
@@ -53,6 +58,9 @@ __all__ = [
     "interval_join",
     "apply_changes",
     "snapshot_diff",
+    "Expectation",
+    "expectation_report",
+    "apply_expectations",
     "pagerank",
     "cooccurrence_edges",
     "scd2_history",

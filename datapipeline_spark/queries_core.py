@@ -3581,3 +3581,50 @@ def snapshot_diff_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_value").alias("old_value"),
         F.col("new_value").alias("new_value"),
     )
+
+
+@query(
+    "dq_expectations",
+    """
+WITH {base},
+agg AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN NOT (value IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+         CAST(sum(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','error')) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         CAST(sum(CASE WHEN NOT (value_n IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS v3
+  FROM base
+)
+SELECT rule, action, n_rows, n_violations,
+       CAST((n_violations * 1000000) // greatest(n_rows, 1) AS BIGINT) AS violation_ppm
+FROM (
+  SELECT n_rows, 'value_present' AS rule, 'fail' AS action, v0 AS n_violations FROM agg
+  UNION ALL SELECT n_rows, 'value_non_negative', 'drop', v1 FROM agg
+  UNION ALL SELECT n_rows, 'known_event_type', 'fail', v2 FROM agg
+  UNION ALL SELECT n_rows, 'value_n_present', 'warn', v3 FROM agg
+)
+""".format(base=EVENTS_BASE),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators/expect.py — the
+    DLT expect/expect_or_drop/expect_or_fail shape, generalizing the
+    reference's hard-coded fail-fast contracts into user rules). The
+    report is ONE aggregate pass regardless of rule count: each rule is a
+    conditional sum inside the same map-side-combinable aggregate, then a
+    stack() unpivot of the single result row. The violation ratio is
+    exact integer ppm (violations * 1e6 DIV rows), so the report
+    hash-matches at any parallelism."""
+    from datapipeline_spark.operators.expect import Expectation, expectation_report
+
+    s = events_stream(spark, sf_dir)
+    rules = [
+        Expectation("value_present", "value IS NOT NULL", "fail"),
+        Expectation("value_non_negative", "value >= 0", "drop"),
+        Expectation(
+            "known_event_type",
+            "event_type IN ('click','view','purchase','error')",
+            "fail",
+        ),
+        Expectation("value_n_present", "value_n IS NOT NULL", "warn"),
+    ]
+    return expectation_report(s, rules)

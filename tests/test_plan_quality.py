@@ -438,3 +438,40 @@ def test_snapshot_diff_plan(spark):
     # latest-per-key keeps one candidate row per key below the exchange
     assert "WindowGroupLimit" in plan
     assert "FullOuter" in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Spark's runtime Bloom-filter join pruning (on by default in this
+    engine's sessions) injects a might_contain() semi-filter on the big
+    side of a selective join. At production scan sizes it fires on its
+    own (creation side < 10 MB, application side > 10 GB); this test
+    lowers the size thresholds to pin that the capability is live in this
+    build — the 100 TB behavior, demonstrated at test scale."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spark.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+        o = load_table(spark, "/root/testdata/sf0.1", "orders").filter(
+            F.col("o_totalprice") > 390000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        j.collect()
+        plan = _plan(j)
+        assert "might_contain" in plan  # big side pre-filtered by the bloom
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

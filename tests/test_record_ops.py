@@ -279,3 +279,40 @@ class TestAnalyticsQueries:
         assert got[100.0] == 99.0  # above p99 → clipped down
         assert got[1.0] == 1.0  # p1 value itself survives (inclusive)
         assert got[50.0] == 50.0  # interior untouched
+
+
+def test_apply_expectations_drop_and_fail(spark):
+    from pyspark.sql import functions as F
+
+    from datapipeline_spark.operators.expect import (
+        Expectation,
+        apply_expectations,
+        expectation_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id long, v double"
+    )
+    # drop: negative rows filtered; warn: nulls pass through
+    out = apply_expectations(
+        df,
+        [Expectation("non_neg", "v >= 0 OR v IS NULL", "drop"),
+         Expectation("present", "v IS NOT NULL", "warn")],
+    )
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+
+    # report: one row per rule with exact integer ppm
+    rep = {r.rule: r for r in expectation_report(
+        df,
+        [Expectation("non_neg", "v >= 0 OR v IS NULL", "drop"),
+         Expectation("present", "v IS NOT NULL", "warn")],
+    ).collect()}
+    assert rep["non_neg"].n_violations == 1 and rep["non_neg"].violation_ppm == 333333
+    assert rep["present"].n_violations == 1 and rep["present"].n_rows == 3
+
+    # fail: violation raises on action
+    bad = apply_expectations(df, [Expectation("present", "v IS NOT NULL", "fail")])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="present"):
+        bad.collect()
