@@ -133,6 +133,7 @@ HEADLINE = [
     "scd2_point_in_time",
     "snapshot_diff",
     "dq_expectations",
+    "grouping_sets_revenue",
 ]
 
 

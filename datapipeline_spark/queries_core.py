@@ -3628,3 +3628,46 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         Expectation("value_n_present", "value_n IS NOT NULL", "warn"),
     ]
     return expectation_report(s, rules)
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+SELECT n_name, o_orderpriority,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (completes the grouping-set family next to
+    rollup_revenue/cube_revenue — arbitrary set lists, not just the
+    rollup/cube lattices; reference gap, native in Spark 4's
+    DataFrame.groupingSets). Revenue accumulates as exact integer cents;
+    all three set levels come out of ONE Expand inside a single
+    aggregation exchange, dims broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("p100"),
+        )
+    )
+    return (
+        j.groupingSets(
+            [["n_name", "o_orderpriority"], ["n_name"], []],
+            "n_name",
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum("p100").cast("double") / 100.0, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
