@@ -98,6 +98,8 @@ def load_source(
                 )
             elif fmt == "parquet":
                 df = readers.read_parquet_glob(spark, path)
+            elif fmt == "orc":
+                df = readers.read_orc_glob(spark, path)
             else:  # pragma: no cover - pydantic enforces the literal set
                 raise ValueError(f"unsupported reader format {fmt!r}")
 

@@ -78,7 +78,7 @@ class EntryPoint(_Strict):
 
 
 class ReaderConfig(_Strict):
-    format: Literal["csv", "json", "jsonl", "parquet"]
+    format: Literal["csv", "json", "jsonl", "parquet", "orc"]
     encoding: NonEmpty = "utf-8"
     delimiter: Annotated[str, StringConstraints(min_length=1, max_length=1)] = ";"
     array_field: NonEmpty | None = None
@@ -436,7 +436,7 @@ class DatasetConfig(_Strict):
 
 class OutputSpec(_Strict):
     transport: Literal["fs", "stdout"] = "fs"
-    format: Literal["jsonl", "csv", "parquet"] = "jsonl"
+    format: Literal["jsonl", "csv", "parquet", "orc"] = "jsonl"
     view: Literal["flat", "raw"] | None = None
     directory: NonEmpty = "output"
     filename: NonEmpty | None = None
@@ -454,9 +454,9 @@ class OutputSpec(_Strict):
                 raise ValueError("stdout output supports only jsonl format")
         if self.filename is not None and any(s in self.filename for s in ("/", "\\")):
             raise ValueError("filename must not contain path separators")
-        if self.format in {"csv", "parquet"} and self.view == "raw":
+        if self.format in {"csv", "parquet", "orc"} and self.view == "raw":
             raise ValueError(f"{self.format} output supports only view='flat'")
-        if self.gzip and self.format == "parquet":
+        if self.gzip and self.format in {"parquet", "orc"}:
             raise ValueError("gzip compression supports only jsonl and csv output")
         return self
 

@@ -180,6 +180,7 @@ def _run_serve(
         run_output_path,
         write_csv,
         write_jsonl,
+        write_orc,
         write_parquet,
     )
     from datapipeline_spark.plans.dataset_build import build_dataset
@@ -226,6 +227,8 @@ def _run_serve(
                 write_jsonl(df, path, gzip=p.output.gzip)
             elif p.output.format == "csv":
                 write_csv(df, path, gzip=p.output.gzip)
+            elif p.output.format == "orc":
+                write_orc(df, path)
             else:
                 write_parquet(df, path)
             results.append(ProfileResult(key, "served", path, output_id))
