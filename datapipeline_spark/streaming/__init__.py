@@ -1,6 +1,7 @@
 from datapipeline_spark.streaming.ops import (
     cadence_assembly_stream,
     dedupe_stream,
+    expectations_sink,
     idempotent_batch_sink,
     interval_join_stream,
     profile_stream,
@@ -13,6 +14,7 @@ from datapipeline_spark.streaming.ops import (
 __all__ = [
     "cadence_assembly_stream",
     "dedupe_stream",
+    "expectations_sink",
     "idempotent_batch_sink",
     "interval_join_stream",
     "profile_stream",

@@ -595,3 +595,58 @@ def incremental_rollup_sink(
         fs.rename(jvm.org.apache.hadoop.fs.Path(staging), state)
 
     return process
+
+
+def expectations_sink(path: str, expectations):
+    """foreachBatch data-quality ledger: fold each micro-batch's
+    expectation_report (operators/expect.py) into a cumulative per-rule
+    violation table on plain parquet — the streaming face of the
+    declarative DQ surface (batch report == the fold of the per-batch
+    reports, because every column is an associative count; the ppm ratio
+    is recomputed from the folded integers, never averaged).
+
+    State dir swaps via staging + Hadoop FS rename (object-store safe,
+    same contract as incremental_rollup_sink). Read the live ledger with
+    ``spark.read.parquet(path)``.
+    """
+
+    def process(batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from datapipeline_spark.operators.expect import expectation_report
+
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        state = jvm.org.apache.hadoop.fs.Path(path)
+        fs = state.getFileSystem(conf)
+
+        delta = expectation_report(batch_df, expectations).select(
+            "rule", "action", "n_rows", "n_violations"
+        )
+        if fs.exists(state):
+            prev = spark.read.parquet(path).select(
+                "rule", "action", "n_rows", "n_violations"
+            )
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("rule", "action")
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("n_violations").alias("n_violations"),
+                )
+            )
+        else:
+            merged = delta
+        merged = merged.withColumn(
+            "violation_ppm",
+            F.expr(
+                "CAST((n_violations * 1000000) DIV greatest(n_rows, 1) AS BIGINT)"
+            ),
+        )
+        staging = path.rstrip("/") + f".staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        fs.delete(state, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(staging), state)
+
+    return process

@@ -455,3 +455,44 @@ def test_profile_stream_fold_equals_one_shot(spark, tmp_path):
     assert len(merged) == 5
     for c in ["n_events", "total_cents", "min_value", "max_value"]:
         assert (merged[c] == merged[f"{c}_want"]).all(), c
+
+
+def test_expectations_sink_fold_equals_one_shot(spark, tmp_path):
+    """Streaming DQ ledger: folding per-batch expectation reports over 3
+    micro-batches ends at exactly the one-shot batch report (associative
+    integer counters; ppm recomputed from folded integers)."""
+    from datapipeline_spark.operators.expect import Expectation, expectation_report
+    from datapipeline_spark.streaming import expectations_sink
+
+    rules = [
+        Expectation("non_neg", "v >= 0", "warn"),
+        Expectation("present", "v IS NOT NULL", "warn"),
+    ]
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    rows = [(i, float(i - 10) if i % 4 else None) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    df.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(expectations_sink(ledger, rules))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = {
+        r.rule: (r.n_rows, r.n_violations, r.violation_ppm)
+        for r in spark.read.parquet(ledger).collect()
+    }
+    want = {
+        r.rule: (r.n_rows, r.n_violations, r.violation_ppm)
+        for r in expectation_report(df, rules).collect()
+    }
+    assert got == want
