@@ -134,6 +134,7 @@ HEADLINE = [
     "snapshot_diff",
     "dq_expectations",
     "grouping_sets_revenue",
+    "robust_anomaly",
 ]
 
 

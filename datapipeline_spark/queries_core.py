@@ -3671,3 +3671,47 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@query(
+    "robust_anomaly",
+    """
+WITH {base},
+st AS (
+  SELECT event_id, user_id, value,
+         quantile_cont(value, 0.5) OVER w24 AS med,
+         quantile_cont(value, 0.75) OVER w24 - quantile_cont(value, 0.25) OVER w24 AS iqr,
+         count(value) OVER w24 AS n
+  FROM base
+  WINDOW w24 AS ({w} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CASE WHEN n >= 12 AND iqr > 0 THEN floor((value - med) / iqr * 1000000 + 0.5) / 1000000 END AS robust_score,
+       CASE WHEN n >= 12 AND iqr > 0 THEN abs(value - med) > 1.5 * iqr END AS is_anomaly
+FROM st
+""".format(base=EVENTS_BASE, w=W),
+)
+def robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust online anomaly detection: each value scored against its own
+    trailing-24 median and IQR (outlier-immune, unlike rolling_zscore's
+    mean/std — one wild value cannot poison its own detection threshold).
+    Exact frame-capable percentiles (the same F.percentile path as
+    rolling_median), min_samples gate at half the window, zero-IQR
+    windows emit null rather than dividing. Shares the canonical
+    (user, time, event_id) exchange: median, quartiles, and count all
+    ride ONE Window frame."""
+    s = events_stream(spark, sf_dir)
+    w = canonical_window(["user_id"], ORDER).rowsBetween(-23, 0)
+    med = F.expr("percentile(value, 0.5)").over(w)
+    q1 = F.expr("percentile(value, 0.25)").over(w)
+    q3 = F.expr("percentile(value, 0.75)").over(w)
+    n = F.count("value").over(w)
+    iqr = q3 - q1
+    gate = (n >= 12) & (iqr > 0)
+    score = F.floor((F.col("value") - med) / iqr * 1e6 + 0.5) / 1e6
+    return s.select(
+        "event_id",
+        "user_id",
+        F.when(gate, score).alias("robust_score"),
+        F.when(gate, F.abs(F.col("value") - med) > 1.5 * iqr).alias("is_anomaly"),
+    )
