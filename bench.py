@@ -135,6 +135,7 @@ HEADLINE = [
     "dq_expectations",
     "grouping_sets_revenue",
     "robust_anomaly",
+    "touch_attribution",
 ]
 
 

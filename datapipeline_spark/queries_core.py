@@ -3717,3 +3717,83 @@ def robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(gate, score).alias("robust_score"),
         F.when(gate, F.abs(F.col("value") - med) > 1.5 * iqr).alias("is_anomaly"),
     )
+
+
+@query(
+    "touch_attribution",
+    """
+WITH {base},
+t AS (SELECT event_id, user_id, time, event_type, epoch_us(time) AS tmicros FROM base),
+touches AS (
+  SELECT user_id, tmicros, max(event_id) AS touch_id
+  FROM t WHERE event_type IN ('click', 'view')
+  GROUP BY user_id, tmicros
+),
+u AS (
+  SELECT event_id, user_id, time, tmicros, NULL AS touch_id, 0 AS is_touch
+  FROM t WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT NULL, user_id, NULL, tmicros, touch_id, 1 FROM touches
+),
+att AS (
+  SELECT *,
+         max_by(touch_id, CASE WHEN is_touch = 1 THEN tmicros END) OVER w AS last_touch_id,
+         min_by(touch_id, CASE WHEN is_touch = 1 THEN tmicros END) OVER w AS first_touch_id,
+         CAST(coalesce(sum(is_touch) OVER w, 0) AS BIGINT) AS n_touches_1h
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY tmicros
+               RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, time, last_touch_id, first_touch_id, n_touches_1h
+FROM att WHERE is_touch = 0
+""".format(base=EVENTS_BASE),
+)
+def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution: every purchase credited to the
+    earliest and latest click/view in its trailing one-hour window (the
+    marketing-attribution companion to funnel_conversion). Touches and
+    purchases UNION into one stream so the event-time RANGE frame
+    (micros, current row excluded) resolves both endpoints and the touch
+    count in ONE (user, time) exchange — no self-join, no per-purchase
+    subquery. Exact-micro touch collisions collapse to max event_id
+    first, so min_by/max_by never break ties nondeterministically."""
+    s = events_stream(spark, sf_dir)
+    t = s.withColumn("tmicros", F.unix_micros("time"))
+    touches = (
+        t.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "tmicros")
+        .agg(F.max("event_id").alias("touch_id"))
+    )
+    purchases = t.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "time", "tmicros",
+        F.lit(None).cast("long").alias("touch_id"),
+        F.lit(0).alias("is_touch"),
+    )
+    u = purchases.unionByName(
+        touches.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            F.lit(None).cast("timestamp").alias("time"),
+            "tmicros",
+            "touch_id",
+            F.lit(1).alias("is_touch"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tmicros")
+        .rangeBetween(-3600000000, -1)
+    )
+    key = F.when(F.col("is_touch") == 1, F.col("tmicros"))
+    att = u.select(
+        "event_id",
+        "user_id",
+        "time",
+        "is_touch",
+        F.max_by("touch_id", key).over(w).alias("last_touch_id"),
+        F.min_by("touch_id", key).over(w).alias("first_touch_id"),
+        F.coalesce(F.sum("is_touch").over(w), F.lit(0)).cast("long").alias("n_touches_1h"),
+    )
+    return att.filter(F.col("is_touch") == 0).drop("is_touch")
