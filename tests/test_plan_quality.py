@@ -475,3 +475,25 @@ def test_runtime_bloom_filter_join_pruning(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_touch_attribution_plan(spark):
+    from datapipeline_spark.queries_core import touch_attribution
+
+    plan = _plan(touch_attribution(spark, SF))
+    # both attribution endpoints + the touch count resolve from ONE
+    # event-time range frame over the unioned stream — no self-join, no
+    # per-purchase subquery (2 shuffles: touch collapse + the window)
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert _shuffles(plan) <= 2
+
+
+def test_robust_anomaly_plan(spark):
+    from datapipeline_spark.queries_core import robust_anomaly
+
+    plan = _plan(robust_anomaly(spark, SF))
+    # one canonical exchange; all three quartiles come from a single
+    # array-percentile frame evaluation (not three percentile windows)
+    assert _shuffles(plan) == 1
+    assert plan.count("percentile") <= 2  # partial+final of ONE evaluation
