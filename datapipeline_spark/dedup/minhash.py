@@ -137,20 +137,61 @@ def jaccard_pairs(
     id_col: str,
     candidates: DataFrame | None = None,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact jaccard over distinct shingles; restricted to `candidates` when
-    given (the LSH path), else all co-shingled pairs (small corpora only)."""
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    """Exact jaccard over distinct shingles, with two bounded forms.
+
+    With `candidates` (distinct (id_a, id_b) pairs — the LSH path), the
+    intersection is driven FROM the candidate pairs: shingles are first
+    semi-joined to the candidate doc-id set, candidate pairs fan out over
+    side-a shingles, and the match is an equi-join on (id_b, shingle).
+    Work is O(Σ over candidate pairs |shingles(a)|) — there is never a join
+    keyed on the shingle alone, so a boilerplate shingle shared by 100k
+    documents cannot explode the plan (that co-shingle self-join was the
+    one all-pairs stage an LSH bucket cap could not protect).
+
+    Without `candidates`, all co-shingled pairs are compared (quadratic in
+    shingle document frequency — bounded corpora). `max_doc_freq` restricts
+    the shingle universe to shingles appearing in at most that many
+    documents BEFORE sizes and intersections are computed, i.e. jaccard
+    over the non-boilerplate shingle universe — the same degenerate-key
+    guard `shared_passage_pairs` uses, and a deterministic semantics an
+    oracle can mirror exactly.
+    """
+    if max_doc_freq is not None:
+        # shingles are distinct per doc, so count(*) per shingle == doc freq
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        shingles = shingles.join(rare, "shingle", "leftsemi")
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "leftsemi")
+        ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        shingles = shingles.join(ids, id_col, "leftsemi")
+        a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+        b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+        b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     out = (
         inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({id_col: "id_b", "n": "n_b"}), "id_b")

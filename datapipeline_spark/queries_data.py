@@ -35,9 +35,9 @@ from datapipeline_spark.dedup import (
 )
 from datapipeline_spark.similarity import (
     brute_force_knn,
-    embedding_similar_pairs,
     ivf_knn,
     lsh_knn,
+    lsh_similar_pairs,
 )
 from datapipeline_spark.tables import load_table
 from datapipeline_spark.text import (
@@ -606,31 +606,46 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(sh, "doc_id", PARAMS)
 
 
+NGRAM_MAX_DF = 100  # boilerplate guard: shingles in > this many docs are dropped
+
+
 @query(
     "ngram_jaccard_pairs",
     """
 WITH {bigrams},
-sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {max_df}),
+shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+sizes AS (SELECT doc_id, count(*) n FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
        round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
 FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
-""".format(bigrams=BIGRAMS),
+""".format(bigrams=BIGRAMS, max_df=NGRAM_MAX_DF),
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard over the non-boilerplate shingle universe (document frequency
+    ≤ NGRAM_MAX_DF): the DF cap bounds the co-shingle self-join — without
+    it a single boilerplate bigram shared by 100k docs yields ~10¹⁰ join
+    rows. Deterministic restricted-universe semantics, mirrored exactly by
+    the oracle."""
     d = load_table(spark, sf_dir, "documents")
     sh = word_shingles(d, "doc_id", "text", 2)
-    return jaccard_pairs(sh, "doc_id", candidates=None, threshold=0.5)
+    return jaccard_pairs(
+        sh, "doc_id", candidates=None, threshold=0.5, max_doc_freq=NGRAM_MAX_DF
+    )
 
 
-def _lsh_pairs_sql(bands: int = 4, max_bucket: int = 1000) -> str:
-    """LSH is 'approximate' only w.r.t. true Jaccard recall — the candidate
-    set itself (share ≥1 band, bucket ≤ max_bucket, then exact verify) is
+def _lsh_pairs_ctes(bands: int = 4, max_bucket: int = 1000, threshold: float = 0.5) -> str:
+    """CTE chain (no leading WITH) ending in `vpairs(id_a, id_b, jaccard)` —
+    the full shingle → minhash → banded LSH → candidate-verified jaccard
+    pipeline, shared by the pair / clustering / dedup oracles. LSH is
+    'approximate' only w.r.t. true Jaccard recall — the candidate set
+    itself (share ≥1 band, bucket ≤ max_bucket, then exact verify) is
     deterministic, so the whole pipeline has an exact oracle."""
     rows = PARAMS.num_hashes // bands
     mins = ", ".join(
@@ -646,8 +661,7 @@ def _lsh_pairs_sql(bands: int = 4, max_bucket: int = 1000) -> str:
     )
     on = " AND ".join(["a.band = b.band"] + [f"a.k{r} = b.k{r}" for r in range(rows)])
     ok_on = " AND ".join(["ok.band = a.band"] + [f"ok.k{r} = a.k{r}" for r in range(rows)])
-    return f"""
-WITH {BIGRAMS},
+    return f"""{BIGRAMS},
 hashed AS (SELECT doc_id, {H48.format(col='s')} AS h FROM sh),
 sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 bands AS (
@@ -664,14 +678,18 @@ inter AS (
   SELECT p.id_a, p.id_b, count(*) AS cnt
   FROM cand p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b AND a.s = b.s
   GROUP BY 1, 2
+),
+vpairs AS (
+  SELECT id_a, id_b, round(cnt * 1.0 / (sa.n + sb.n - cnt), 6) AS jaccard
+  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+  WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= {threshold}
+)"""
+
+
+@query(
+    "minhash_lsh_pairs",
+    f"WITH {_lsh_pairs_ctes()}\nSELECT id_a, id_b, jaccard FROM vpairs",
 )
-SELECT id_a, id_b, round(cnt * 1.0 / (sa.n + sb.n - cnt), 6) AS jaccard
-FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5
-"""
-
-
-@query("minhash_lsh_pairs", _lsh_pairs_sql())
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return minhash_dedup_pairs(d, params=PARAMS, bands=4, threshold=0.5)
@@ -807,65 +825,12 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_similar_pairs",
-    """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v) /
-             nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
-             4) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) /
-            nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0), 4) >= 0.3
-""",
-)
-def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return embedding_similar_pairs(e, threshold=0.3)
-
-
-@query(
-    "embedding_near_dup",
-    """
-WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE round(list_dot_product(a.v, b.v) /
-              nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
-              4) >= 0.3
-),
-bi AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
-reach(a, b) AS (
-  SELECT a, b FROM bi
-  UNION
-  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a
-)
-SELECT a AS vec_id, least(a, min(b)) AS cluster_id
-FROM reach GROUP BY a
-""",
-)
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup clustering: cosine-threshold pairs →
-    distributed connected components (join-based min-label propagation) →
-    (vec_id, cluster_id = min reachable id). The oracle closes the same
-    pair graph with a recursive CTE."""
-    from datapipeline_spark.dedup.cluster import connected_components
-
-    e = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_similar_pairs(e, threshold=0.3)
-    labels = connected_components(pairs)
-    return labels.select(
-        F.col("id").alias("vec_id"), F.col("component").alias("cluster_id")
-    )
-
-
-def _lsh_knn_sql(dim: int = 64, planes: int = 16, bands: int = 4, k: int = 3, seed: int = 42) -> str:
-    """Exact oracle for the sign-LSH path: the hyperplanes are deterministic
-    literals (same seed as similarity/ann.random_hyperplane_signature), so the
-    band/bucket assignment — and therefore the candidate set — is reproducible
-    in plain SQL. Bit j of band b's bucket = [v · h_(b*bits+j) > 0]."""
+def _signlsh_banded_sql(dim: int = 64, planes: int = 16, bands: int = 4, seed: int = 42) -> str:
+    """UNION ALL body assigning each vector in CTE `e(vec_id, v)` to one
+    bucket per band. The hyperplanes are deterministic ±1 literals (same
+    seed-derived sequence as similarity/ann.random_hyperplane_signature),
+    so bucket assignment — and every candidate set built on it — is
+    reproducible in plain SQL. Bit j of band b's bucket = [v · h_(b*bits+j) > 0]."""
     import random
 
     rng = random.Random(seed)
@@ -883,10 +848,85 @@ def _lsh_knn_sql(dim: int = 64, planes: int = 16, bands: int = 4, k: int = 3, se
             )
         return " + ".join(terms)
 
-    banded = "\nUNION ALL ".join(
+    return "\nUNION ALL ".join(
         f"SELECT vec_id, {b} AS band, {bucket_expr(b)} AS bucket FROM e"
         for b in range(bands)
     )
+
+
+_COS = (
+    "round(list_dot_product({a}.v, {b}.v) / "
+    "nullif(sqrt(list_dot_product({a}.v, {a}.v)) * sqrt(list_dot_product({b}.v, {b}.v)), 0), 4)"
+)
+
+
+def _lsh_similar_pairs_sql(
+    threshold: float = 0.3, max_bucket: int = 1000, clusters: bool = False
+) -> str:
+    """Sign-LSH-blocked cosine pairs (optionally closed into clusters):
+    banded bucket self-join (buckets > max_bucket dropped) → distinct
+    candidate id pairs → exact cosine ≥ threshold. Mirrors
+    similarity/ann.lsh_similar_pairs bit-for-bit."""
+    cos = _COS.format(a="ea", b="eb")
+    pairs = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+banded AS ({_signlsh_banded_sql()}),
+ok AS (SELECT band, bucket FROM banded GROUP BY ALL HAVING count(*) <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
+),
+vpairs AS (
+  SELECT id_a, id_b, {cos} AS cosine
+  FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+  WHERE {cos} >= {threshold}
+)"""
+    if not clusters:
+        return f"WITH {pairs}\nSELECT id_a, id_b, cosine FROM vpairs"
+    return f"""
+WITH RECURSIVE {pairs},
+bi AS (SELECT id_a AS a, id_b AS b FROM vpairs UNION SELECT id_b, id_a FROM vpairs),
+reach(a, b) AS (
+  SELECT a, b FROM bi
+  UNION
+  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a
+)
+SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+@query("embedding_similar_pairs", _lsh_similar_pairs_sql())
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-blocked cosine pairs — candidate generation is a capped
+    bucket equi-join over the banded hyperplane signature, never the O(n²)
+    self-join (that brute form survives only as the recall verifier in the
+    unit tests). Deterministic: the hyperplanes embed in the oracle SQL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_similar_pairs(e, threshold=0.3)
+
+
+@query("embedding_near_dup", _lsh_similar_pairs_sql(clusters=True))
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clustering over the sign-LSH-blocked pair
+    graph: capped bucket join → exact-cosine verified pairs → distributed
+    connected components (join-based min-label propagation) → (vec_id,
+    cluster_id = min reachable id). The oracle replays the identical
+    blocking and closes the graph with a recursive CTE."""
+    from datapipeline_spark.dedup.cluster import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_similar_pairs(e, threshold=0.3)
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("id").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _lsh_knn_sql(dim: int = 64, planes: int = 16, bands: int = 4, k: int = 3, seed: int = 42) -> str:
+    """Exact oracle for the sign-LSH kNN path (hyperplane literals via
+    _signlsh_banded_sql)."""
+    banded = _signlsh_banded_sql(dim, planes, bands, seed)
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 banded AS ({banded}),
@@ -1011,19 +1051,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "near_dup_clusters",
     """
-WITH RECURSIVE {bigrams},
-sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT id_a, id_b
-  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-  WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
-),
-bi AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+WITH RECURSIVE {lsh_ctes},
+bi AS (SELECT id_a AS a, id_b AS b FROM vpairs UNION SELECT id_b, id_a FROM vpairs),
 reach(a, b) AS (
   SELECT a, b FROM bi
   UNION
@@ -1031,17 +1060,18 @@ reach(a, b) AS (
 )
 SELECT a AS doc_id, least(a, min(b)) AS cluster_id
 FROM reach GROUP BY a
-""".format(bigrams=BIGRAMS),
+""".format(lsh_ctes=_lsh_pairs_ctes()),
 )
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over exact-jaccard near-dup pairs (threshold 0.5)
-    — distributed min-label propagation vs the oracle's recursive-CTE
-    transitive closure."""
+    """Connected components over LSH-candidate-verified near-dup pairs
+    (threshold 0.5) — the 100 TB composition: shingle → minhash → banded
+    buckets (capped) → candidate-bounded exact jaccard → distributed
+    min-label propagation. The oracle replays the identical deterministic
+    pipeline and closes the pair graph with a recursive CTE."""
     from datapipeline_spark.dedup.cluster import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(d, "doc_id", "text", 2)
-    pairs = jaccard_pairs(sh, "doc_id", candidates=None, threshold=0.5)
+    pairs = minhash_dedup_pairs(d, params=PARAMS, bands=4, threshold=0.5)
     comp = connected_components(pairs)
     return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
 
@@ -1049,19 +1079,8 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_representatives",
     """
-WITH RECURSIVE {bigrams},
-sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT id_a, id_b
-  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-  WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
-),
-bi AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+WITH RECURSIVE {lsh_ctes},
+bi AS (SELECT id_a AS a, id_b AS b FROM vpairs UNION SELECT id_b, id_a FROM vpairs),
 reach(a, b) AS (
   SELECT a, b FROM bi
   UNION
@@ -1070,17 +1089,17 @@ reach(a, b) AS (
 clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
-""".format(bigrams=BIGRAMS),
+""".format(lsh_ctes=_lsh_pairs_ctes()),
 )
 def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus reduction: one representative (the min id) per near-dup
-    component plus all unpaired documents. Oracle: the recursive-CTE
+    """Corpus reduction: one representative (the min id) per LSH-verified
+    near-dup component plus all unpaired documents. Pair generation is the
+    bounded LSH path (never all-pairs); the oracle is the recursive-CTE
     closure minus every non-minimum cluster member."""
     from datapipeline_spark.dedup.cluster import dedup_representatives
 
     d = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(d, "doc_id", "text", 2)
-    pairs = jaccard_pairs(sh, "doc_id", candidates=None, threshold=0.5)
+    pairs = minhash_dedup_pairs(d, params=PARAMS, bands=4, threshold=0.5)
     return dedup_representatives(d.select("doc_id", "text"), pairs).select("doc_id")
 
 

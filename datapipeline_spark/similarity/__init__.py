@@ -6,6 +6,7 @@ from datapipeline_spark.similarity.ann import (
     ivf_assign,
     ivf_knn,
     lsh_knn,
+    lsh_similar_pairs,
     random_hyperplane_signature,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "ivf_assign",
     "ivf_knn",
     "lsh_knn",
+    "lsh_similar_pairs",
     "random_hyperplane_signature",
 ]

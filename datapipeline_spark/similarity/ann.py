@@ -264,6 +264,78 @@ def ivf_knn(
     )
 
 
+def lsh_similar_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    dim: int = 64,
+    planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Sign-LSH-blocked cosine pairs — the 100 TB form of the pair surface.
+
+    Candidate generation is a self-equi-join on (band, bucket) over the
+    banded hyperplane signature (a pure map stage), with buckets larger
+    than `max_bucket` dropped (degenerate-region guard, mirroring the
+    MinHash path); only the candidate (id_a < id_b) pairs are exact-cosine
+    scored. The vectors never ride through the bucket join — candidates are
+    distinct id pairs, and the embeddings join back by id afterwards, so
+    the shuffle mass of the blocking stage is (id, band, bucket) rows only.
+
+    Deterministic end-to-end: the hyperplanes are seed-derived literals, so
+    the candidate set — and hence the result — has an exact SQL oracle
+    (recall vs the brute-force all-pairs form is the only approximation).
+    """
+    bits = planes // bands
+    sig = random_hyperplane_signature(df, vec_col, dim, planes, seed)
+    banded = sig.select(
+        F.col(id_col).alias("bid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("rh_sig"), b * bits)
+                            .bitwiseAND(F.lit((1 << bits) - 1))
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("bid", "bb.band", "bb.bucket")
+    ok = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= max_bucket)
+        .select("band", "bucket")
+    )
+    small = banded.join(ok, ["band", "bucket"])
+    cand = (
+        small.select("band", "bucket", F.col("bid").alias("id_a"))
+        .join(small.select("band", "bucket", F.col("bid").alias("id_b")), ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    return (
+        cand.join(vecs.withColumnsRenamed({"vid": "id_a", "v": "va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"vid": "id_b", "v": "vb"}), "id_b")
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity_expr(F.col("va"), F.col("vb")), round_digits),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_similar_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -273,8 +345,9 @@ def embedding_similar_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup surface).
 
-    Brute-force O(n²) formulation for bounded corpora / verification; the
-    scale path is `lsh_knn` or sign-signature blocking first.
+    Brute-force O(n²) formulation — a test-fixture verifier for bounded
+    corpora only (it measures `lsh_similar_pairs` recall in the unit
+    tests); the registered / production surface is `lsh_similar_pairs`.
     """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

@@ -417,3 +417,73 @@ def test_bucketed_global_rank_matches_naive_window(spark):
     # the heavy window is partitioned: no single-partition WindowExec on data
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
+
+
+def test_jaccard_candidate_path_equals_semijoined_all_pairs(spark):
+    """The candidate-bounded intersection (driven FROM the candidate pairs,
+    matching on (id, shingle)) must return exactly the all-pairs result
+    semi-joined to the candidates — the brute form is the verifier."""
+    from datapipeline_spark.dedup import MinHashParams, word_shingles
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = word_shingles(d, "doc_id", "text", 2)
+    params = MinHashParams()
+    sig = minhash_signatures(sh, "doc_id", params)
+    cand = lsh_candidate_pairs(sig, "doc_id", params, bands=4)
+    bounded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, "doc_id", cand, threshold=0.3).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, "doc_id", None, threshold=0.3)
+        .join(cand, ["id_a", "id_b"], "leftsemi")
+        .collect()
+    }
+    assert bounded == brute and bounded
+
+
+def test_jaccard_max_doc_freq_restricts_universe(spark):
+    """DF-capped jaccard == plain jaccard over the pre-filtered shingle
+    stream (sizes AND intersections both restricted)."""
+    from datapipeline_spark.dedup import word_shingles
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = word_shingles(d, "doc_id", "text", 2)
+    capped = {
+        tuple(r) for r in jaccard_pairs(sh, "doc_id", threshold=0.4, max_doc_freq=5).collect()
+    }
+    rare = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 5).select("shingle")
+    )
+    manual = {
+        tuple(r)
+        for r in jaccard_pairs(
+            sh.join(rare, "shingle", "leftsemi"), "doc_id", threshold=0.4
+        ).collect()
+    }
+    assert capped == manual and capped
+
+
+def test_lsh_similar_pairs_subset_of_brute_with_recall(vectors):
+    """LSH-blocked pairs ⊆ brute-force pairs with identical cosines, and at
+    a near-dup threshold the blocking recovers the clustered duplicates."""
+    from datapipeline_spark.similarity import lsh_similar_pairs
+
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_similar_pairs(vectors, threshold=0.9).collect()
+    }
+    dim = len(vectors.select("embedding").first()[0])
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_similar_pairs(
+            vectors, threshold=0.9, dim=dim, planes=8, bands=4
+        ).collect()
+    }
+    assert set(blocked) <= set(brute)
+    for k, v in blocked.items():
+        assert v == brute[k]
+    assert len(blocked) >= max(1, len(brute) // 2)  # near-dup recall

@@ -497,3 +497,49 @@ def test_robust_anomaly_plan(spark):
     # array-percentile frame evaluation (not three percentile windows)
     assert _shuffles(plan) == 1
     assert plan.count("percentile") <= 2  # partial+final of ONE evaluation
+
+
+def test_minhash_dedup_pairs_candidate_bounded(spark):
+    """The jaccard verification stage must never self-join keyed on the
+    shingle alone — a boilerplate shingle in 100k docs would explode that
+    join regardless of LSH bucket caps. Candidate-bounded form: shingles
+    match on (doc id, shingle), driven FROM the candidate pairs."""
+    from datapipeline_spark.dedup import MinHashParams, minhash_dedup_pairs
+    from datapipeline_spark.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    plan = _plan(minhash_dedup_pairs(d, params=MinHashParams(), bands=4, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    # no join whose (left) key list is exactly one shingle column
+    assert not re.search(r"Join \[shingle#\d+\],", plan)
+    # the intersection join is keyed on (id, shingle)
+    assert re.search(r"Join \[id_b#\d+L, shingle#\d+\],", plan)
+
+
+def test_lsh_similar_pairs_bucket_bounded(spark):
+    """Embedding pair generation must be the capped (band, bucket) bucket
+    join, never an O(n²) id-inequality join; vectors join back by id after
+    the distinct candidate set (blocking stage shuffles ids only)."""
+    from datapipeline_spark.similarity import lsh_similar_pairs
+    from datapipeline_spark.tables import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    plan = _plan(lsh_similar_pairs(e, threshold=0.3))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Join \[band#\d+, bucket#\d+L?\],", plan)
+    # the only non-equi condition is the id_a < id_b tiebreak on a bucket join
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_registry_near_dup_entries_are_lsh_wired():
+    """The registered clustering/dedup entries must compose the bounded LSH
+    candidate path (bands CTE in the oracle == minhash_dedup_pairs on the
+    Spark side), not the all-pairs co-shingle or cosine self-joins."""
+    from datapipeline_spark.queries_data import REGISTRY
+
+    for name in ("near_dup_clusters", "dedup_representatives", "minhash_lsh_pairs"):
+        sql = REGISTRY[name][1]
+        assert "cand" in sql and "bands" in sql, name
+    for name in ("embedding_similar_pairs", "embedding_near_dup"):
+        sql = REGISTRY[name][1]
+        assert "bucket" in sql and "HAVING count(*) <=" in sql, name
