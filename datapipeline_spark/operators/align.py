@@ -69,6 +69,7 @@ def broadcast_stream(
     time_field: str = TIME,
     prefix: str = "g_",
     strict: bool = True,
+    stage: bool = False,
 ) -> DataFrame:
     """Attach a finite global stream to each primary record by exact `time`.
 
@@ -77,6 +78,13 @@ def broadcast_stream(
     (broadcast.py:16-37) but distributed. With ``strict`` a missing match
     raises at execution time (reference: missing match = error,
     broadcast.py:43-57); unused broadcast keys are ignored.
+
+    ``stage`` eagerly materializes the global side (localCheckpoint) before
+    the broadcast. Use it whenever `global_df` DERIVES FROM `primary`
+    (e.g. a collapsed aggregate of the same stream): without staging the
+    shared subtree is planned twice — once under the broadcast, once on the
+    probe side — and at 100 TB that is a full duplicate scan+shuffle of the
+    input, not a doc-note.
     """
     payload = [c for c in global_df.columns if c != time_field]
     if value_fields is not None:
@@ -86,6 +94,8 @@ def broadcast_stream(
     )
     marker = f"{prefix}__matched__"
     right = right.withColumn(marker, F.lit(True))
+    if stage:
+        right = right.localCheckpoint(eager=True)
     joined = primary.join(F.broadcast(right), on=time_field, how="left")
     if strict:
         # expressed as a filter so column pruning can't elide the check

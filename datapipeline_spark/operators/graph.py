@@ -25,6 +25,7 @@ def pagerank(
     iterations: int = 3,
     src: str = "src",
     dst: str = "dst",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Fixed-iteration damped PageRank over a directed edge list.
 
@@ -35,15 +36,24 @@ def pagerank(
     asymmetric graphs should symmetrize or handle dangling nodes first.
 
     Each iteration costs one join shuffle keyed on the edge source plus
-    one destination aggregate; the static (src, dst, outdeg) relation is
-    identical across iterations, so AQE reuses its exchange rather than
-    recomputing it (in a long-lived job, persist it instead).
+    one destination aggregate. The static (src, dst, outdeg) relation is
+    materialized once up front (``checkpoint``, mirroring
+    connected_components) — AQE exchange reuse alone is canonicalization-
+    fragile and silently re-derives the (often expensive) edge
+    construction per iteration when plans drift; an eager localCheckpoint
+    makes the once-only guarantee structural.
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
     ed = edges.join(deg, src)
-    ranks = deg.select(
-        F.col(src).alias("node"), F.lit(RANK_ONE).cast("long").alias("rank")
-    )
+    if checkpoint:
+        ed = ed.localCheckpoint(eager=True)
+        # initial ranks from the materialized relation (map-side dedup of
+        # the src column) — the returned plan holds no edge-construction
+        # subtree at all, only checkpoint scans
+        nodes = ed.select(F.col(src).alias("node")).distinct()
+    else:
+        nodes = deg.select(F.col(src).alias("node"))
+    ranks = nodes.withColumn("rank", F.lit(RANK_ONE).cast("long"))
     for _ in range(iterations):
         contrib = ed.join(ranks, F.col(src) == F.col("node")).select(
             F.col(dst).alias("__dst__"), F.expr("rank DIV outdeg").alias("c")

@@ -1713,7 +1713,11 @@ def broadcast_center(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum(v100).cast("double") / 100.0 / F.count(F.lit(1)) * 1e6 + 0.5) / 1e6
     )
     glob = h.groupBy("time").agg(g_mean.alias("g_mean"))
-    joined = ops.broadcast_stream(h, glob, time_field="time", prefix="g_", strict=True)
+    # the global side derives from the primary: stage it so the hourly
+    # collapse is computed once, not twice (4 FileScans -> 2)
+    joined = ops.broadcast_stream(
+        h, glob, time_field="time", prefix="g_", strict=True, stage=True
+    )
     return joined.select(
         "user_id",
         "time",
@@ -3447,10 +3451,11 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-units — rank DIV outdeg per edge, exact bigint sums,
     (85*s) DIV 100 damping — so every iteration is order-independent and
     the final ranks hash-match DuckDB's unrolled-CTE oracle exactly. Each
-    iteration shuffles on the join key then the dst aggregate (in a
-    long-running job the static edge relation would be persisted; at 3
-    iterations AQE exchange reuse of the distinct-edges shuffle gives the
-    same effect for free)."""
+    iteration shuffles on the join key then the dst aggregate; the static
+    (src, dst, outdeg) relation is eagerly materialized once inside
+    `pagerank` (localCheckpoint), so iteration count can grow without ever
+    re-deriving the co-occurrence self-join — structural, not a bet on AQE
+    exchange-reuse canonicalization."""
     from datapipeline_spark.operators.graph import cooccurrence_edges, pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")

@@ -407,17 +407,30 @@ def test_fuzzy_match_plan(spark):
     assert "levenshtein" in plan
 
 
-def test_pagerank_reuses_edges(spark):
+def test_pagerank_materializes_edges_once(spark):
     from datapipeline_spark.queries_core import pagerank_parts
 
     df = pagerank_parts(spark, SF)
-    df.collect()
     plan = _plan(df)
-    assert "isFinalPlan=true" in plan
-    # the static edge relation's distinct/degree exchanges are reused across
-    # the three rank iterations instead of re-deriving the self-join
-    assert plan.count("ReusedExchange") >= 3
+    # the static (src, dst, outdeg) relation is eagerly checkpointed inside
+    # pagerank: the returned plan must hold NO edge-construction subtree —
+    # no lineitem scan, no co-occurrence self-join — only checkpoint scans,
+    # regardless of iteration count (structural, unlike AQE exchange reuse)
+    assert "FileScan" not in plan
+    assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_broadcast_center_stages_derived_global(spark):
+    from datapipeline_spark.queries_core import broadcast_center
+
+    plan = _plan(broadcast_center(spark, SF))
+    # the broadcast side derives from the primary: staging materializes the
+    # collapsed-hourly subtree once, so the events scan appears ONCE on the
+    # probe side (was 4 FileScans / twice-computed collapse before staging)
+    assert plan.count("FileScan") == 1  # the events scan, probe side only
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_scd2_point_in_time_plan(spark):
