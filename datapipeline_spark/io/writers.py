@@ -83,39 +83,66 @@ def compact_files(
     does). Rewrites a directory to ~target-sized files: reads the current
     layout, coalesces to ceil(bytes / target) partitions, optionally
     re-sorts rows within each output file for scan locality, and swaps the
-    directory via an adjacent staging path + atomic rename. Returns the
-    new file count.
+    directory via an adjacent staging path + rename. Returns the new file
+    count.
+
+    All filesystem ops go through the Hadoop FileSystem resolved for the
+    path (like incremental_rollup_sink), so the maintenance verb works on
+    HDFS / object stores, not just the local FS. The swap is two renames
+    (path→__old__, __compacting__→path) — each rename is atomic on
+    HDFS-like stores but the PAIR is not: a crash between them leaves the
+    table at __old__ with the compacted copy at __compacting__. The next
+    invocation recovers on entry (restores __old__→path, clears stale
+    staging), so no data is ever stranded; concurrent readers during the
+    instant between the renames can observe a missing directory — serialize
+    maintenance against readers via a catalog/manifest where that matters.
 
     The coalesce is a NARROW repartition (no shuffle) unless a
     within-file sort is requested, in which case the rewrite pays one
     range-free sortWithinPartitions."""
     import math
-    import shutil
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/"))
+    fs = jpath.getFileSystem(hconf)
+    staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting__")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old__")
+
+    # crash recovery from a previously interrupted swap
+    if fs.exists(old):
+        if not fs.exists(jpath):
+            fs.rename(old, jpath)  # roll the original back into place
+        else:
+            fs.delete(old, True)  # swap completed, cleanup died
+    if fs.exists(staging):
+        fs.delete(staging, True)  # stale staging from a dead run
+
+    def _data_files(p):
+        it = fs.listFiles(p, True)
+        out = []
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.startswith(("_", ".")) and not name.endswith(".crc"):
+                out.append(st.getLen())
+        return out
 
     reader = getattr(spark.read, format)
     df = reader(path)
-    total = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(path)
-        for f in fs
-        if not f.startswith(("_", "."))
-    )
+    total = sum(_data_files(jpath))
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     out = df.coalesce(n)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
-    staging = path.rstrip("/") + "__compacting__"
-    getattr(out.write.mode("overwrite"), format)(staging)
-    old = path.rstrip("/") + "__old__"
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
-    return sum(
-        1
-        for _, _, fs in os.walk(path)
-        for f in fs
-        if not f.startswith(("_", ".")) and not f.endswith(".crc")
-    )
+    getattr(out.write.mode("overwrite"), format)(staging.toString())
+    if not fs.rename(jpath, old):
+        raise IOError(f"compact_files: rename {path} -> {old} failed")
+    if not fs.rename(staging, jpath):
+        fs.rename(old, jpath)  # roll back so the table stays readable
+        raise IOError(f"compact_files: rename {staging} -> {path} failed (rolled back)")
+    fs.delete(old, True)
+    return len(_data_files(jpath))
 
 
 def write_table(

@@ -32,22 +32,46 @@ class Expectation:
 
 def expectation_report(df: DataFrame, expectations: Sequence[Expectation]) -> DataFrame:
     """(rule, action, n_rows, n_violations, violation_ppm) — one row per
-    rule, from a single aggregate pass over the input."""
+    rule, from a single aggregate pass over the input.
+
+    NULL convention (matches enforcement): a row whose expr evaluates to
+    NULL is a VIOLATION — the same rows `apply_expectations` drops for a
+    drop rule / raises on for a fail rule (DLT semantics: only expr = TRUE
+    passes). Counted as `when(expr, 0).otherwise(1)` so NULL lands in the
+    violation bucket.
+    """
     exps = list(expectations)
+    if not exps:
+        return df.sparkSession.createDataFrame(
+            [],
+            "rule string, action string, n_rows bigint, n_violations bigint,"
+            " violation_ppm bigint",
+        )
     aggs = [F.count(F.lit(1)).alias("__n__")]
     for i, e in enumerate(exps):
         aggs.append(
-            F.sum(F.when(~F.expr(e.expr), 1).otherwise(0)).alias(f"__v{i}__")
+            F.sum(F.when(F.expr(e.expr), 0).otherwise(1)).alias(f"__v{i}__")
         )
     row = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{e.name}', '{e.action}', __v{i}__" for i, e in enumerate(exps)
-    )
-    return row.select(
-        F.expr(
-            f"stack({len(exps)}, {stack_args}) AS (rule, action, n_violations)"
-        ),
-        F.col("__n__").alias("n_rows"),
+    # unpivot via typed literals (no SQL interpolation: rule names with
+    # quotes can't break parsing, and the row count stays literal-safe)
+    unpivoted = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(e.name).alias("rule"),
+                    F.lit(e.action).alias("action"),
+                    F.col(f"__v{i}__").alias("n_violations"),
+                )
+                for i, e in enumerate(exps)
+            ]
+        )
+    ).alias("r")
+    return row.select(F.col("__n__").alias("n_rows"), unpivoted).select(
+        F.col("r.rule").alias("rule"),
+        F.col("r.action").alias("action"),
+        F.col("n_rows"),
+        F.col("r.n_violations").alias("n_violations"),
     ).select(
         "rule",
         "action",

@@ -242,6 +242,16 @@ class TransformSpec(_Strict):
             if not self.grid:
                 raise ValueError("ensure_ticks requires 'grid' (a cadence)")
             parse_cadence_seconds(self.grid)
+        elif op == "ewma":
+            if not self.field or not self.window or self.window < 1:
+                raise ValueError("ewma requires 'field' and positive 'window'")
+            if self.decay is not None and not (0.0 < self.decay <= 1.0):
+                raise ValueError("ewma decay must be in (0, 1]")
+        elif op == "rolling_corr":
+            if not self.x or not self.y or not self.to:
+                raise ValueError("rolling_corr requires 'x', 'y' and 'to'")
+            if not self.window or self.window < 2:
+                raise ValueError("rolling_corr window must be >= 2")
         return self
 
 

@@ -3594,10 +3594,10 @@ def snapshot_diff_states(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {base},
 agg AS (
   SELECT count(*) AS n_rows,
-         CAST(sum(CASE WHEN NOT (value IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS v0,
-         CAST(sum(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
-         CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','error')) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
-         CAST(sum(CASE WHEN NOT (value_n IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS v3
+         CAST(sum(CASE WHEN (value IS NOT NULL) THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+         CAST(sum(CASE WHEN (value >= 0) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN (event_type IN ('click','view','purchase','error')) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+         CAST(sum(CASE WHEN (value_n IS NOT NULL) THEN 0 ELSE 1 END) AS BIGINT) AS v3
   FROM base
 )
 SELECT rule, action, n_rows, n_violations,
@@ -3616,7 +3616,8 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's hard-coded fail-fast contracts into user rules). The
     report is ONE aggregate pass regardless of rule count: each rule is a
     conditional sum inside the same map-side-combinable aggregate, then a
-    stack() unpivot of the single result row. The violation ratio is
+    typed-literal unpivot of the single result row (NULL expr = violation,
+    matching enforcement). The violation ratio is
     exact integer ppm (violations * 1e6 DIV rows), so the report
     hash-matches at any parallelism."""
     from datapipeline_spark.operators.expect import Expectation, expectation_report

@@ -5,6 +5,7 @@ from datapipeline_spark.streaming.ops import (
     idempotent_batch_sink,
     interval_join_stream,
     profile_stream,
+    use_rocksdb_state_store,
     rolling_mean_stream,
     sessionize_stream,
     sequence_windows_stream,
@@ -18,6 +19,7 @@ __all__ = [
     "idempotent_batch_sink",
     "interval_join_stream",
     "profile_stream",
+    "use_rocksdb_state_store",
     "rolling_mean_stream",
     "sessionize_stream",
     "sequence_windows_stream",

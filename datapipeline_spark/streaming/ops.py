@@ -448,11 +448,15 @@ def profile_stream(
     volume.
 
     Environment gate: the transformWithState Python runner requires
-    protobuf (and the RocksDB state store provider). When protobuf is
-    absent — as in this container — the op transparently falls back to an
-    `applyInPandasWithState` implementation with identical semantics,
-    state shape, and output schema; `test_streaming` asserts the two
-    surfaces agree wherever both are available."""
+    protobuf AND the RocksDB state store provider. The provider switch is
+    session-wide state, so this builder never flips it implicitly (doing
+    so would silently change the state backend of every other stateful
+    query started later in the session) — call `use_rocksdb_state_store`
+    explicitly before building. When protobuf is absent — as in this
+    container — or the session is not RocksDB-configured, the op falls
+    back to an `applyInPandasWithState` implementation with identical
+    semantics, state shape, and output schema; `test_streaming` asserts
+    the two surfaces agree wherever both are available."""
     keys = list(entity_keys)
     key_fields = [f for f in sdf.schema.fields if f.name in keys]
     out_schema = (
@@ -485,7 +489,7 @@ def profile_stream(
             }
         )
 
-    if has_transform_with_state():
+    if has_transform_with_state() and _is_rocksdb_session(sdf.sparkSession):
         from pyspark.sql.streaming.stateful_processor import (
             StatefulProcessor,
             StatefulProcessorHandle,
@@ -506,11 +510,6 @@ def profile_stream(
             def close(self) -> None:
                 pass
 
-        spark = sdf.sparkSession
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        )
         return sdf.groupBy(*keys).transformWithStateInPandas(
             statefulProcessor=ProfileProcessor(),
             outputStructType=out_schema,
@@ -533,6 +532,31 @@ def profile_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark) -> None:
+    """Explicit opt-in to the RocksDB state store (required by
+    transformWithState; recommended for any large-state streaming job).
+    Session-wide by design — Spark resolves the provider from the session
+    conf at query start, so there is no per-query scope; keeping the
+    switch a named, caller-visible action is what prevents one operator
+    from silently changing every other stateful query's backend."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
+
+def _is_rocksdb_session(spark) -> bool:
+    try:
+        return (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+            == ROCKSDB_PROVIDER
+        )
+    except Exception:
+        return False
 
 
 def has_transform_with_state() -> bool:

@@ -370,3 +370,18 @@ def test_beyond_reference_transforms_in_yaml_grammar(spark):
     got = [r.c for r in out.orderBy("time").collect()]
     # y = 2x exactly: correlation 1.0 once the window is full
     assert got[:2] == [None, None] and all(abs(c - 1.0) < 1e-9 for c in got[2:])
+
+
+def test_transform_spec_validates_ewma_and_rolling_corr():
+    import pytest
+
+    from datapipeline_spark.plans.config import TransformSpec
+
+    with pytest.raises(ValueError, match="ewma requires"):
+        TransformSpec(operation="ewma", to="e")  # no field/window
+    with pytest.raises(ValueError, match="decay"):
+        TransformSpec(operation="ewma", field="v", window=4, decay=1.5, to="e")
+    with pytest.raises(ValueError, match="rolling_corr requires"):
+        TransformSpec(operation="rolling_corr", x="a", window=3, to="c")  # no y
+    with pytest.raises(ValueError, match="window must be >= 2"):
+        TransformSpec(operation="rolling_corr", x="a", y="b", window=1, to="c")

@@ -316,3 +316,39 @@ def test_apply_expectations_drop_and_fail(spark):
 
     with _pytest.raises(Exception, match="present"):
         bad.collect()
+
+
+def test_expectation_null_is_violation_in_both_paths(spark):
+    """A NULL-evaluating expr is a violation in BOTH the report and the
+    enforcement: the counted rows are exactly the rows a drop rule removes
+    (DLT convention — only expr = TRUE passes)."""
+    from datapipeline_spark.operators.expect import (
+        Expectation,
+        apply_expectations,
+        expectation_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id long, v double"
+    )
+    rules = [Expectation("non_neg", "v >= 0", "drop")]
+    rep = expectation_report(df, rules).collect()[0]
+    kept = apply_expectations(df, rules)
+    # NULL row counts as a violation AND is dropped: report == enforcement
+    assert rep.n_violations == 2
+    assert kept.count() == df.count() - rep.n_violations
+    assert sorted(r.id for r in kept.collect()) == [1]
+
+
+def test_expectation_report_quoted_names_and_empty(spark):
+    from datapipeline_spark.operators.expect import Expectation, expectation_report
+
+    df = spark.createDataFrame([(1,)], "id long")
+    rep = expectation_report(
+        df, [Expectation("o'brien's rule", "id > 0", "warn")]
+    ).collect()
+    assert rep[0].rule == "o'brien's rule" and rep[0].n_violations == 0
+
+    empty = expectation_report(df, [])
+    assert empty.count() == 0
+    assert empty.columns == ["rule", "action", "n_rows", "n_violations", "violation_ppm"]

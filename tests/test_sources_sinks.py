@@ -263,3 +263,26 @@ def test_compact_files(spark, tmp_path):
     assert len(files) == n_after
     after = spark.read.parquet(path).groupBy().sum("id", "k").collect()
     assert before == after
+
+
+def test_compact_files_recovers_interrupted_swap(spark, tmp_path):
+    """Crash between the two swap renames leaves the table at __old__;
+    the next invocation must restore it and complete a clean compaction
+    (no data stranded, no reader-visible residue)."""
+    import os
+
+    from datapipeline_spark.io import compact_files
+
+    path = str(tmp_path / "t")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").repartition(8).write.parquet(path)
+    # simulate the torn state: path renamed away, staging left behind
+    os.rename(path, path + "__old__")
+    os.makedirs(path + "__compacting__")
+    with open(path + "__compacting__/garbage", "w") as f:
+        f.write("stale")
+
+    n = compact_files(spark, path, target_file_mb=128)
+    assert n == 1
+    assert not os.path.exists(path + "__old__")
+    assert not os.path.exists(path + "__compacting__")
+    assert spark.read.parquet(path).count() == 100
