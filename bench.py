@@ -18,6 +18,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Local-mode bench tuning (overridable): at sf0.1 the post-shuffle
+# partitions are far below the 64 MB advisory size, so 32 static shuffle
+# partitions is pure task-scheduling overhead. A full-headline A/B
+# (PERFORMANCE.md round-3 addendum) measured 16 as uniformly ≥ baseline:
+# total 33.9 s → 32.3 s, no query regressing > 0.09 s. Plan SHAPES are
+# untouched (PLANS.md is dumped under the engine default); at cluster
+# scale shuffle partitions are sized to data volume per the deployment
+# recipe, not to this constant.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "16")
+
 HEADLINE = [
     "q1_pricing_summary",
     "revenue_by_nation",

@@ -39,7 +39,7 @@ from datapipeline_spark.similarity import (
     lsh_knn,
     lsh_similar_pairs,
 )
-from datapipeline_spark.tables import load_table
+from datapipeline_spark.tables import load_table, spread
 from datapipeline_spark.text import (
     BPE_PATTERN,
     LANG_MARKERS,
@@ -601,7 +601,7 @@ SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
 
 @query("minhash_signatures", _minhash_sql())
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     sh = word_shingles(d, "doc_id", "text", 2)
     return minhash_signatures(sh, "doc_id", PARAMS)
 
@@ -786,7 +786,7 @@ SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= 3
 """,
 )
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     queries = e.filter(F.col("vec_id") < 10)
     out = brute_force_knn(e, queries, k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
@@ -1250,7 +1250,7 @@ def q_ivf_knn_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned quantizer; this one pins the distributed plumbing bit-for-bit."""
     from datapipeline_spark.similarity.ann import ivf_knn
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     seeds = [
         [float(x) for x in r.embedding]
         for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
@@ -1809,10 +1809,14 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped = c.filter(F.col("c_nationkey") < 5)
     # pair generation fans out on the PROBE side's partitioning: the dim
     # table arrives as one file split, so without the repartition the whole
-    # O(block²) comparison runs in a couple of tasks. Hashing on c_custkey
-    # spreads probe rows evenly; each probe row expands against its block
-    # from the broadcast map independently.
-    a = scoped.repartition(F.col("c_custkey")).alias("a")
+    # O(block²) comparison runs in a couple of tasks. The partition count
+    # MUST be explicit: a bare repartition(col) lets AQE coalesce the tiny
+    # (3k-row) probe shuffle to ONE partition — the post-shuffle byte size
+    # says nothing about the O(block²) comparison fan-out behind each row —
+    # which serialized the whole levenshtein stage (measured 2.4 s -> 0.3 s
+    # at sf0.1 when pinned to 2x cores).
+    fanout = spark.sparkContext.defaultParallelism * 2
+    a = scoped.repartition(fanout, F.col("c_custkey")).alias("a")
     b = c.alias("b")
     # bounded levenshtein (threshold arg) early-exits rows whose distance
     # exceeds the cutoff: measured 24 s -> 13 s at sf0.1 before scoping.

