@@ -146,6 +146,8 @@ HEADLINE = [
     "grouping_sets_revenue",
     "robust_anomaly",
     "touch_attribution",
+    "cusum_drift",
+    "linkage_scores_customers",
 ]
 
 

@@ -9,6 +9,7 @@ from datapipeline_spark.operators.record import (
     shift_time,
 )
 from datapipeline_spark.operators.window import (
+    cusum,
     ewma,
     fill,
     forward_fill,
@@ -41,6 +42,7 @@ __all__ = [
     "log1p_op",
     "floor_time",
     "shift_time",
+    "cusum",
     "ewma",
     "fill",
     "forward_fill",

@@ -323,3 +323,51 @@ def ewma(
     wts = F.transform(arr, lambda x, i: F.pow(d, (n - 1 - i).cast("double")))
     fold = lambda a: F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
     return df.withColumn(out, fold(terms) / fold(wts))
+
+
+def cusum(
+    df: DataFrame,
+    field: str,
+    target: float,
+    slack: float = 0.0,
+    scale: int = 100,
+    partition_by: Sequence[str] = (),
+    out: str = "cusum",
+    order_by: Sequence[str] = (TIME,),
+) -> DataFrame:
+    """One-sided CUSUM drift statistic per series (changepoint detection —
+    beyond-reference companion to the rolling family; the classic
+    upward-shift monitor from statistical process control, cf. Page 1954).
+
+    s_i = max(0, s_{i-1} + (x_i - target - slack)), but the recurrence is
+    NEVER evaluated row-at-a-time: with P_i the prefix sum of the deviations
+    d_i = x_i - target - slack, the identity
+
+        s_i = P_i - min(0, min_{j<=i} P_j)
+
+    turns the reset-at-zero recurrence into TWO native window functions
+    (running sum + running min) over one (partition, time) sort — the same
+    single-exchange shape as every other transform here, linear at any
+    scale.
+
+    Exactness: deviations are accumulated as integers at ``scale`` units
+    per 1.0 (default cents), so prefix sums are order-exact bigints and the
+    statistic is bit-identical in any engine; `out` holds the integer
+    statistic, `out + "_alarm"` is a threshold-free helper the caller
+    compares against h*scale.
+    """
+    w = canonical_window(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dev = (F.round(F.col(field) * scale) - F.round(F.lit(target + slack) * scale)).cast(
+        "long"
+    )
+    pcol = f"__{out}_prefix__"
+    # two projections, ONE exchange+sort: both windows share the identical
+    # partitioning/ordering, so Tungsten evaluates them in a single window
+    # exec pass (plan-asserted in tests)
+    staged = df.withColumn(pcol, F.sum(dev).over(w))
+    stat = F.col(pcol) - F.least(
+        F.lit(0).cast("long"), F.min(pcol).over(w)
+    )
+    return staged.withColumn(out, stat).drop(pcol)

@@ -3803,3 +3803,50 @@ def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("is_touch").over(w), F.lit(0)).cast("long").alias("n_touches_1h"),
     )
     return att.filter(F.col("is_touch") == 0).drop("is_touch")
+
+
+@query(
+    "cusum_drift",
+    """
+WITH {base},
+nn AS (SELECT event_id, user_id, time, value FROM base WHERE value IS NOT NULL),
+dev AS (
+  SELECT event_id, user_id, time,
+         CAST(round(value * 100) AS BIGINT) - CAST(round(55.0 * 100) AS BIGINT) AS d
+  FROM nn
+),
+pre AS (
+  SELECT event_id, user_id, time,
+         CAST(sum(d) OVER ({w}) AS BIGINT) AS p
+  FROM dev
+),
+stat AS (
+  SELECT event_id, user_id,
+         CAST(p - least(CAST(0 AS BIGINT), min(p) OVER ({w})) AS BIGINT) AS cusum_cents
+  FROM pre
+)
+SELECT event_id, user_id, cusum_cents,
+       CASE WHEN cusum_cents > 50000 THEN 1 ELSE 0 END AS alarm
+FROM stat
+""".format(base=EVENTS_BASE, w=W),
+)
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM upward-drift statistic per user (operators/window.py
+    cusum — Page's changepoint monitor). The reset-at-zero recurrence
+    s_i = max(0, s_{i-1} + (x_i - target - slack)) is rewritten as
+    prefix_sum - min(0, running_min(prefix_sum)) — two native window
+    functions over ONE (user_id, time) exchange+sort, never a row-at-a-time
+    scan. Deviations accumulate as integer cents (target 50 + slack 5 =
+    55.00), so the statistic is an order-exact bigint and alarms
+    (> 500.00 drift-cents) hash-match in any engine."""
+    s = events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    s = ops.cusum(
+        s, "value", target=50.0, slack=5.0, scale=100,
+        partition_by=["user_id"], out="cusum_cents", order_by=ORDER,
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        "cusum_cents",
+        F.when(F.col("cusum_cents") > 50000, F.lit(1)).otherwise(F.lit(0)).alias("alarm"),
+    )

@@ -1903,3 +1903,88 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qvec",
         n_sat.cast("long").alias("n_saturated"),
     )
+
+
+def _linkage_sql() -> str:
+    """Oracle for fellegi_sunter scoring: the SAME FieldComparison objects
+    produce the integer weight literals, so both engines sum identical
+    constants selected by identical boolean comparators."""
+    from datapipeline_spark.operators.linkage import WEIGHT_SCALE, FieldComparison
+    from pyspark.sql import functions as F
+
+    name = FieldComparison("name", F.lit(True), 0.95, 0.01)
+    seg = FieldComparison("segment", F.lit(True), 0.90, 0.20)
+    bal = FieldComparison("acctbal", F.lit(True), 0.80, 0.10)
+    up, lo = 3 * WEIGHT_SCALE, 0
+    return f"""
+WITH pairs AS (
+  SELECT a.c_custkey AS left_key, b.c_custkey AS right_key,
+         CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+              THEN {name.agree_weight} ELSE {name.disagree_weight} END
+       + CASE WHEN a.c_mktsegment = b.c_mktsegment
+              THEN {seg.agree_weight} ELSE {seg.disagree_weight} END
+       + CASE WHEN abs(CAST(round(a.c_acctbal * 100) AS BIGINT)
+                       - CAST(round(b.c_acctbal * 100) AS BIGINT)) <= 50000
+              THEN {bal.agree_weight} ELSE {bal.disagree_weight} END AS match_weight
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE a.c_nationkey < 5
+)
+SELECT left_key, right_key, match_weight,
+       CASE WHEN match_weight >= {up} THEN 'match'
+            WHEN match_weight >= {lo} THEN 'possible'
+            ELSE 'non_match' END AS decision
+FROM pairs
+WHERE match_weight >= {lo}
+"""
+
+
+@query("linkage_scores_customers", _linkage_sql())
+def q_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage over nation-blocked candidate
+    pairs (operators/linkage.py): per-field log2(m/u) weights — bounded-
+    levenshtein name agreement, market-segment equality, account balance
+    within $500 (integer cents) — summed as integer micro-units and
+    classified by the two-threshold decision rule. Same blocking + explicit
+    probe-side fan-out as fuzzy_match_customers; emits only the
+    possible-or-better pairs, so the output is the clerical-review queue,
+    not the quadratic pair stream."""
+    from datapipeline_spark.operators.linkage import FieldComparison, fellegi_sunter_score
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    scoped = c.filter(F.col("c_nationkey") < 5)
+    fanout = spark.sparkContext.defaultParallelism * 2
+    a = scoped.repartition(fanout, F.col("c_custkey")).alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    comparisons = [
+        FieldComparison(
+            "name", F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2) >= 0, 0.95, 0.01
+        ),
+        FieldComparison(
+            "segment", F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 0.90, 0.20
+        ),
+        FieldComparison(
+            "acctbal",
+            F.abs(
+                F.round(F.col("a.c_acctbal") * 100).cast("long")
+                - F.round(F.col("b.c_acctbal") * 100).cast("long")
+            )
+            <= 50000,
+            0.80,
+            0.10,
+        ),
+    ]
+    scored = fellegi_sunter_score(pairs, comparisons, upper=3.0, lower=0.0)
+    return scored.filter(F.col("match_weight") >= 0).select(
+        F.col("a.c_custkey").alias("left_key"),
+        F.col("b.c_custkey").alias("right_key"),
+        "match_weight",
+        "decision",
+    )

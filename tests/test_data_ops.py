@@ -531,3 +531,32 @@ def test_ivf_assignment_partitions_corpus(spark):
     ).collect()[0]
     assert stats.n == e.count() and stats.lo >= 0 and stats.hi <= 7
     assert stats.k >= 2  # corpus actually partitions across lists
+
+
+def test_fellegi_sunter_weights_and_decisions(spark):
+    from pyspark.sql import functions as F
+
+    from datapipeline_spark.operators.linkage import (
+        WEIGHT_SCALE,
+        FieldComparison,
+        fellegi_sunter_score,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, True, True), (3, 4, True, False), (5, 6, False, False)],
+        "l long, r long, f1 boolean, f2 boolean",
+    )
+    comps = [
+        FieldComparison("f1", F.col("f1"), 0.9, 0.1),
+        FieldComparison("f2", F.col("f2"), 0.8, 0.2),
+    ]
+    out = {r.l: (r.match_weight, r.decision) for r in
+           fellegi_sunter_score(pairs, comps, upper=3.0, lower=0.0).collect()}
+    import math
+    w1a = round(math.log2(0.9 / 0.1) * WEIGHT_SCALE)
+    w1d = round(math.log2(0.1 / 0.9) * WEIGHT_SCALE)
+    w2a = round(math.log2(0.8 / 0.2) * WEIGHT_SCALE)
+    w2d = round(math.log2(0.2 / 0.8) * WEIGHT_SCALE)
+    assert out[1] == (w1a + w2a, "match")
+    assert out[3] == (w1a + w2d, "possible")
+    assert out[5][0] == w1d + w2d and out[5][1] == "non_match"

@@ -217,3 +217,37 @@ def test_ewma_truncates_to_window(spark):
     out = ewma(df, "v", window=3, decay=0.5, partition_by=["g"], order_by=["t"])
     last = out.orderBy("t").collect()[-1].ewma
     assert last == 1.0  # frame = [1, 1, 1]; the 1e9 is gone
+
+
+def test_cusum_matches_recurrence(spark):
+    """Window-identity CUSUM == direct max(0, s+d) recurrence."""
+    from datapipeline_spark import operators as ops
+
+    rows = [(1, i, v) for i, v in enumerate([50.0, 60.0, 70.0, 40.0, 55.0, 90.0, 10.0, 56.0])]
+    df = spark.createDataFrame(rows, "user_id long, time long, value double")
+    out = ops.cusum(
+        df, "value", target=50.0, slack=5.0, scale=100,
+        partition_by=["user_id"], out="c", order_by=("time",),
+    )
+    got = [r.c for r in out.orderBy("time").collect()]
+    s, want = 0, []
+    for _, _, v in rows:
+        s = max(0, s + round(v * 100) - 5500)
+        want.append(s)
+    assert got == want
+
+
+def test_cusum_single_exchange_plan(spark):
+    from datapipeline_spark import operators as ops
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("user_id"), F.col("id").alias("time"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    )
+    out = ops.cusum(df, "value", target=5.0, partition_by=["user_id"], order_by=("time",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    # prefix-sum and running-min share ONE partitioning exchange + sort
+    assert len(re.findall(r"(?<!Broadcast)Exchange", plan)) == 1
+    assert plan.count("Sort ") <= 2
