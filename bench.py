@@ -148,6 +148,7 @@ HEADLINE = [
     "touch_attribution",
     "cusum_drift",
     "linkage_scores_customers",
+    "row_minhash_signatures",
 ]
 
 

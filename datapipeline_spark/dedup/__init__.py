@@ -6,6 +6,7 @@ from datapipeline_spark.dedup.minhash import (
     lsh_candidate_pairs,
     minhash_dedup_pairs,
     minhash_signatures,
+    row_minhash,
     word_shingles,
 )
 from datapipeline_spark.dedup.simhash import simhash
@@ -17,6 +18,7 @@ __all__ = [
     "char_shingles",
     "word_shingles",
     "minhash_signatures",
+    "row_minhash",
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "minhash_dedup_pairs",

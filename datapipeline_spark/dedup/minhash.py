@@ -219,3 +219,45 @@ def minhash_dedup_pairs(
     sig = minhash_signatures(sh, id_col, params)
     cand = lsh_candidate_pairs(sig, id_col, params, bands)
     return jaccard_pairs(sh, id_col, cand, threshold)
+
+
+def row_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    params: MinHashParams = MinHashParams(),
+    shingle_words: int = 2,
+    out: str = "minhash_sig",
+) -> DataFrame:
+    """Per-ROW minhash signature — a pure map stage, no shuffle.
+
+    min over the shingle MULTISET equals min over the distinct set, so the
+    per-document aggregation path (`minhash_signatures`) and this per-row
+    expression produce identical signatures (tested); but this form needs
+    no groupBy at all, which makes it the ingest-time shape: it runs inside
+    the scan projection in batch, and is legal in an append-mode stream
+    where a per-doc aggregation is not.
+
+    `out` is the banded-ready string "mh0_mh1_..." (join/dedupe key);
+    documents with fewer than `shingle_words` words get a NULL signature
+    (no shingles — they cannot be near-dups of anything).
+    """
+    n = shingle_words
+    joined = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    grams = (
+        f"transform(sequence(0, size(w) - {n}), i -> {joined})"
+    )
+    hashes = (
+        f"transform({grams}, s ->"
+        f" conv(substring(md5(s), 1, {HASH_HEX_LEN}), 16, 10))"
+    )
+    mins = [
+        f"array_min(transform({hashes}, h -> ({a}L * CAST(h AS BIGINT) + {b}L) % {MOD}L))"
+        for a, b in params.coeffs
+    ]
+    sig = "concat_ws('_', " + ", ".join(f"CAST({m} AS STRING)" for m in mins) + ")"
+    expr = (
+        f"CASE WHEN size(w) >= {n} THEN {sig} END"
+    )
+    return df.withColumn("w", F.split(F.trim(F.col(text_col)), r"\s+")).withColumn(
+        out, F.expr(expr)
+    ).drop("w")

@@ -30,6 +30,17 @@ from pyspark.sql import functions as F
 WEIGHT_SCALE = 1_000_000
 
 
+def weight_pair(m: float, u: float) -> tuple[int, int]:
+    """(agree, disagree) integer micro-log2 weights for one field — plain
+    arithmetic, safe to call at module-import time (no SparkContext);
+    FieldComparison delegates here so the oracle builders and the Spark
+    path share one constant source."""
+    return (
+        round(math.log2(m / u) * WEIGHT_SCALE),
+        round(math.log2((1.0 - m) / (1.0 - u)) * WEIGHT_SCALE),
+    )
+
+
 @dataclass(frozen=True)
 class FieldComparison:
     """One field comparator: `agreement` is a boolean Column over the joined
@@ -43,11 +54,11 @@ class FieldComparison:
 
     @property
     def agree_weight(self) -> int:
-        return round(math.log2(self.m / self.u) * WEIGHT_SCALE)
+        return weight_pair(self.m, self.u)[0]
 
     @property
     def disagree_weight(self) -> int:
-        return round(math.log2((1.0 - self.m) / (1.0 - self.u)) * WEIGHT_SCALE)
+        return weight_pair(self.m, self.u)[1]
 
 
 def fellegi_sunter_score(

@@ -1909,23 +1909,24 @@ def _linkage_sql() -> str:
     """Oracle for fellegi_sunter scoring: the SAME FieldComparison objects
     produce the integer weight literals, so both engines sum identical
     constants selected by identical boolean comparators."""
-    from datapipeline_spark.operators.linkage import WEIGHT_SCALE, FieldComparison
-    from pyspark.sql import functions as F
+    from datapipeline_spark.operators.linkage import WEIGHT_SCALE, weight_pair
 
-    name = FieldComparison("name", F.lit(True), 0.95, 0.01)
-    seg = FieldComparison("segment", F.lit(True), 0.90, 0.20)
-    bal = FieldComparison("acctbal", F.lit(True), 0.80, 0.10)
+    # NOTE: no Column construction here — this runs at module import, before
+    # any SparkContext exists (the driver imports __spark_entry__ first)
+    name_a, name_d = weight_pair(0.95, 0.01)
+    seg_a, seg_d = weight_pair(0.90, 0.20)
+    bal_a, bal_d = weight_pair(0.80, 0.10)
     up, lo = 3 * WEIGHT_SCALE, 0
     return f"""
 WITH pairs AS (
   SELECT a.c_custkey AS left_key, b.c_custkey AS right_key,
          CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
-              THEN {name.agree_weight} ELSE {name.disagree_weight} END
+              THEN {name_a} ELSE {name_d} END
        + CASE WHEN a.c_mktsegment = b.c_mktsegment
-              THEN {seg.agree_weight} ELSE {seg.disagree_weight} END
+              THEN {seg_a} ELSE {seg_d} END
        + CASE WHEN abs(CAST(round(a.c_acctbal * 100) AS BIGINT)
                        - CAST(round(b.c_acctbal * 100) AS BIGINT)) <= 50000
-              THEN {bal.agree_weight} ELSE {bal.disagree_weight} END AS match_weight
+              THEN {bal_a} ELSE {bal_d} END AS match_weight
   FROM customer a JOIN customer b
     ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
   WHERE a.c_nationkey < 5
@@ -1987,4 +1988,39 @@ def q_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.c_custkey").alias("right_key"),
         "match_weight",
         "decision",
+    )
+
+
+@query(
+    "row_minhash_signatures",
+    """
+WITH {bigrams},
+hashed AS (SELECT doc_id, {h48} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
+SELECT doc_id, concat_ws('_', {concat}) AS minhash_sig FROM sig
+""".format(
+        bigrams=BIGRAMS,
+        h48=H48.format(col="s"),
+        mins=", ".join(
+            f"min(({a} * h + {b}) % {MOD}) AS mh{j}"
+            for j, (a, b) in enumerate(PARAMS.coeffs)
+        ),
+        concat=", ".join(f"mh{j}" for j in range(PARAMS.num_hashes)),
+    ),
+)
+def q_row_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ROW minhash signatures (dedup/minhash.row_minhash): the whole
+    signature computes inside the scan projection — split, shingle,
+    hash, k permuted array-mins — with NO shuffle at all (plan-asserted).
+    min over the shingle multiset equals min over the distinct set, so the
+    grouped oracle is exact. This is the ingest-time / streaming form of
+    minhash_signatures; docs with fewer than 2 words have no signature and
+    are excluded (matching the oracle's shingle-derived universe)."""
+    from datapipeline_spark.dedup import row_minhash
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        row_minhash(d, "text", PARAMS)
+        .filter(F.col("minhash_sig").isNotNull())
+        .select("doc_id", "minhash_sig")
     )

@@ -311,9 +311,9 @@ def _staged_documents(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     try:
         st = os.stat(src)
-        stamp = f"v1|{src}|{st.st_size}|{st.st_mtime_ns}"
+        stamp = f"v2|{src}|{st.st_size}|{st.st_mtime_ns}"
     except OSError:
-        stamp = f"v1|{src}"
+        stamp = f"v2|{src}"
     key = hashlib.sha256(stamp.encode()).hexdigest()[:12]
     staging = f"/tmp/spark_graft_stream_docs_{key}"
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
@@ -616,4 +616,71 @@ def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     _run_to_memory(out, name, "append")
     return spark.table(name).select(
         "user_id", "n_events", "total_cents", "min_value", "max_value"
+    )
+
+
+def _staged_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents with a synthetic ingest time (doc_id seconds from
+    epoch — deterministic, monotone in ingestion order) as one parquet file
+    for the file streaming source."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"v2|{src}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        stamp = f"v2|{src}"
+    key = hashlib.sha256(stamp.encode()).hexdigest()[:12]
+    staging = f"/tmp/spark_graft_stream_docs_{key}"
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "text",
+            # base 2024-01-01: a row whose event time equals the INITIAL
+            # watermark (epoch 0) is dropped as late by
+            # dropDuplicatesWithinWatermark — doc_id 0 vanished until offset
+            F.timestamp_seconds(F.col("doc_id") + F.lit(1704067200)).alias("time"),
+        )
+        d.coalesce(1).write.mode("overwrite").parquet(staging)
+    return staging
+
+
+def _row_minhash_sig_sql() -> str:
+    """Per-doc signature in SQL — identical constants to the Spark-side
+    row_minhash (min over the shingle multiset == min over the set, so the
+    grouped form here equals the per-row array fold)."""
+    from datapipeline_spark.queries_data import BIGRAMS, H48, MOD, PARAMS
+
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MOD}) AS mh{j}" for j, (a, b) in enumerate(PARAMS.coeffs)
+    )
+    concat = ", ".join(f"mh{j}" for j in range(PARAMS.num_hashes))
+    return f"""{BIGRAMS},
+hashed AS (SELECT doc_id, {H48.format(col='s')} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+sigs AS (SELECT doc_id, concat_ws('_', {concat}) AS minhash_sig FROM sig)"""
+
+
+@query(
+    "streaming_near_dup",
+    f"WITH {_row_minhash_sig_sql()}\nSELECT DISTINCT minhash_sig FROM sigs",
+)
+def streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time streaming near-dup filter (streaming/ops.py
+    near_dup_filter_stream): per-row minhash signature — a pure map stage,
+    legal in append mode — then watermarked first-occurrence dedup on the
+    full signature. Emits one surviving row per distinct signature;
+    signature projection makes which arrival survives irrelevant, so
+    DISTINCT over the batch-computed signatures is an exact oracle (same
+    §2.10 key-projection convention as streaming_dedupe)."""
+    from datapipeline_spark.streaming import near_dup_filter_stream
+
+    staging = _staged_documents(spark, sf_dir)
+    sdf = _stream_of(spark, staging)
+    out = near_dup_filter_stream(sdf, "text", watermark="1 hour", time_field="time")
+    name = "stream_ndup_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
+    _run_to_memory(out, name, "append")
+    return (
+        spark.table(name)
+        .filter(F.col("minhash_sig").isNotNull())
+        .select("minhash_sig")
     )

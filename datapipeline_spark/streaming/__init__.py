@@ -4,6 +4,7 @@ from datapipeline_spark.streaming.ops import (
     expectations_sink,
     idempotent_batch_sink,
     interval_join_stream,
+    near_dup_filter_stream,
     profile_stream,
     use_rocksdb_state_store,
     rolling_mean_stream,
@@ -18,6 +19,7 @@ __all__ = [
     "expectations_sink",
     "idempotent_batch_sink",
     "interval_join_stream",
+    "near_dup_filter_stream",
     "profile_stream",
     "use_rocksdb_state_store",
     "rolling_mean_stream",

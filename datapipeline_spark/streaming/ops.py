@@ -674,3 +674,37 @@ def expectations_sink(path: str, expectations):
         fs.rename(jvm.org.apache.hadoop.fs.Path(staging), state)
 
     return process
+
+
+def near_dup_filter_stream(
+    sdf: DataFrame,
+    text_col: str = "text",
+    watermark: str = "1 hour",
+    time_field: str = "time",
+    shingle_words: int = 2,
+    params=None,
+) -> DataFrame:
+    """Ingest-time streaming near-dup filter: per-ROW minhash signature
+    (dedup/minhash.row_minhash — a pure map, legal in append mode where a
+    per-doc aggregation is not) + watermarked first-occurrence dedup on the
+    signature. Documents whose full signature was already seen within the
+    watermark horizon are dropped — the streaming face of the batch
+    MinHash dedup pipeline, with state bounded by (watermark window ×
+    distinct-signature rate), not corpus size. Signature-less rows (fewer
+    than `shingle_words` words) pass through untouched: they cannot be
+    near-dups, and silently dropping them would lose data.
+    """
+    from datapipeline_spark.dedup.minhash import MinHashParams, row_minhash
+
+    sig = row_minhash(
+        sdf, text_col, params or MinHashParams(), shingle_words, out="minhash_sig"
+    )
+    keyed = sig.withColumn(
+        "__dedup_key__",
+        F.coalesce(F.col("minhash_sig"), F.concat(F.lit("∅"), F.col(time_field).cast("string"))),
+    )
+    return (
+        keyed.withWatermark(time_field, watermark)
+        .dropDuplicatesWithinWatermark(["__dedup_key__"])
+        .drop("__dedup_key__")
+    )

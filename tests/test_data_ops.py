@@ -560,3 +560,38 @@ def test_fellegi_sunter_weights_and_decisions(spark):
     assert out[1] == (w1a + w2a, "match")
     assert out[3] == (w1a + w2d, "possible")
     assert out[5][0] == w1d + w2d and out[5][1] == "non_match"
+
+
+def test_row_minhash_equals_aggregated_signatures(spark):
+    """min over the shingle multiset == min over the distinct set: the
+    per-row map-stage signature must be bit-identical to the groupBy path."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spark.dedup import (
+        MinHashParams,
+        minhash_signatures,
+        row_minhash,
+        word_shingles,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    params = MinHashParams()
+    agg = minhash_signatures(word_shingles(d, "doc_id", "text", 2), "doc_id", params)
+    agg_sig = agg.select(
+        "doc_id",
+        F.concat_ws(
+            "_", *[F.col(f"mh{j}").cast("string") for j in range(params.num_hashes)]
+        ).alias("sig"),
+    )
+    row = row_minhash(d, "text", params).select("doc_id", "minhash_sig")
+    joined = agg_sig.join(row, "doc_id", "full")
+    assert joined.filter(F.col("sig") != F.col("minhash_sig")).count() == 0
+    assert row.filter(F.col("minhash_sig").isNotNull()).count() == agg.count()
+
+
+def test_row_minhash_is_shuffle_free(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from datapipeline_spark.dedup import row_minhash
+
+    plan = row_minhash(d, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # whole signature inside the scan projection

@@ -496,3 +496,38 @@ def test_expectations_sink_fold_equals_one_shot(spark, tmp_path):
         for r in expectation_report(df, rules).collect()
     }
     assert got == want
+
+
+def test_near_dup_filter_stream_keeps_first_and_passes_sigless(spark, tmp_path):
+    """Streaming near-dup filter: one survivor per signature; rows without a
+    signature (fewer than 2 words) pass through untouched."""
+    from datapipeline_spark.streaming import near_dup_filter_stream
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "spark dedup test alpha", "2024-01-01 10:00:00"),
+            (2, "spark dedup test alpha", "2024-01-01 10:00:01"),  # exact dup
+            (3, "totally different words here", "2024-01-01 10:00:02"),
+            (4, "solo", "2024-01-01 10:00:03"),  # <2 words: no signature
+            (5, "solo", "2024-01-01 10:00:04"),  # also sig-less: NOT deduped
+        ],
+        "doc_id long, text string, t string",
+    ).selectExpr("doc_id", "text", "CAST(t AS TIMESTAMP) AS time").coalesce(
+        1
+    ).write.parquet(src)
+    batch = spark.read.parquet(src)
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in batch.schema.fields)
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = near_dup_filter_stream(sdf, "text", watermark="1 hour", time_field="time")
+    q = (
+        out.writeStream.format("memory").queryName("ndup_unit")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.table("ndup_unit").collect()
+    ids = sorted(r.doc_id for r in rows)
+    assert 3 in ids and 4 in ids and 5 in ids          # sig-less passthrough
+    assert len([i for i in ids if i in (1, 2)]) == 1   # near-dup collapsed
+    sigless = [r for r in rows if r.doc_id in (4, 5)]
+    assert all(r.minhash_sig is None for r in sigless)
