@@ -149,6 +149,8 @@ HEADLINE = [
     "cusum_drift",
     "linkage_scores_customers",
     "row_minhash_signatures",
+    "inverted_index",
+    "bm25_search",
 ]
 
 

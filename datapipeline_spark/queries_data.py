@@ -2024,3 +2024,77 @@ def q_row_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("minhash_sig").isNotNull())
         .select("doc_id", "minhash_sig")
     )
+
+
+@query(
+    "inverted_index",
+    """
+WITH tok AS (
+  SELECT doc_id, lower(t) AS term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS u(t)
+  WHERE t <> ''
+),
+tf AS (SELECT term, doc_id, count(*) AS c FROM tok GROUP BY term, doc_id),
+post AS (
+  SELECT term,
+         count(*) AS df,
+         list(doc_id ORDER BY doc_id) AS doc_ids,
+         list(c ORDER BY doc_id) AS tfs
+  FROM tf GROUP BY term
+  HAVING count(*) <= 100
+)
+SELECT term, CAST(df AS BIGINT) AS df, doc_ids, tfs FROM post
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with stop-word DF cap (text/index.py
+    build_inverted_index): term → sorted (doc_id, tf) postings. Two
+    map-side-combinable shuffles, in-row sort_array, posting length
+    bounded by max_df=100 — the retrieval structure behind corpus search
+    and BM25 at 100 TB, never a global sort. Oracle: DuckDB ordered list()
+    aggregation over the identical tokenization."""
+    from datapipeline_spark.text import build_inverted_index
+
+    d = load_table(spark, sf_dir, "documents")
+    return build_inverted_index(d, max_df=100)
+
+
+@query(
+    "bm25_search",
+    """
+WITH tok AS (
+  SELECT doc_id, lower(t) AS term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS u(t)
+  WHERE t <> ''
+),
+lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('hash', 'join', 'table') GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                    * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                    * 1000000000) AS BIGINT) AS p9
+  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+),
+s AS (SELECT doc_id, CAST(sum(p9) AS BIGINT) AS s9 FROM parts GROUP BY doc_id)
+SELECT doc_id, round(s9 / 1000000000.0, 4) AS score,
+       CAST(row_number() OVER (ORDER BY s9 DESC, doc_id) AS BIGINT) AS rank
+FROM s
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking for a fixed query bag (text/index.bm25_scores,
+    k1=1.2, b=0.75, Lucene idf). Token stream filtered to the query terms
+    before any aggregation; doc lengths one map-side-combinable aggregate;
+    N/avgdl broadcast. Per-(doc, term) contributions round to nano-units
+    before the exact bigint per-doc sum, so scores and ranks are
+    order-independent and hash-match the oracle."""
+    from datapipeline_spark.text import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_scores(d, ["hash", "join", "table"])

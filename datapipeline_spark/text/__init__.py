@@ -9,6 +9,7 @@ from datapipeline_spark.text.analysis import (
     winnow_fingerprints,
 )
 from datapipeline_spark.text.chunk import chunk_documents
+from datapipeline_spark.text.index import bm25_scores, build_inverted_index
 from datapipeline_spark.text.pack import pack_sequences
 from datapipeline_spark.text.clean import (
     EMAIL_PATTERN,
@@ -25,6 +26,8 @@ from datapipeline_spark.text.clean import (
 )
 
 __all__ = [
+    "bm25_scores",
+    "build_inverted_index",
     "BPE_PATTERN",
     "LANG_MARKERS",
     "bpe_token_count",

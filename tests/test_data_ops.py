@@ -595,3 +595,35 @@ def test_row_minhash_is_shuffle_free(spark):
 
     plan = row_minhash(d, "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # whole signature inside the scan projection
+
+
+def test_inverted_index_postings_and_cap(spark):
+    from datapipeline_spark.text import build_inverted_index
+
+    d = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b c a"), (3, "a x")], "doc_id long, text string"
+    )
+    idx = {r.term: r for r in build_inverted_index(d, max_df=2).collect()}
+    assert "a" not in idx  # df=3 > cap
+    assert idx["b"].doc_ids == [1, 2] and idx["b"].tfs == [1, 1]
+    assert idx["x"].doc_ids == [3] and idx["x"].df == 1
+    # tf counted, postings doc-sorted
+    full = {r.term: r for r in build_inverted_index(d, max_df=None).collect()}
+    assert full["a"].doc_ids == [1, 2, 3] and full["a"].tfs == [2, 1, 1]
+
+
+def test_bm25_prefers_term_dense_short_docs(spark):
+    from datapipeline_spark.text import bm25_scores
+
+    d = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),          # dense in the query term, short
+            (2, "spark filler filler filler filler filler filler"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bm25_scores(d, ["spark"]).collect()}
+    assert 3 not in out          # no match -> no row
+    assert out[1].rank == 1 and out[2].rank == 2
+    assert out[1].score > out[2].score > 0
