@@ -2018,7 +2018,7 @@ def q_row_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     are excluded (matching the oracle's shingle-derived universe)."""
     from datapipeline_spark.dedup import row_minhash
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return (
         row_minhash(d, "text", PARAMS)
         .filter(F.col("minhash_sig").isNotNull())
