@@ -105,6 +105,7 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None, help="comma-separated query names")
     ap.add_argument("--float-round", type=int, default=None, help="extra rounding before compare")
+    ap.add_argument("--json", default=None, help="write driver-style per-query results JSON here")
     args = ap.parse_args()
 
     import duckdb
@@ -179,6 +180,38 @@ def main() -> int:
         f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only "
         f"of {len(queries)} queries at {args.sf_dir}"
     )
+    if args.json:
+        import json
+
+        fail_reasons = dict(failed)
+        results = {}
+        for name in queries:
+            if only and name not in only:
+                continue
+            if name in skipped:
+                results[name] = {"rows_only": True, "err": None}
+            elif name in fail_reasons:
+                results[name] = {"hash_match": False, "err": fail_reasons[name]}
+            elif name in passed:
+                results[name] = {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "err": None,
+                }
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "passed": len(passed),
+                    "failed": len(failed),
+                    "rows_only": len(skipped),
+                    "total": len(results),
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+            )
     return 1 if failed else 0
 
 

@@ -9,11 +9,19 @@ Usage: python tools/dump_plans.py [--sf-dir /root/testdata/sf0.001] [--out PLANS
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Plans are snapshotted under the ENGINE default shuffle partitioning, not
+# the bench session's local-mode tuning (bench.py setdefaults
+# SPARK_GRAFT_SHUFFLE=16 at import — pin the default before importing it).
+os.environ.setdefault(
+    "SPARK_GRAFT_SHUFFLE", os.environ.get("SPARK_GRAFT_CPUS", "32")
+)
 
 
 def main() -> None:
