@@ -684,3 +684,47 @@ def streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("minhash_sig").isNotNull())
         .select("minhash_sig")
     )
+
+
+@query(
+    "streaming_cusum",
+    """
+WITH {base},
+nn AS (SELECT event_id, user_id, time, value FROM base WHERE value IS NOT NULL),
+dev AS (
+  SELECT event_id, user_id, time,
+         CAST(round(value * 100) AS BIGINT) - CAST(round(55.0 * 100) AS BIGINT) AS d
+  FROM nn
+),
+pre AS (
+  SELECT event_id, user_id, time,
+         CAST(sum(d) OVER ({w}) AS BIGINT) AS p
+  FROM dev
+)
+SELECT event_id, user_id,
+       CAST(p - least(CAST(0 AS BIGINT), min(p) OVER ({w})) AS BIGINT) AS cusum_cents
+FROM pre
+""".format(base=EVENTS_BASE, w=W),
+)
+def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM drift monitor (streaming/ops.cusum_stream): per-key
+    state is TWO bigints (prefix sum + running min — the same identity the
+    batch operator evaluates with window functions), so the emitted
+    statistic equals the batch result bit-for-bit and the batch window SQL
+    is an exact oracle."""
+    from datapipeline_spark.streaming import cusum_stream
+
+    staging = _staged_events(spark, sf_dir)
+    sdf = (
+        _stream_of(spark, staging)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "time", "value")
+    )
+    out = cusum_stream(
+        sdf, "value", target=50.0, slack=5.0, scale=100,
+        entity_keys=["user_id"], out="cusum_cents",
+        order_cols=["time", "event_id"],
+    )
+    name = "stream_cusum_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
+    _run_to_memory(out, name, "append")
+    return spark.table(name).select("event_id", "user_id", "cusum_cents")

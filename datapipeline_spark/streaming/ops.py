@@ -708,3 +708,65 @@ def near_dup_filter_stream(
         .dropDuplicatesWithinWatermark(["__dedup_key__"])
         .drop("__dedup_key__")
     )
+
+
+def cusum_stream(
+    sdf: DataFrame,
+    field: str,
+    target: float,
+    entity_keys: Sequence[str],
+    slack: float = 0.0,
+    scale: int = 100,
+    time_field: str = "time",
+    out: str = "cusum",
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-key streaming CUSUM — the streaming form of
+    operators/window.cusum, via `applyInPandasWithState`.
+
+    State per key is TWO integers (prefix sum and its running minimum) —
+    the same prefix-sum/running-min identity the batch operator uses, so
+    state is O(1) per key regardless of stream length, and the emitted
+    statistic is the identical exact bigint: streaming == batch
+    bit-for-bit under event-time order (asserted in tests). Deviations
+    accumulate as integers at `scale` units per 1.0.
+    """
+    payload = [c for c in sdf.columns]
+    sort_cols = list(order_cols) if order_cols else [time_field]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
+    ) + f", `{out}` bigint"
+    state_schema = "prefix bigint, run_min bigint"
+
+    def _half_up(x: float) -> int:
+        # Spark's round() is HALF_UP away from zero; Python round() is
+        # banker's — match Spark exactly so streaming == batch on .5 ties
+        import math
+
+        return int(math.copysign(math.floor(abs(x) * scale + 0.5), x))
+
+    t9 = _half_up(target + slack)
+
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        prefix, run_min = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(sort_cols)
+            stats = []
+            for v in pdf[field]:
+                prefix += _half_up(float(v)) - t9
+                run_min = min(run_min, prefix)
+                stats.append(prefix - min(0, run_min))
+            pdf = pdf.copy()
+            pdf[out] = pd.Series(stats, index=pdf.index, dtype="int64")
+            yield pdf[payload + [out]]
+        state.update((prefix, run_min))
+
+    return sdf.groupBy(*entity_keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

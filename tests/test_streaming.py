@@ -531,3 +531,58 @@ def test_near_dup_filter_stream_keeps_first_and_passes_sigless(spark, tmp_path):
     assert len([i for i in ids if i in (1, 2)]) == 1   # near-dup collapsed
     sigless = [r for r in rows if r.doc_id in (4, 5)]
     assert all(r.minhash_sig is None for r in sigless)
+
+
+def test_cusum_stream_matches_batch_across_batches(spark, tmp_path):
+    """Streaming CUSUM folds (prefix, running-min) state across
+    micro-batches and equals the batch window identity exactly — including
+    resets (values straddle the target so the max(0, ...) clamp fires)."""
+    from datapipeline_spark.operators.window import cusum
+    from datapipeline_spark.streaming.ops import cusum_stream
+
+    src = str(tmp_path / "src")
+    rows = [
+        (u, float(h), ((h * 37 + u * 11) % 100) / 2.0)  # 0..49.5, target 25
+        for u in range(4)
+        for h in range(30)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t double, v double").selectExpr(
+        "user_id",
+        "CAST(timestamp '2024-01-01' + t * INTERVAL 1 HOUR AS TIMESTAMP) AS time",
+        "v",
+    )
+    # multiple files => multiple micro-batches with maxFilesPerTrigger=1.
+    # The file source orders by modification time, so the chunks must be
+    # WRITTEN sequentially in event-time order — a single
+    # repartitionByRange write gives all parts the same mtime and the
+    # arrival order of the batches is then arbitrary (observed reordered).
+    import time as _time
+
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        df.filter(f"t >= {lo} AND t < {hi}").orderBy("time").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)
+
+    want = {
+        (r.user_id, r.time): r.c
+        for r in cusum(
+            df, "v", target=25.0, slack=0.0, scale=100,
+            partition_by=["user_id"], out="c", order_by=["time"],
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema("user_id long, time timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = cusum_stream(
+        stream, "v", target=25.0, entity_keys=["user_id"], out="c"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("cusum_stream_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    got = {(r.user_id, r.time): r.c for r in spark.table("cusum_stream_t").collect()}
+    assert got == want and any(v == 0 for v in want.values())
