@@ -151,6 +151,8 @@ HEADLINE = [
     "row_minhash_signatures",
     "inverted_index",
     "bm25_search",
+    "triangle_counts_parts",
+    "doc_cosine_pairs",
 ]
 
 

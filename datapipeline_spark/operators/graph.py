@@ -82,3 +82,57 @@ def cooccurrence_edges(
         .select("src", "dst")
         .distinct()
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph (edges may be
+    given in either or both directions; deduped internally).
+
+    Algorithm: degree orientation + wedge closure (the MapReduce-standard
+    scheme, cf. Suri & Vassilvitskii, "Counting Triangles and the Curse of
+    the Last Reducer"): orient every edge from the (degree, id)-smaller
+    endpoint to the larger, so each wedge is generated at its LOWEST-degree
+    vertex — intermediate wedge volume is bounded by Σ min-degree per edge
+    (O(m^1.5) worst case, tiny on real skewed graphs) instead of Σ deg² of
+    the hub nodes. Two equi-joins + one aggregate; every triangle found
+    exactly once, then credited to its three corners. Integer-exact,
+    order-independent — SQL-transcribable for an exact oracle.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # orient a -> b iff (deg(a), a) < (deg(b), b)
+    ranked = (
+        und.join(deg.withColumnsRenamed({"a": "a", "d": "da"}), "a")
+        .join(deg.withColumnsRenamed({"a": "b", "d": "db"}), "b")
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+    )
+    # wedges at the low vertex: a -> b1, a -> b2 (b1 < b2 to emit once)
+    w1 = ranked.select(F.col("a").alias("w"), F.col("b").alias("u"))
+    w2 = ranked.select(F.col("a").alias("w"), F.col("b").alias("v"))
+    wedges = w1.join(w2, "w").filter(F.col("u") < F.col("v"))
+    # close the wedge with an oriented edge u->v or v->u
+    closing = ranked.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    tris = wedges.join(closing, ["u", "v"]).select("w", "u", "v")
+    credited = (
+        tris.select(F.col("w").alias("node"))
+        .union(tris.select(F.col("u").alias("node")))
+        .union(tris.select(F.col("v").alias("node")))
+    )
+    return credited.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

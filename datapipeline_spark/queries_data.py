@@ -2098,3 +2098,118 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bm25_scores(d, ["hash", "join", "table"])
+
+
+@query(
+    "triangle_counts_parts",
+    """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+und AS (SELECT src AS a, dst AS b FROM e0 UNION SELECT dst, src FROM e0),
+deg AS (SELECT a, count(*) AS d FROM und GROUP BY a),
+ranked AS (
+  SELECT u.a, u.b FROM und u
+  JOIN deg da ON u.a = da.a JOIN deg db ON u.b = db.a
+  WHERE (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+),
+wedges AS (
+  SELECT w1.a AS w, w1.b AS u, w2.b AS v
+  FROM ranked w1 JOIN ranked w2 ON w1.a = w2.a AND w1.b < w2.b
+),
+closing AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM ranked),
+tris AS (SELECT w, u, v FROM wedges JOIN closing USING (u, v)),
+cr AS (
+  SELECT w AS node FROM tris
+  UNION ALL SELECT u FROM tris
+  UNION ALL SELECT v FROM tris
+)
+SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM cr GROUP BY node
+""",
+)
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts in the co-purchase graph
+    (operators/graph.triangle_counts): degree orientation generates each
+    wedge at its lowest-degree vertex — hub nodes never enumerate their
+    own deg² wedge sets (the 'curse of the last reducer' guard) — then one
+    equi-join closes wedges against the oriented edge set. Integer-exact;
+    the oracle replays the identical orientation."""
+    from datapipeline_spark.operators.graph import cooccurrence_edges, triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
+    return triangle_counts(edges).select(
+        F.col("node").alias("p_partkey"), "n_triangles"
+    )
+
+
+TERM_MAX_DF = 100  # shared-term cap for the sparse-cosine pair surface
+
+
+@query(
+    "doc_cosine_pairs",
+    """
+WITH tok AS (
+  SELECT doc_id, lower(t) AS term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS u(t)
+  WHERE t <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+rare AS (SELECT term FROM tf GROUP BY term HAVING count(*) <= {max_df}),
+tff AS (SELECT tf.* FROM tf JOIN rare USING (term)),
+norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tff GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tff a JOIN tff b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+FROM dots JOIN norms na ON id_a = na.doc_id JOIN norms nb ON id_b = nb.doc_id
+WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.5
+""".format(max_df=TERM_MAX_DF),
+)
+def q_doc_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse term-frequency cosine pairs over the DF-capped vocabulary —
+    the bag-of-words near-dup surface complementing n-gram jaccard
+    (restricted-universe DF cap bounds the term-keyed join exactly like
+    ngram_jaccard_pairs) and dense-embedding cosine. Dot products and
+    squared norms are exact integer sums; only the final cosine divides in
+    double and rounds to 4 dp, so the result hash-matches under any
+    partitioning."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+        .withColumn("term", F.lower(F.col("term")))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    rare = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= TERM_MAX_DF)
+        .select("term")
+    )
+    tff = tf.join(rare, "term", "leftsemi")
+    norms = tff.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a = tff.select(F.col("doc_id").alias("id_a"), "term", F.col("tf").alias("tfa"))
+    b = tff.select(F.col("doc_id").alias("id_b"), "term", F.col("tf").alias("tfb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 4
+    )
+    return (
+        dots.join(norms.withColumnsRenamed({"doc_id": "id_a", "n2": "na"}), "id_a")
+        .join(norms.withColumnsRenamed({"doc_id": "id_b", "n2": "nb"}), "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.5)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -627,3 +627,29 @@ def test_bm25_prefers_term_dense_short_docs(spark):
     assert 3 not in out          # no match -> no row
     assert out[1].rank == 1 and out[2].rank == 2
     assert out[1].score > out[2].score > 0
+
+
+def test_triangle_counts_known_graph(spark):
+    from datapipeline_spark.operators.graph import triangle_counts
+
+    # two triangles sharing edge (1,2): {1,2,3} and {1,2,4}; plus a dangler
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+    # direction/duplicate invariance: reversed + doubled edge list, same answer
+    rev = spark.createDataFrame(
+        [(2, 1), (3, 2), (1, 3), (4, 1), (4, 2), (5, 4), (1, 2)],
+        "src long, dst long",
+    )
+    assert {r.node: r.n_triangles for r in triangle_counts(rev).collect()} == got
+
+
+def test_doc_cosine_identical_docs_score_one(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    out = REGISTRY["doc_cosine_pairs"][0](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows and all(0.5 <= r.cosine <= 1.0 for r in rows)
