@@ -186,6 +186,17 @@ def apply_transform(
         return rolling_corr(
             df, spec.x, spec.y, spec.window, partition_by, out=spec.to or "corr"
         )
+    if op == "cusum":
+        from datapipeline_spark.operators.window import cusum
+
+        return cusum(
+            df,
+            spec.field,
+            target=spec.target,
+            slack=spec.slack if spec.slack is not None else 0.0,
+            partition_by=partition_by,
+            out=spec.to or "cusum",
+        )
     if op == "ensure_ticks":
         # grid_by == partition_by (reference ensure_ticks.py:42-92); the grid
         # spans each partition's observed bounds at the given cadence — the

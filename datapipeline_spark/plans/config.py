@@ -150,6 +150,7 @@ class TransformSpec(_Strict):
         # beyond-reference window ops, same per-stream transform shape
         "ewma",
         "rolling_corr",
+        "cusum",
     ]
     # where
     operator: str | None = None
@@ -177,6 +178,9 @@ class TransformSpec(_Strict):
     grid: NonEmpty | None = None
     # ewma
     decay: float | None = None
+    # cusum
+    target: Union[int, float, None] = None
+    slack: Union[int, float, None] = None
 
     @model_validator(mode="after")
     def validate_per_operation(self) -> "TransformSpec":
@@ -252,6 +256,9 @@ class TransformSpec(_Strict):
                 raise ValueError("rolling_corr requires 'x', 'y' and 'to'")
             if not self.window or self.window < 2:
                 raise ValueError("rolling_corr window must be >= 2")
+        elif op == "cusum":
+            if not self.field or self.target is None:
+                raise ValueError("cusum requires 'field' and 'target'")
         return self
 
 

@@ -385,3 +385,32 @@ def test_transform_spec_validates_ewma_and_rolling_corr():
         TransformSpec(operation="rolling_corr", x="a", window=3, to="c")  # no y
     with pytest.raises(ValueError, match="window must be >= 2"):
         TransformSpec(operation="rolling_corr", x="a", y="b", window=1, to="c")
+
+
+def test_cusum_via_yaml_grammar(spark):
+    """cusum is reachable from the declarative transform grammar and the
+    compiled result equals the operator call."""
+    from datapipeline_spark import operators as ops
+    from datapipeline_spark.plans.compiler import apply_transform
+    from datapipeline_spark.plans.config import TransformSpec
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([10, 30, 25, 40])],
+        "user_id long, time long, value double",
+    )
+    spec = TransformSpec(operation="cusum", field="value", target=20, slack=2, to="c")
+    got = {
+        r.time: r.c
+        for r in apply_transform(df, spec, ["user_id"]).collect()
+    }
+    want = {
+        r.time: r.c
+        for r in ops.cusum(
+            df, "value", target=20.0, slack=2.0, partition_by=["user_id"], out="c"
+        ).collect()
+    }
+    assert got == want and got[3] > 0
+
+    with pytest.raises(ValueError, match="cusum requires"):
+        TransformSpec(operation="cusum", field="value", to="c")  # no target
