@@ -153,6 +153,8 @@ HEADLINE = [
     "bm25_search",
     "triangle_counts_parts",
     "doc_cosine_pairs",
+    "interpolate_gaps",
+    "table_profile",
 ]
 
 

@@ -14,6 +14,7 @@ from datapipeline_spark.operators.window import (
     fill,
     forward_fill,
     forward_sum,
+    interpolate_linear,
     lag,
     lead,
     rolling,
@@ -30,11 +31,14 @@ from datapipeline_spark.operators.expect import (
     apply_expectations,
     expectation_report,
 )
-from datapipeline_spark.operators.graph import cooccurrence_edges, pagerank
+from datapipeline_spark.operators.graph import cooccurrence_edges, pagerank, triangle_counts
+from datapipeline_spark.operators.profile import profile_table
 from datapipeline_spark.operators.scd import scd2_history
 
 __all__ = [
     "where",
+    "profile_table",
+    "triangle_counts",
     "collapse",
     "dedupe",
     "derive",
@@ -47,6 +51,7 @@ __all__ = [
     "fill",
     "forward_fill",
     "forward_sum",
+    "interpolate_linear",
     "lag",
     "lead",
     "rolling",

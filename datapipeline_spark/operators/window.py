@@ -371,3 +371,46 @@ def cusum(
         F.lit(0).cast("long"), F.min(pcol).over(w)
     )
     return staged.withColumn(out, stat).drop(pcol)
+
+
+def interpolate_linear(
+    df: DataFrame,
+    field: str,
+    partition_by: Sequence[str] = (),
+    out: str | None = None,
+    order_by: Sequence[str] = (TIME,),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Linear interpolation of interior nulls by event time — the missing
+    member of the gap-fill family (fill = trailing-window impute,
+    forward_fill = carry last; this one draws the line between the nearest
+    non-null neighbors). Leading/trailing nulls stay null (no extrapolation).
+
+    Shape: two frames over ONE (partition, order) sort — a trailing
+    last-non-null (value + its timestamp) and a leading first-non-null —
+    then a pure row expression. Time ratios are exact integer microsecond
+    differences divided in double, rounded to `round_digits`; observed
+    values pass through bit-untouched.
+    """
+    target = out or field
+    time_col = order_by[0]
+    w_back = canonical_window(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_fwd = canonical_window(partition_by, order_by).rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    v = _nn(field)
+    t_us = F.unix_micros(F.col(time_col))
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    prev_t = F.last(F.when(v.isNotNull(), t_us), ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_t = F.first(F.when(v.isNotNull(), t_us), ignorenulls=True).over(w_fwd)
+    ratio = (t_us - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    interp = F.round(prev_v + (next_v - prev_v) * ratio, round_digits)
+    return df.withColumn(
+        target,
+        F.when(v.isNotNull(), F.col(field)).otherwise(
+            F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        ),
+    )

@@ -3850,3 +3850,82 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum_cents",
         F.when(F.col("cusum_cents") > 50000, F.lit(1)).otherwise(F.lit(0)).alias("alarm"),
     )
+
+
+@query(
+    "interpolate_gaps",
+    """
+WITH {base},
+st AS (
+  SELECT event_id, user_id, time, value_n,
+         last_value(value_n IGNORE NULLS)
+           OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         last_value(CASE WHEN value_n IS NOT NULL THEN epoch_us(time) END IGNORE NULLS)
+           OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+         first_value(value_n IGNORE NULLS)
+           OVER ({w} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN value_n IS NOT NULL THEN epoch_us(time) END IGNORE NULLS)
+           OVER ({w} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+  FROM base
+)
+SELECT event_id, user_id,
+       CASE WHEN value_n IS NOT NULL THEN value_n
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN round(pv + (nv - pv) * ((epoch_us(time) - pt) * 1.0 / (nt - pt)), 6)
+       END AS v_interp
+FROM st
+""".format(base=EVENTS_BASE, w=W),
+)
+def interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of interior nulls by event time
+    (operators/window.interpolate_linear — completes the gap-fill family
+    next to fill and forward_fill). Two IGNORE NULLS frames over ONE
+    (user, time) exchange+sort; time ratios are exact integer-microsecond
+    differences; leading/trailing nulls never extrapolate. Observed values
+    pass through untouched."""
+    s = events_stream(spark, sf_dir)
+    s = ops.interpolate_linear(
+        s, "value_n", partition_by=["user_id"], out="v_interp", order_by=ORDER
+    )
+    return s.select("event_id", "user_id", "v_interp")
+
+
+@query(
+    "table_profile",
+    """
+SELECT 'event_id' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num
+FROM events
+UNION ALL
+SELECT 'user_id', count(*),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'value', count(*),
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT),
+       CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'event_type', count(*),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM events
+""",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (operators/profile.profile_table): null
+    counts, exact distinct counts, numeric extrema for every column from a
+    SINGLE aggregate over the table (multiple exact count-distincts plan
+    as one Expand + aggregate — still one scan), unpivoted through typed
+    literal structs. The catalog/data-discovery verb the coverage report
+    generalizes to."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    return ops.profile_table(ev)

@@ -352,3 +352,19 @@ def test_expectation_report_quoted_names_and_empty(spark):
     empty = expectation_report(df, [])
     assert empty.count() == 0
     assert empty.columns == ["rule", "action", "n_rows", "n_violations", "violation_ppm"]
+
+
+def test_profile_table_exact_counts(spark):
+    from datapipeline_spark import operators as ops
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 2.0, None), (None, 5.0, "a")],
+        "k long, v double, s string",
+    )
+    prof = {r.column: r for r in ops.profile_table(df).collect()}
+    assert all(r.n_rows == 4 for r in prof.values())
+    assert prof["k"].n_nulls == 1 and prof["k"].n_distinct == 3
+    assert prof["k"].min_num == 1.0 and prof["k"].max_num == 3.0
+    assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 2
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].min_num is None and prof["s"].max_num is None

@@ -251,3 +251,44 @@ def test_cusum_single_exchange_plan(spark):
     # prefix-sum and running-min share ONE partitioning exchange + sort
     assert len(re.findall(r"(?<!Broadcast)Exchange", plan)) == 1
     assert plan.count("Sort ") <= 2
+
+
+def test_interpolate_linear_values_and_edges(spark):
+    from datapipeline_spark import operators as ops
+
+    rows = [
+        (1, "2024-01-01 00:00:00", None),   # leading null: stays null
+        (1, "2024-01-01 01:00:00", 10.0),
+        (1, "2024-01-01 02:00:00", None),   # interior: 10 -> 40 at 1/3
+        (1, "2024-01-01 04:00:00", 40.0),
+        (1, "2024-01-01 05:00:00", None),   # trailing null: stays null
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t string, v double").selectExpr(
+        "user_id", "CAST(t AS TIMESTAMP) AS time", "v"
+    )
+    out = {
+        r.time.hour: r.vi
+        for r in ops.interpolate_linear(
+            df, "v", partition_by=["user_id"], out="vi", order_by=["time"]
+        ).collect()
+    }
+    assert out[0] is None and out[5] is None
+    assert out[1] == 10.0 and out[4] == 40.0
+    assert out[2] == 20.0  # 10 + (40-10) * (1h / 3h)
+
+
+def test_interpolate_single_exchange(spark):
+    from datapipeline_spark import operators as ops
+    from pyspark.sql import functions as F
+    import re
+
+    df = spark.range(50).select(
+        (F.col("id") % 5).alias("u"),
+        F.timestamp_seconds(F.col("id") * 60).alias("time"),
+        F.when(F.col("id") % 3 == 0, F.col("id").cast("double")).alias("v"),
+    )
+    plan = (
+        ops.interpolate_linear(df, "v", partition_by=["u"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"(?<!Broadcast)Exchange", plan)) == 1
