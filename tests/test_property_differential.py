@@ -366,3 +366,30 @@ def test_scd2_matches_reference_and_shuffle_invariant(spark, attrs):
         )
     )
     assert got2 == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    cents=st.lists(st.integers(-500, 500), min_size=1, max_size=40),
+    target_c=st.integers(-100, 100),
+)
+def test_cusum_matches_recurrence_model(spark, cents, target_c):
+    """Window-identity CUSUM == the direct max(0, s + d) recurrence for
+    arbitrary integer-cent series (clamp resets, all-negative runs,
+    monotone drifts)."""
+    from datapipeline_spark.operators.window import cusum
+
+    rows = [(1, i, c / 100.0) for i, c in enumerate(cents)]
+    df = spark.createDataFrame(rows, "k long, time long, v double")
+    got = [
+        r.c
+        for r in cusum(
+            df, "v", target=target_c / 100.0, scale=100,
+            partition_by=["k"], out="c", order_by=["time"],
+        ).orderBy("time").collect()
+    ]
+    s, want = 0, []
+    for c in cents:
+        s = max(0, s + c - target_c)
+        want.append(s)
+    assert got == want
