@@ -155,6 +155,7 @@ HEADLINE = [
     "doc_cosine_pairs",
     "interpolate_gaps",
     "table_profile",
+    "prefix_jaccard_join",
 ]
 
 

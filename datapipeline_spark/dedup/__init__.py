@@ -9,6 +9,7 @@ from datapipeline_spark.dedup.minhash import (
     row_minhash,
     word_shingles,
 )
+from datapipeline_spark.dedup.ppjoin import ppjoin_pairs, prefix_filter_candidates
 from datapipeline_spark.dedup.simhash import simhash
 
 __all__ = [
@@ -22,5 +23,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "minhash_dedup_pairs",
+    "ppjoin_pairs",
+    "prefix_filter_candidates",
     "simhash",
 ]

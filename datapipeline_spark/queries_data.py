@@ -2222,3 +2222,34 @@ def q_doc_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.5)
         .select("id_a", "id_b", "cosine")
     )
+
+
+@query(
+    "prefix_jaccard_join",
+    """
+WITH {bigrams},
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+""".format(bigrams=BIGRAMS),
+)
+def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT set-similarity join (dedup/ppjoin.py,
+    PPJoin-style): candidates share a token in each side's rare-first
+    prefix (lossless for jaccard >= t by the prefix-filter theorem), then
+    candidate-bounded exact verification. The oracle is deliberately the
+    BRUTE-FORCE all-pairs SQL: the bounded plan must reproduce it
+    bit-for-bit — exact semantics with LSH-class candidate volume, the
+    third leg of the near-dup stool next to minhash_lsh_pairs (approximate
+    recall) and ngram_jaccard_pairs (restricted universe)."""
+    from datapipeline_spark.dedup import ppjoin_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ppjoin_pairs(d, threshold=0.5)

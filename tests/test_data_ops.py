@@ -653,3 +653,39 @@ def test_doc_cosine_identical_docs_score_one(spark):
     out = REGISTRY["doc_cosine_pairs"][0](spark, "/root/testdata/sf0.001")
     rows = out.collect()
     assert rows and all(0.5 <= r.cosine <= 1.0 for r in rows)
+
+
+def test_ppjoin_equals_brute_force_at_multiple_thresholds(spark):
+    """Prefix filtering is LOSSLESS: the bounded join returns exactly the
+    all-pairs jaccard result at every threshold (the claim that separates
+    it from LSH)."""
+    from datapipeline_spark.dedup import jaccard_pairs, ppjoin_pairs, word_shingles
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = word_shingles(d, "doc_id", "text", 2)
+    for t in (0.3, 0.5, 0.8):
+        pp = {(r.id_a, r.id_b): r.jaccard for r in ppjoin_pairs(d, threshold=t).collect()}
+        brute = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_pairs(sh, "doc_id", None, t).collect()
+        }
+        assert pp == brute, t
+
+
+def test_prefix_filter_candidate_volume_is_bounded(spark):
+    """The candidate set is a strict subset of all co-token pairs — the
+    rare-first prefix keeps boilerplate tokens out of the join keys."""
+    from datapipeline_spark.dedup import prefix_filter_candidates, word_shingles
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = word_shingles(d, "doc_id", "text", 2)
+    cand = prefix_filter_candidates(sh, "doc_id", threshold=0.8).count()
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    all_pairs = (
+        a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    )
+    # prefix length ~0.2n at t=0.8 -> candidates collapse vs co-token pairs
+    assert 0 < cand < all_pairs / 2
