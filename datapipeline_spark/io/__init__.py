@@ -9,6 +9,13 @@ from datapipeline_spark.io.writers import (
     write_pickle,
     write_stdout,
 )
+from datapipeline_spark.io.versioned import (
+    compact_version,
+    current_version,
+    read_version,
+    vacuum,
+    write_version,
+)
 
 __all__ = [
     "write_jsonl",
@@ -20,4 +27,9 @@ __all__ = [
     "write_stdout",
     "materialize",
     "run_output_path",
+    "write_version",
+    "read_version",
+    "current_version",
+    "compact_version",
+    "vacuum",
 ]

@@ -1,0 +1,210 @@
+"""Manifest-based versioned parquet tables — atomic commits, time travel.
+
+A minimal transactional table layout in the Iceberg/Delta spirit, built on
+nothing but parquet + the Hadoop FileSystem:
+
+    table/
+      data/v00000001-<nonce>/part-*.parquet   (immutable once published)
+      _manifests/v00000001.json               (immutable: lists data dirs)
+      _latest.tmp -> rename -> _latest        (single-file pointer swap)
+
+Writers stage data under a fresh nonce directory, write the next manifest
+(children = previous manifest's dirs for append, or just the new dir for
+overwrite/compaction), then publish by RENAMING a pointer file — a
+single-file rename, atomic on HDFS-like stores, so readers NEVER observe a
+half-committed table (the gap `compact_files`' directory swap cannot close
+is closed here: compaction just publishes a manifest pointing at the
+rewritten files while old versions stay readable). Concurrent writers are
+serialized optimistically: publish fails if someone else committed the
+same version number first (manifest create is create-exclusive).
+
+Readers resolve `_latest` (or an explicit version — time travel) to a
+manifest and read exactly its file list; vacuum removes data dirs no
+retained manifest references.
+
+Beyond-reference (the reference has no table format at all); the lakehouse
+counterpart of write_table/compact_files.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _jpath(jvm, *parts: str):
+    return jvm.org.apache.hadoop.fs.Path("/".join(s.rstrip("/") for s in parts))
+
+
+def _read_small(jvm, fs, jp) -> str:
+    # Py4J passes byte[] by VALUE (mutations never propagate back), so the
+    # usual read(buf) loop silently yields zeros from Python — hand the
+    # stream to commons-io on the JVM side instead
+    stream = fs.open(jp)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_small(fs, jp, text: str, overwrite: bool) -> None:
+    stream = fs.create(jp, overwrite)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def current_version(spark: SparkSession, path: str) -> int:
+    """Latest committed version (0 if the table does not exist yet)."""
+    jvm, fs = _fs(spark, path)
+    latest = _jpath(jvm, path, "_latest")
+    if not fs.exists(latest):
+        return 0
+    return int(_read_small(jvm, fs, latest).strip())
+
+
+def _manifest(spark: SparkSession, path: str, version: int) -> dict:
+    jvm, fs = _fs(spark, path)
+    mf = _jpath(jvm, path, "_manifests", f"v{version:08d}.json")
+    if not fs.exists(mf):
+        raise FileNotFoundError(f"no manifest for version {version} at {path}")
+    return json.loads(_read_small(jvm, fs, mf))
+
+
+def write_version(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    compression: str = "zstd",
+) -> int:
+    """Commit `df` as the next version. mode='append' keeps previous data
+    dirs in the new manifest; mode='overwrite' starts the file list fresh.
+    Returns the committed version number.
+
+    Publish protocol: data dir (nonce-named, so staging never collides) →
+    manifest vN.json via CREATE-EXCLUSIVE (the optimistic lock: a
+    concurrent committer of the same N fails here, nothing corrupts) →
+    `_latest` pointer swapped by single-file rename (atomic visibility).
+    A crash before the pointer swap leaves an unreferenced manifest/data
+    dir — invisible to readers, reclaimed by vacuum; version N is then
+    simply recommitted (the stale vN manifest is superseded in place only
+    after an existence check shows no _latest advanced past it).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError("mode must be append|overwrite")
+    jvm, fs = _fs(spark, path)
+    prev = current_version(spark, path)
+    version = prev + 1
+    nonce = uuid.uuid4().hex[:12]
+    data_rel = f"data/v{version:08d}-{nonce}"
+    data_dir = f"{path.rstrip('/')}/{data_rel}"
+    df.write.mode("errorifexists").option("compression", compression).parquet(data_dir)
+
+    dirs = [data_rel]
+    if mode == "append" and prev > 0:
+        dirs = _manifest(spark, path, prev)["dirs"] + dirs
+    manifest = {"version": version, "mode": mode, "dirs": dirs}
+
+    mf = _jpath(jvm, path, "_manifests", f"v{version:08d}.json")
+    if fs.exists(mf):
+        # leftover from a crashed commit of this same version number: safe
+        # to supersede ONLY if no _latest points at or past it
+        if current_version(spark, path) >= version:
+            raise RuntimeError(f"version {version} already committed at {path}")
+        fs.delete(mf, False)
+    fs.mkdirs(_jpath(jvm, path, "_manifests"))
+    # create-exclusive: the optimistic concurrency check
+    _write_small(fs, mf, json.dumps(manifest), overwrite=False)
+
+    tmp = _jpath(jvm, path, f"_latest.tmp.{nonce}")
+    _write_small(fs, tmp, str(version), overwrite=True)
+    latest = _jpath(jvm, path, "_latest")
+    if fs.exists(latest):
+        fs.delete(latest, False)
+    if not fs.rename(tmp, latest):
+        raise IOError(f"failed to publish _latest for version {version}")
+    return version
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed version (default: latest). Time travel = pass any
+    retained version number."""
+    v = version if version is not None else current_version(spark, path)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _manifest(spark, path, v)
+    return spark.read.parquet(*[f"{path.rstrip('/')}/{d}" for d in man["dirs"]])
+
+
+def compact_version(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within_by: tuple = (),
+) -> int:
+    """Rewrite the latest version into ~target-sized files and commit the
+    result as a NEW version (mode='overwrite' manifest). Readers of the old
+    version are never disturbed — this is what makes compaction atomic,
+    unlike an in-place directory swap."""
+    import math
+
+    df = read_version(spark, path)
+    jvm, fs = _fs(spark, path)
+    man = _manifest(spark, path, current_version(spark, path))
+    total = 0
+    for d in man["dirs"]:
+        it = fs.listFiles(_jpath(jvm, path, d), True)
+        while it.hasNext():
+            st = it.next()
+            if not st.getPath().getName().startswith(("_", ".")):
+                total += st.getLen()
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    out = df.coalesce(n)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    return write_version(spark, out, path, mode="overwrite")
+
+
+def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> int:
+    """Delete data dirs referenced ONLY by manifests older than the last
+    `keep_last` versions (and those stale manifests). Returns the number of
+    data dirs removed. Never touches anything the retained manifests list."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    jvm, fs = _fs(spark, path)
+    latest = current_version(spark, path)
+    keep_from = max(1, latest - keep_last + 1)
+    keep_dirs: set[str] = set()
+    for v in range(keep_from, latest + 1):
+        keep_dirs.update(_manifest(spark, path, v)["dirs"])
+    removed = 0
+    data_root = _jpath(jvm, path, "data")
+    if fs.exists(data_root):
+        for st in fs.listStatus(data_root):
+            rel = f"data/{st.getPath().getName()}"
+            if rel not in keep_dirs:
+                fs.delete(st.getPath(), True)
+                removed += 1
+    man_root = _jpath(jvm, path, "_manifests")
+    if fs.exists(man_root):
+        for st in fs.listStatus(man_root):
+            name = st.getPath().getName()  # v{N}.json
+            try:
+                v = int(name[1:9])
+            except ValueError:
+                continue
+            if v < keep_from:
+                fs.delete(st.getPath(), False)
+    return removed

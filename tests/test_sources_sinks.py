@@ -286,3 +286,52 @@ def test_compact_files_recovers_interrupted_swap(spark, tmp_path):
     assert not os.path.exists(path + "__old__")
     assert not os.path.exists(path + "__compacting__")
     assert spark.read.parquet(path).count() == 100
+
+
+def test_versioned_table_commit_timetravel_compact_vacuum(spark, tmp_path):
+    """Manifest-based table: atomic version commits, time travel, atomic
+    compaction (old versions stay readable), vacuum reclaims only
+    unreferenced data dirs."""
+    import os
+
+    from datapipeline_spark.io import (
+        compact_version,
+        current_version,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    path = str(tmp_path / "vt")
+    v1 = write_version(spark, spark.range(0, 10).selectExpr("id", "id * 2 AS v"), path)
+    v2 = write_version(spark, spark.range(10, 15).selectExpr("id", "id * 2 AS v"), path)
+    assert (v1, v2) == (1, 2) and current_version(spark, path) == 2
+    assert read_version(spark, path).count() == 15
+    assert read_version(spark, path, 1).count() == 10  # time travel
+
+    v3 = compact_version(spark, path)
+    assert v3 == 3 and read_version(spark, path).count() == 15
+    assert read_version(spark, path, 2).count() == 15  # old version intact
+
+    # overwrite starts a fresh file list
+    v4 = write_version(
+        spark, spark.range(100, 103).selectExpr("id", "id AS v"), path, mode="overwrite"
+    )
+    assert read_version(spark, path).count() == 3
+
+    removed = vacuum(spark, path, keep_last=2)  # keeps v3, v4
+    assert removed >= 1
+    assert read_version(spark, path, 4).count() == 3
+    assert read_version(spark, path, 3).count() == 15
+    import pytest
+
+    with pytest.raises(Exception):
+        read_version(spark, path, 1)  # vacuumed away
+
+    # a torn commit (manifest without pointer) is invisible and recoverable
+    man_dir = os.path.join(path, "_manifests")
+    with open(os.path.join(man_dir, "v00000005.json"), "w") as f:
+        f.write('{"version": 5, "mode": "append", "dirs": []}')
+    assert current_version(spark, path) == 4  # readers unaffected
+    v5 = write_version(spark, spark.range(1).selectExpr("id", "id AS v"), path)
+    assert v5 == 5 and read_version(spark, path).count() == 4
