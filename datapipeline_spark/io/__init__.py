@@ -12,8 +12,10 @@ from datapipeline_spark.io.writers import (
 from datapipeline_spark.io.versioned import (
     compact_version,
     current_version,
+    manifest_info,
     read_version,
     vacuum,
+    versioned_sink,
     write_version,
 )
 
@@ -32,4 +34,6 @@ __all__ = [
     "current_version",
     "compact_version",
     "vacuum",
+    "manifest_info",
+    "versioned_sink",
 ]

@@ -86,6 +86,7 @@ def write_version(
     path: str,
     mode: str = "append",
     compression: str = "zstd",
+    extra: dict | None = None,
 ) -> int:
     """Commit `df` as the next version. mode='append' keeps previous data
     dirs in the new manifest; mode='overwrite' starts the file list fresh.
@@ -113,7 +114,7 @@ def write_version(
     dirs = [data_rel]
     if mode == "append" and prev > 0:
         dirs = _manifest(spark, path, prev)["dirs"] + dirs
-    manifest = {"version": version, "mode": mode, "dirs": dirs}
+    manifest = {"version": version, "mode": mode, "dirs": dirs, **(extra or {})}
 
     mf = _jpath(jvm, path, "_manifests", f"v{version:08d}.json")
     if fs.exists(mf):
@@ -134,6 +135,40 @@ def write_version(
     if not fs.rename(tmp, latest):
         raise IOError(f"failed to publish _latest for version {version}")
     return version
+
+
+def manifest_info(spark: SparkSession, path: str, version: int | None = None) -> dict:
+    """The committed manifest dict (version, mode, dirs, any extras such as
+    the streaming sink's batch_id)."""
+    v = version if version is not None else current_version(spark, path)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    return _manifest(spark, path, v)
+
+
+def versioned_sink(path: str, mode: str = "append"):
+    """foreachBatch sink committing each micro-batch as a table version,
+    EXACTLY-ONCE: the manifest records the streaming batch_id, and a
+    replayed batch (failure/restart re-delivery) is skipped when the
+    latest committed batch_id is already >= the incoming one. Unlike the
+    marker-file sink (streaming/ops.incremental_rollup_sink), readers also
+    get atomic visibility and time travel per micro-batch for free.
+
+    Use: stream.writeStream.foreachBatch(versioned_sink(path)).start()
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        v = current_version(spark, path)
+        if v > 0:
+            last = _manifest(spark, path, v).get("batch_id")
+            if last is not None and int(last) >= batch_id:
+                return  # replayed batch: already committed
+        write_version(
+            spark, batch_df, path, mode=mode, extra={"batch_id": int(batch_id)}
+        )
+
+    return write
 
 
 def read_version(

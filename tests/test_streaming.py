@@ -586,3 +586,40 @@ def test_cusum_stream_matches_batch_across_batches(spark, tmp_path):
     assert q.awaitTermination(180)
     got = {(r.user_id, r.time): r.c for r in spark.table("cusum_stream_t").collect()}
     assert got == want and any(v == 0 for v in want.values())
+
+
+def test_versioned_sink_exactly_once_across_replay(spark, tmp_path):
+    """Each micro-batch commits as a table version with its batch_id in the
+    manifest; re-delivering a batch (restart replay) is a no-op, so the
+    table holds exactly one copy of every row."""
+    from datapipeline_spark.io import manifest_info, read_version, versioned_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "table")
+    import time as _time
+
+    for lo, hi in ((0, 5), (5, 9)):
+        spark.range(lo, hi).selectExpr("id", "id * 10 AS v").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)
+
+    sink = versioned_sink(out)
+    stream = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    assert q.awaitTermination(180)
+    assert read_version(spark, out).count() == 9
+    info = manifest_info(spark, out)
+    assert info["batch_id"] == 1 and info["version"] == 2
+
+    # simulate a replay of the last batch: identical batch_id must be skipped
+    replay = spark.range(5, 9).selectExpr("id", "id * 10 AS v")
+    sink(replay, 1)
+    assert read_version(spark, out).count() == 9  # no duplicates
+    # a genuinely new batch still commits
+    sink(spark.range(9, 10).selectExpr("id", "id * 10 AS v"), 2)
+    assert read_version(spark, out).count() == 10
