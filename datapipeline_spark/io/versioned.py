@@ -175,12 +175,16 @@ def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read a committed version (default: latest). Time travel = pass any
-    retained version number."""
+    retained version number. Reads with mergeSchema: appended versions may
+    add columns (schema evolution) — older files surface the new columns
+    as nulls, parquet-standard."""
     v = version if version is not None else current_version(spark, path)
     if v <= 0:
         raise FileNotFoundError(f"no committed version at {path}")
     man = _manifest(spark, path, v)
-    return spark.read.parquet(*[f"{path.rstrip('/')}/{d}" for d in man["dirs"]])
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[f"{path.rstrip('/')}/{d}" for d in man["dirs"]]
+    )
 
 
 def compact_version(

@@ -335,3 +335,15 @@ def test_versioned_table_commit_timetravel_compact_vacuum(spark, tmp_path):
     assert current_version(spark, path) == 4  # readers unaffected
     v5 = write_version(spark, spark.range(1).selectExpr("id", "id AS v"), path)
     assert v5 == 5 and read_version(spark, path).count() == 4
+
+
+def test_versioned_table_schema_evolution(spark, tmp_path):
+    from datapipeline_spark.io import read_version, write_version
+
+    path = str(tmp_path / "evo")
+    write_version(spark, spark.range(3).selectExpr("id"), path)
+    write_version(spark, spark.range(3, 5).selectExpr("id", "id * 2 AS extra"), path)
+    df = read_version(spark, path)
+    assert set(df.columns) == {"id", "extra"}
+    rows = {r.id: r.extra for r in df.collect()}
+    assert rows[1] is None and rows[4] == 8  # old files null-fill new column
