@@ -155,7 +155,6 @@ HEADLINE = [
     "doc_cosine_pairs",
     "interpolate_gaps",
     "table_profile",
-    "prefix_jaccard_join",
 ]
 
 

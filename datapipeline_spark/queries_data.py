@@ -2227,7 +2227,8 @@ def q_doc_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "prefix_jaccard_join",
     """
-WITH {bigrams},
+WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+{bigrams_scoped},
 sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -2238,7 +2239,7 @@ SELECT id_a, id_b,
        round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
 FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
-""".format(bigrams=BIGRAMS),
+""".format(bigrams_scoped=BIGRAMS.replace("FROM documents", "FROM d0")),
 )
 def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered EXACT set-similarity join (dedup/ppjoin.py,
@@ -2251,5 +2252,12 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall) and ngram_jaccard_pairs (restricted universe)."""
     from datapipeline_spark.dedup import ppjoin_pairs
 
-    d = load_table(spark, sf_dir, "documents")
+    # demo scope (1-in-5 docs) + correctness-only (not in the bench
+    # headline): the driver corpus draws from a SMALL synthetic vocabulary,
+    # so every prefix token still lands in many docs and candidate volume
+    # approaches all-pairs (64 s at sf0.1 unscoped) — the opposite of a
+    # real corpus, where the rare-first prefix prunes hard. Operator shape
+    # is identical at any subset; exactness vs brute force is what the
+    # oracle pins (and the recall-vs-brute unit tests).
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return ppjoin_pairs(d, threshold=0.5)
