@@ -556,3 +556,61 @@ def test_registry_near_dup_entries_are_lsh_wired():
     for name in ("embedding_similar_pairs", "embedding_near_dup"):
         sql = REGISTRY[name][1]
         assert "bucket" in sql and "HAVING count(*) <=" in sql, name
+
+
+def test_linkage_plan(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["linkage_scores_customers"][0](spark, SF))
+    # blocked equi-join with the weight threshold as a join residual; the
+    # nation scope is pushed into BOTH scans (inferred through the join key)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert plan.count("LessThan(c_nationkey,5)") == 2
+    assert "levenshtein" in plan
+
+
+def test_bm25_plan(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["bm25_search"][0](spark, SF))
+    # df + corpus stats come back as broadcasts; the non-broadcast
+    # exchanges are the tf/doc-length aggregate families + their joins +
+    # the bounded rank window — all keyed on doc/term aggregates, never a
+    # corpus-wide sort
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert _shuffles(plan) <= 8
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_inverted_index_plan(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["inverted_index"][0](spark, SF))
+    # two map-side-combinable aggregates, no global sort (postings sort
+    # in-row via sort_array)
+    assert _shuffles(plan) == 2
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
+    # (sort_array rides in the aggregate's result expressions — not shown
+    # in the plan text; posting order is pinned by the unit test + oracle)
+    assert "collect_list" in plan
+
+
+def test_table_profile_single_scan(spark):
+    from datapipeline_spark.queries_core import table_profile
+
+    plan = _plan(table_profile(spark, SF))
+    # one scan of the table: the multi-distinct profile plans as a single
+    # Expand feeding one aggregation family
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+
+
+def test_triangle_plan(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["triangle_counts_parts"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the scope filter reaches the lineitem scans
+    assert "l_orderkey" in plan and "FileScan" in plan
