@@ -136,3 +136,50 @@ def triangle_counts(
     return credited.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Nodes of the k-core (maximal subgraph where every node has degree
+    >= k), by iterative peeling: drop nodes with current degree < k, remove
+    their edges, repeat to fixpoint. Completes the graph family next to
+    pagerank / connected components / triangles.
+
+    Each round is one degree aggregate + two semi-joins; peeling is
+    monotone (never resurrects a node), so the fixpoint is unique and
+    independent of round count — an oracle that unrolls AT LEAST as many
+    rounds as convergence takes produces the identical node set.
+    `localCheckpoint` truncates lineage per round like the other iterative
+    operators. Raises if not converged within `max_rounds` (real graphs
+    peel in a handful of rounds; a path graph peels one layer per round).
+    """
+    alive = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    if checkpoint:
+        alive = alive.localCheckpoint(eager=True)
+    n_edges = alive.count()
+    for _ in range(max_rounds):
+        deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("a")
+        nxt = alive.join(keep, "a", "leftsemi").join(
+            keep.withColumnRenamed("a", "b"), "b", "leftsemi"
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        n_next = nxt.count()
+        if n_next == n_edges:
+            return nxt.select(F.col("a").alias("node")).distinct()
+        alive, n_edges = nxt, n_next
+        if n_edges == 0:
+            return alive.select(F.col("a").alias("node")).distinct()
+    raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")

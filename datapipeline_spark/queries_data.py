@@ -2261,3 +2261,51 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle pins (and the recall-vs-brute unit tests).
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return ppjoin_pairs(d, threshold=0.5)
+
+
+def _kcore_sql(k: int = 12, rounds: int = 8) -> str:
+    """Unrolled peeling oracle: peeling is monotone with a unique fixpoint,
+    so unrolling AT LEAST as many rounds as convergence takes (asserted
+    in-query by the Spark side's max_rounds) yields the identical core."""
+    # AS MATERIALIZED: each e{i} is referenced twice (deg{i} and e{i+1});
+    # DuckDB inlines multi-referenced CTEs by default, which would make the
+    # unrolled chain recompute e0's self-join 2^rounds times.
+    ctes = ["""e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)"""]
+    for i in range(rounds):
+        ctes.append(
+            f"deg{i} AS (SELECT a, count(*) AS d FROM e{i} GROUP BY a),\n"
+            f"keep{i} AS MATERIALIZED (SELECT a FROM deg{i} WHERE d >= {k}),\n"
+            f"e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e"
+            f" JOIN keep{i} ka ON e.a = ka.a JOIN keep{i} kb ON e.b = kb.a)"
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0),
+{chain}
+SELECT DISTINCT a AS p_partkey FROM e{rounds}
+"""
+
+
+@query("kcore_parts", _kcore_sql())
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-core of the (1-in-5-orders-scoped) co-purchase graph
+    (operators/graph.kcore_nodes): iterative peeling — degree aggregate +
+    two semi-joins per round, lineage checkpointed, early exit at the
+    fixpoint. max_rounds=8 doubles as the proof obligation that the
+    oracle's unroll depth suffices (the query RAISES if convergence needs
+    more). Correctness-only (construction-eager like the other iterative
+    entries)."""
+    from datapipeline_spark.operators.graph import cooccurrence_edges, kcore_nodes
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
+    return kcore_nodes(edges, k=12, max_rounds=8).select(
+        F.col("node").alias("p_partkey")
+    )

@@ -689,3 +689,17 @@ def test_prefix_filter_candidate_volume_is_bounded(spark):
     )
     # prefix length ~0.2n at t=0.8 -> candidates collapse vs co-token pairs
     assert 0 < cand < all_pairs / 2
+
+
+def test_kcore_peels_layers(spark):
+    from datapipeline_spark.operators.graph import kcore_nodes
+
+    # a 4-clique with a pendant chain: 2-core = the clique only (the chain
+    # peels layer by layer, exercising multi-round convergence)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    core2 = sorted(r.node for r in kcore_nodes(df, 2, checkpoint=False).collect())
+    assert core2 == [1, 2, 3, 4]
+    core3 = sorted(r.node for r in kcore_nodes(df, 3, checkpoint=False).collect())
+    assert core3 == [1, 2, 3, 4]
+    assert kcore_nodes(df, 4, checkpoint=False).count() == 0
