@@ -2309,3 +2309,64 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_nodes(edges, k=12, max_rounds=8).select(
         F.col("node").alias("p_partkey")
     )
+
+
+def _hll_sql(p: int = 10) -> str:
+    """Direct one-pass HLL oracle. The Spark side computes per-month partial
+    sketches and merges them; register-max associativity makes that
+    bit-identical to this direct pass (pytest pins merge == direct too).
+    scaled_harmonic is an exact integer; est_raw is one IEEE division of it
+    by an embedded double constant — both engines round identically."""
+    from datapipeline_spark.sketch.hll import alpha_numerator
+
+    m = 1 << p
+    rem_bits = 60 - p
+    mask = (1 << rem_bits) - 1
+    rho_max = rem_bits + 1
+    num = repr(alpha_numerator(p))
+    return f"""
+WITH h AS (
+  SELECT l_returnflag,
+         (('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS h
+  FROM lineitem
+),
+r AS (
+  SELECT l_returnflag, h >> {rem_bits} AS reg,
+         max(CASE WHEN (h & {mask}) = 0 THEN {rho_max}
+                  ELSE {rho_max} - length(bin(h & {mask})) END) AS rho
+  FROM h GROUP BY l_returnflag, reg
+),
+s AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n_registers,
+         (sum(1::BIGINT << ({rho_max} - rho))
+          + ({m} - count(*)) * (1::BIGINT << {rho_max}))::BIGINT AS scaled_harmonic
+  FROM r GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_registers, scaled_harmonic,
+       {num} / scaled_harmonic::DOUBLE AS est_raw
+FROM s
+"""
+
+
+@query("hll_distinct_orders", _hll_sql())
+def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct orders per ship mode via the deterministic HyperLogLog
+    sketch (sketch/hll.py): per-month partial register states, merged by
+    max-per-register, then collapsed to (occupied registers, exact scaled
+    harmonic sum, raw estimate). The two-level plan is the sketch's point —
+    partial sketches over any partitioning merge to the same state as one
+    pass, carrying at most m=1024 rows per group per task. The ln-based
+    small-range correction stays driver-side (corrected_estimate) because
+    libm is not bit-stable cross-engine; everything emitted here is.
+    Reference has no sketches (exact CoverageStatsAccumulator only —
+    src/datapipeline/pipelines/dataset/stats.py)."""
+    from datapipeline_spark.sketch.hll import hll_estimate, hll_merge, hll_registers
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+    )
+    partial = hll_registers(li, "l_orderkey", ["l_returnflag", "month"], p=10)
+    merged = hll_merge(partial, ["l_returnflag"])
+    return hll_estimate(merged, ["l_returnflag"], p=10)

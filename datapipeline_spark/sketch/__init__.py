@@ -1,3 +1,16 @@
 from datapipeline_spark.sketch.cm import build_cm_sketch, cm_estimate
+from datapipeline_spark.sketch.hll import (
+    corrected_estimate,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
 
-__all__ = ["build_cm_sketch", "cm_estimate"]
+__all__ = [
+    "build_cm_sketch",
+    "cm_estimate",
+    "corrected_estimate",
+    "hll_estimate",
+    "hll_merge",
+    "hll_registers",
+]

@@ -1,0 +1,121 @@
+"""Deterministic HyperLogLog distinct-count sketch as a DataFrame aggregate.
+
+HyperLogLog (Flajolet et al. 2007) expressed Spark-first: the sketch IS a
+tiny DataFrame of at most ``m = 2**p`` register rows produced by one
+map-side-combined aggregation, sketches MERGE by ``max`` per register
+(associative — partial sketches over any partitioning of the data merge to
+the identical state as one pass), and the estimate is one more tiny
+aggregate.
+
+Determinism contract (what makes this oracle-checkable, unlike the
+engine-native ``approx_count_distinct`` whose HLL++ state is opaque): the
+base hash is the first 15 hex chars of md5 (60 bits, identical in any
+engine), the register index is the top ``p`` bits, and rho is derived from
+the remaining ``60 - p`` bits via integer bit-length — so the register
+state is bit-identical in Spark and ANSI SQL. The harmonic sum
+``S = sum(2^-rho)`` is carried as the EXACT integer ``S * 2^rho_max``
+(fits a bigint: m * 2^rho_max <= 2^61 for p >= 10), and the raw estimate
+``alpha_m * m^2 / S`` is a single IEEE division of that integer by a
+precomputed double constant — both correctly rounded, hence bit-equal
+cross-engine. Only the small-range (linear counting) correction needs
+``ln``, which is NOT bit-stable across libm implementations; it lives in
+``corrected_estimate`` (driver-side, for consumers and tests), keeping the
+distributed output exactly reproducible.
+
+Scale posture: shuffle carries at most ``m`` register rows per map task
+regardless of input rows; the estimate never materializes the key set.
+
+Reference gap: the reference engine has no sketches (its distinct counting
+is exact, via CoverageStatsAccumulator — see sketch/cm.py note).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P_DEFAULT = 10
+_HASH_BITS = 60  # 15 md5 hex chars — safely inside signed bigint
+
+
+def _hash60(col) -> F.Column:
+    """60-bit integer hash via md5 prefix — engine-neutral."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def alpha_numerator(p: int) -> float:
+    """The double constant ``alpha_m * m^2 * 2^rho_max`` such that the raw
+    HLL estimate is exactly ``alpha_numerator(p) / scaled_harmonic``."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return alpha * m * m * float(1 << (_HASH_BITS - p + 1))
+
+
+def hll_registers(
+    df: DataFrame, key: str, groups: Sequence[str] = (), p: int = P_DEFAULT
+) -> DataFrame:
+    """Per-group HLL register state: ``groups + (reg, rho)`` with at most
+    ``2**p`` register rows per group. One aggregation, map-side combined."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    rem_bits = _HASH_BITS - p
+    mask = (1 << rem_bits) - 1
+    rho_max = rem_bits + 1
+    rem = F.col("__h").bitwiseAND(F.lit(mask))
+    rho = (
+        F.when(rem == 0, F.lit(rho_max))
+        .otherwise(F.lit(rho_max) - F.length(F.bin(rem)))
+        .cast("int")
+    )
+    return (
+        df.select(*groups, _hash60(F.col(key)).alias("__h"))
+        .select(*groups, F.shiftright(F.col("__h"), rem_bits).alias("reg"), rho.alias("rho"))
+        .groupBy(*groups, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(registers: DataFrame, groups: Sequence[str] = ()) -> DataFrame:
+    """Merge partial sketches (e.g. per-day) down to ``groups``: max per
+    register. Associativity makes any merge tree equal to one direct pass."""
+    return registers.groupBy(*groups, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame, groups: Sequence[str] = (), p: int = P_DEFAULT
+) -> DataFrame:
+    """Collapse register state to one row per group:
+    ``n_registers`` (occupied), ``scaled_harmonic`` (exact bigint
+    ``S * 2^rho_max``, empty registers contributing ``2^rho_max`` each),
+    and ``est_raw`` (the uncorrected HLL estimate, bit-deterministic)."""
+    m = 1 << p
+    rho_max = _HASH_BITS - p + 1
+    agg = registers.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.expr(f"sum(shiftleft(1L, {rho_max} - rho))").cast("long").alias("__sp"),
+    )
+    scaled = F.col("__sp") + (F.lit(m).cast("long") - F.col("n_registers")) * F.lit(
+        1 << rho_max
+    ).cast("long")
+    return agg.select(
+        *groups,
+        "n_registers",
+        scaled.alias("scaled_harmonic"),
+        (F.lit(alpha_numerator(p)) / scaled.cast("double")).alias("est_raw"),
+    )
+
+
+def corrected_estimate(n_registers: int, scaled_harmonic: int, p: int = P_DEFAULT) -> float:
+    """Driver-side bias correction (Flajolet small-range rule): linear
+    counting when the raw estimate <= 2.5m and empty registers remain.
+    Kept out of the distributed plan because ``ln`` is not bit-stable
+    across libm implementations (cross-engine oracle would flap)."""
+    m = 1 << p
+    est = alpha_numerator(p) / scaled_harmonic
+    zeros = m - n_registers
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return est

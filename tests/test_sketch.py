@@ -52,3 +52,37 @@ def test_approx_distinct_within_bound(spark):
     assert len(rows) > 0
     for r in rows:
         assert r.rel_err <= 0.05  # rsd=0.01 -> 5 sigma headroom
+
+
+def test_hll_accuracy_and_merge_associativity(spark):
+    from datapipeline_spark.sketch.hll import (
+        corrected_estimate,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    d = spark.range(50_000).select(F.col("id").alias("k"), (F.col("id") % 4).alias("g"))
+    est = hll_estimate(hll_registers(d, "k", ["g"], p=10), ["g"], p=10)
+    for r in est.collect():
+        c = corrected_estimate(r.n_registers, r.scaled_harmonic, p=10)
+        # m=1024 -> stderr ~3.3%; deterministic hash, observed max 2.9%
+        assert abs(c - 12_500) / 12_500 < 0.05, (r.g, c)
+
+    # per-"day" partial sketches merged == one direct pass, bit-exactly
+    part = hll_registers(d.withColumn("day", F.col("k") % 7), "k", ["g", "day"], p=10)
+    merged = hll_estimate(hll_merge(part, ["g"]), ["g"], p=10)
+    direct = hll_estimate(hll_registers(d, "k", ["g"], p=10), ["g"], p=10)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_hll_linear_counting_regime(spark):
+    from datapipeline_spark.sketch.hll import corrected_estimate, hll_estimate, hll_registers
+
+    d = spark.range(300).select(F.col("id").alias("k"))
+    r = hll_estimate(hll_registers(d, "k", p=10), p=10).collect()[0]
+    c = corrected_estimate(r.n_registers, r.scaled_harmonic, p=10)
+    # n << m: raw HLL is badly biased here, linear counting must kick in
+    assert abs(c - 300) / 300 < 0.05
+    assert r.n_registers < 1024
