@@ -24,6 +24,11 @@ from datapipeline_spark.operators.window import (
 )
 from datapipeline_spark.operators.ticks import ensure_cadence, ensure_ticks
 from datapipeline_spark.operators.align import align_streams, broadcast_stream
+from datapipeline_spark.operators.bloom import (
+    bloom_build,
+    bloom_filter_keys,
+    bloom_prefilter_join,
+)
 from datapipeline_spark.operators.interval import interval_join
 from datapipeline_spark.operators.cdc import apply_changes, snapshot_diff
 from datapipeline_spark.operators.expect import (
@@ -37,6 +42,9 @@ from datapipeline_spark.operators.scd import scd2_history
 
 __all__ = [
     "where",
+    "bloom_build",
+    "bloom_filter_keys",
+    "bloom_prefilter_join",
     "profile_table",
     "triangle_counts",
     "collapse",

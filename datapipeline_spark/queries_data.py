@@ -2370,3 +2370,44 @@ def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = hll_registers(li, "l_orderkey", ["l_returnflag", "month"], p=10)
     merged = hll_merge(partial, ["l_returnflag"])
     return hll_estimate(merged, ["l_returnflag"], p=10)
+
+
+@query(
+    "bloom_prefilter_revenue",
+    """
+SELECT date_trunc('month', o.o_orderdate) AS month,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+)
+def q_bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue of urgent orders with the lineitem probe side
+    Bloom-pre-filtered before the join shuffle (operators/bloom.py): the
+    urgent-orders bitmap (one bit_or aggregation, <=4096 longs collected)
+    filters ~80% of lineitem map-side, so only ~1/5 of the fact shuffles.
+    No false negatives makes this EXACTLY the plain join — which is the
+    oracle; false positives are removed by the join itself. At 100 TB this
+    is the difference between shuffling the whole fact table and shuffling
+    the matching fifth."""
+    from datapipeline_spark.operators.bloom import bloom_prefilter_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    joined = bloom_prefilter_join(li, o, "l_orderkey", "o_orderkey")
+    return joined.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -703,3 +703,41 @@ def test_kcore_peels_layers(spark):
     core3 = sorted(r.node for r in kcore_nodes(df, 3, checkpoint=False).collect())
     assert core3 == [1, 2, 3, 4]
     assert kcore_nodes(df, 4, checkpoint=False).count() == 0
+
+
+def test_bloom_prefilter_no_false_negatives_and_join_equivalence(spark):
+    from datapipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_filter_keys,
+        bloom_prefilter_join,
+    )
+
+    probe = spark.range(100_000).select(F.col("id").alias("pk"))
+    build = spark.range(0, 100_000, 41).select(F.col("id").alias("bk"))
+    words = bloom_build(build, "bk")
+    filt = bloom_filter_keys(probe, "pk", words)
+    # no false negatives: every build key survives the filter
+    assert build.join(filt, build.bk == filt.pk, "left_anti").count() == 0
+    # false-positive rate bounded (m/n ~ 107 bits/key -> essentially zero)
+    n_true = len(range(0, 100_000, 41))
+    assert filt.count() - n_true < 0.01 * 100_000
+    # prefiltered join == plain join, exactly
+    a = bloom_prefilter_join(probe, build, "pk", "bk").select("pk")
+    b = probe.join(build, probe.pk == build.bk).select("pk")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bloom_filter_is_map_side_only(spark):
+    from datapipeline_spark.operators.bloom import bloom_build, bloom_filter_keys
+
+    probe = spark.range(1000).select(F.col("id").alias("pk"))
+    words = bloom_build(spark.range(100).select(F.col("id").alias("bk")), "bk")
+    plan = (
+        bloom_filter_keys(probe, "pk", words)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the probe filter must introduce no shuffle and no join
+    assert "Exchange" not in plan
+    assert "Join" not in plan
