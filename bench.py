@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "16")
 
 HEADLINE = [
+    "hll_distinct_orders",
+    "hll_flag_overlap",
+    "bloom_prefilter_revenue",
     "q1_pricing_summary",
     "revenue_by_nation",
     "top_orders",

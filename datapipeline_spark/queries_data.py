@@ -2411,3 +2411,64 @@ def q_bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+def _hll_overlap_sql(p: int = 10) -> str:
+    """Inclusion-exclusion over register states, replayed in SQL. r and e
+    are each referenced twice -> AS MATERIALIZED (DuckDB inlines
+    multi-referenced CTEs; without it the register build runs 2x/4x)."""
+    from datapipeline_spark.sketch.hll import alpha_numerator
+
+    m = 1 << p
+    rem_bits = 60 - p
+    mask = (1 << rem_bits) - 1
+    rho_max = rem_bits + 1
+    num = repr(alpha_numerator(p))
+    return f"""
+WITH h AS (
+  SELECT l_returnflag AS flag,
+         (('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS h
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+),
+r AS MATERIALIZED (
+  SELECT flag, h >> {rem_bits} AS reg,
+         max(CASE WHEN (h & {mask}) = 0 THEN {rho_max}
+                  ELSE {rho_max} - length(bin(h & {mask})) END) AS rho
+  FROM h GROUP BY flag, reg
+),
+e AS MATERIALIZED (
+  SELECT flag,
+         (sum(1::BIGINT << ({rho_max} - rho))
+          + ({m} - count(*)) * (1::BIGINT << {rho_max}))::BIGINT AS sh
+  FROM r GROUP BY flag
+),
+ru AS (SELECT reg, max(rho) AS rho FROM r GROUP BY reg),
+eu AS (
+  SELECT (sum(1::BIGINT << ({rho_max} - rho))
+          + ({m} - count(*)) * (1::BIGINT << {rho_max}))::BIGINT AS sh
+  FROM ru
+)
+SELECT a.sh AS sh_a, b.sh AS sh_b, u.sh AS sh_union,
+       {num} / a.sh::DOUBLE AS est_a,
+       {num} / b.sh::DOUBLE AS est_b,
+       {num} / u.sh::DOUBLE AS est_union,
+       ({num} / a.sh::DOUBLE + {num} / b.sh::DOUBLE - {num} / u.sh::DOUBLE)
+         AS est_intersection
+FROM e a, e b, eu u
+WHERE a.flag = 'R' AND b.flag = 'A'
+"""
+
+
+@query("hll_flag_overlap", _hll_overlap_sql())
+def q_hll_flag_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch algebra (sketch/hll.hll_overlap): distinct-order
+    estimates for returnflag R, A, their union (register max-merge) and
+    intersection (inclusion-exclusion) — never materializing either key
+    set. All emitted doubles are single IEEE divisions/adds of exact
+    integer register sums, so even the intersection estimate hash-matches
+    the oracle. Accuracy vs the true overlap is pinned in
+    tests/test_sketch.py."""
+    from datapipeline_spark.sketch.hll import hll_overlap
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    return hll_overlap(li, "l_orderkey", "l_returnflag", "R", "A", p=10)

@@ -3,6 +3,7 @@ from datapipeline_spark.sketch.hll import (
     corrected_estimate,
     hll_estimate,
     hll_merge,
+    hll_overlap,
     hll_registers,
 )
 
@@ -12,5 +13,6 @@ __all__ = [
     "corrected_estimate",
     "hll_estimate",
     "hll_merge",
+    "hll_overlap",
     "hll_registers",
 ]

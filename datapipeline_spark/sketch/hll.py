@@ -119,3 +119,49 @@ def corrected_estimate(n_registers: int, scaled_harmonic: int, p: int = P_DEFAUL
     if est <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)
     return est
+
+
+def hll_overlap(
+    df: DataFrame,
+    key: str,
+    flag_col: str,
+    flag_a: str,
+    flag_b: str,
+    p: int = P_DEFAULT,
+) -> DataFrame:
+    """Sketch algebra: distinct-count estimates for two key sets, their
+    union (register max-merge — exact sketch semantics), and their
+    intersection by inclusion-exclusion ``est_a + est_b - est_union``.
+    Everything stays in the deterministic regime (integer register states,
+    one IEEE division each, two IEEE add/subs), so the whole row —
+    including the intersection estimate — is bit-reproducible cross-engine.
+    One row out; the three 1-row inputs combine via broadcast cross joins.
+    Intersection error grows with |A∪B|/|A∩B| (inclusion-exclusion
+    amplifies the union's relative error) — standard HLL-algebra caveat."""
+    two = df.filter(F.col(flag_col).isin(flag_a, flag_b))
+    regs = hll_registers(two, key, [flag_col], p)
+    each = hll_estimate(regs, [flag_col], p)
+    a = each.filter(F.col(flag_col) == flag_a).select(
+        F.col("scaled_harmonic").alias("sh_a"), F.col("est_raw").alias("est_a")
+    )
+    b = each.filter(F.col(flag_col) == flag_b).select(
+        F.col("scaled_harmonic").alias("sh_b"), F.col("est_raw").alias("est_b")
+    )
+    u = hll_estimate(hll_merge(regs, []), [], p).select(
+        F.col("scaled_harmonic").alias("sh_union"), F.col("est_raw").alias("est_union")
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select(
+            "sh_a",
+            "sh_b",
+            "sh_union",
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+        )
+    )

@@ -86,3 +86,16 @@ def test_hll_linear_counting_regime(spark):
     # n << m: raw HLL is badly biased here, linear counting must kick in
     assert abs(c - 300) / 300 < 0.05
     assert r.n_registers < 1024
+
+
+def test_hll_overlap_accuracy(spark):
+    from datapipeline_spark.sketch.hll import hll_overlap
+
+    # A = [0, 30k), B = [20k, 50k): true intersection 10k, union 50k
+    a = spark.range(0, 30_000).select(F.col("id").alias("k"), F.lit("a").alias("f"))
+    b = spark.range(20_000, 50_000).select(F.col("id").alias("k"), F.lit("b").alias("f"))
+    r = hll_overlap(a.union(b), "k", "f", "a", "b", p=10).collect()[0]
+    assert abs(r.est_a - 30_000) / 30_000 < 0.1
+    assert abs(r.est_union - 50_000) / 50_000 < 0.1
+    # inclusion-exclusion amplifies union error by |U|/|I| = 5x -> loose bound
+    assert abs(r.est_intersection - 10_000) / 10_000 < 0.35
