@@ -17,10 +17,13 @@ survives), so ``bloom_prefilter_join == plain join`` exactly — which is
 also its SQL oracle. False positives only cost wasted shuffle; the rate
 for n build keys is ~(1 - e^(-k*n/m))^k (k=5, m/n=32 bits/key → ~0.04%).
 
-Hashing is the repo's engine-neutral md5 contract: one 60-bit hash split
-into two halves drives k positions via Kirsch-Mitzenmacher double hashing
-(h1 + i*h2 mod m), so the filter is deterministic and
-partitioning-invariant.
+Hashing is xxhash64 (fixed seed) — deterministic and
+partitioning-invariant, and JVM-native with no string round-trip (the
+md5→hex→conv contract costs ~10x more per row and buys nothing here: the
+oracle is the PLAIN JOIN, it never replays the hash, so cross-engine hash
+equality is not required — only no-false-negatives, which any hash
+satisfies). One 64-bit hash split into two halves drives k positions via
+Kirsch-Mitzenmacher double hashing (h1 + i*h2 mod m).
 
 Reference gap: the reference engine joins by aligned iteration only
 (src/datapipeline/pipelines/streams/align.py); it has no join
@@ -37,10 +40,10 @@ K_DEFAULT = 5
 
 
 def _positions(key, m_bits: int, k: int) -> list[F.Column]:
-    """k bit positions for a key: double hashing off one 60-bit md5."""
-    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
-    h1 = F.shiftright(h, 30)
-    h2 = h.bitwiseAND(F.lit((1 << 30) - 1)).bitwiseOR(F.lit(1))  # odd → full-period
+    """k bit positions for a key: double hashing off one xxhash64."""
+    h = F.xxhash64(key, F.lit(42))
+    h1 = F.shiftright(h, 33)  # 31 high bits, non-negative
+    h2 = h.bitwiseAND(F.lit((1 << 31) - 1)).bitwiseOR(F.lit(1))  # odd → full-period
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
 
 

@@ -2362,11 +2362,13 @@ def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/datapipeline/pipelines/dataset/stats.py)."""
     from datapipeline_spark.sketch.hll import hll_estimate, hll_merge, hll_registers
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        "l_orderkey",
-        F.date_trunc("month", F.col("l_shipdate")).alias("month"),
-    )
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_orderkey",
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+        )
+    )  # single-row-group testdata caps the md5/conv map stage at 1 task
     partial = hll_registers(li, "l_orderkey", ["l_returnflag", "month"], p=10)
     merged = hll_merge(partial, ["l_returnflag"])
     return hll_estimate(merged, ["l_returnflag"], p=10)
@@ -2389,9 +2391,13 @@ def q_bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent-orders bitmap (one bit_or aggregation, <=4096 longs collected)
     filters ~80% of lineitem map-side, so only ~1/5 of the fact shuffles.
     No false negatives makes this EXACTLY the plain join — which is the
-    oracle; false positives are removed by the join itself. At 100 TB this
-    is the difference between shuffling the whole fact table and shuffling
-    the matching fifth."""
+    oracle; false positives are removed by the join itself. Regime note:
+    at bench SF the build side is broadcast anyway, so the plain join
+    also avoids a probe shuffle and the bitmap's bit tests are pure
+    overhead (~2x the plain join here); the operator's regime is a build
+    side too big to broadcast as a hash relation while its KEY SET still
+    fits an m-bit bitmap — there the plain join shuffles the whole fact
+    and this plan shuffles only the matching fraction."""
     from datapipeline_spark.operators.bloom import bloom_prefilter_join
 
     li = load_table(spark, sf_dir, "lineitem").select(
