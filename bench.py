@@ -31,6 +31,8 @@ os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "16")
 HEADLINE = [
     "hll_distinct_orders",
     "hll_flag_overlap",
+    "orders_checksum",
+    "spearman_qty_price",
     "bloom_prefilter_revenue",
     "q1_pricing_summary",
     "revenue_by_nation",

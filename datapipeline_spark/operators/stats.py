@@ -1,0 +1,66 @@
+"""Grouped Spearman rank correlation — monotonic-association analytics the
+reference's linear pipeline has no analogue for (its statistics stop at the
+Welford scaler, src/datapipeline/pipelines/dataset/scaler.py).
+
+Spearman = Pearson on fractional ranks. Implemented Spark-first with the
+repo's exact-integer discipline so the result is cross-engine
+deterministic and oracle-checkable:
+
+- fractional (average) ranks are carried DOUBLED — ``2*rank_min + ties - 1``
+  — which is always an exact bigint (scaling both variables by 2 leaves
+  correlation unchanged), so every per-group sum (Σx, Σy, Σx², Σy², Σxy)
+  is exact integer arithmetic, order- and partition-invariant;
+- the Pearson combination ``(nΣxy - ΣxΣy) / sqrt(nΣx² - (Σx)²) /
+  sqrt(nΣy² - (Σy)²)`` runs in decimal(38,0) (HUGEINT on the oracle side)
+  — products of 10^16-scale sums stay exact — and only then drops to
+  double for sqrt/divide; sqrt is IEEE-correctly-rounded (unlike libm
+  ln/exp), so the final rounded value hash-matches the SQL oracle.
+
+Plan shape: one hash exchange on the group key feeds two in-partition
+sorts (ranks for x and y; the tie counts ride the same sorts), then one
+map-side-combined aggregate. No joins, no collects.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_D = "decimal(38,0)"
+
+
+def _rank2(groups: Sequence[str], col: str) -> F.Column:
+    """Doubled fractional rank: 2*rank + ties - 1 (exact bigint)."""
+    w = Window.partitionBy(*groups).orderBy(col)
+    t = Window.partitionBy(*groups, col)
+    return (2 * F.rank().over(w) + F.count(F.lit(1)).over(t) - 1).cast("long")
+
+
+def spearman_corr(
+    df: DataFrame, x: str, y: str, groups: Sequence[str] = (), out: str = "spearman"
+) -> DataFrame:
+    """Per-group Spearman rank correlation of ``x`` vs ``y`` (average ranks
+    for ties). Output: groups + (n, <out>), corr rounded to 6 decimals."""
+    gx = list(groups)
+    d = df.select(*gx, _rank2(gx, x).alias("rx"), _rank2(gx, y).alias("ry"))
+    a = d.groupBy(*gx).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = [
+        F.col(c).cast(_D) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    ]
+    num = (n * sxy - sx * sy).cast("double")
+    vx = (n * sxx - sx * sx).cast("double")
+    vy = (n * syy - sy * sy).cast("double")
+    return a.select(
+        *gx,
+        F.col("n"),
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias(out),
+    )

@@ -2478,3 +2478,91 @@ def q_hll_flag_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
     return hll_overlap(li, "l_orderkey", "l_returnflag", "R", "A", p=10)
+
+
+@query(
+    "orders_checksum",
+    """
+WITH c AS (
+  SELECT (('0x' || substr(md5(
+            o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+            o_orderstatus || '|' || o_orderpriority || '|' ||
+            CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR || '|' ||
+            o_orderdate::DATE::VARCHAR
+          ), 1, 12))::UBIGINT)::BIGINT AS h
+  FROM orders
+)
+SELECT h % 16 AS bucket,
+       count(*)::BIGINT AS n_rows,
+       (sum(h)::HUGEINT % 2305843009213693951)::BIGINT AS hash_sum,
+       bit_xor(h) AS hash_xor
+FROM c GROUP BY 1
+""",
+)
+def q_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent bucketed content checksum of the orders table
+    (operators/checksum.table_checksum): 16 bucket rows of
+    count + mod-2^61-1 digest sum + digest xor, from ONE map-side-combined
+    aggregation — the "are these two 100 TB replicas equal?" primitive
+    that never sorts, collects, or joins the data. Doubles enter via the
+    repo's integer-cents canonicalization (float→string is not
+    engine-portable); the oracle replays the identical digest arithmetic,
+    so this also demonstrates cross-ENGINE checksum comparison."""
+    from datapipeline_spark.operators.checksum import table_checksum
+
+    o = load_table(spark, sf_dir, "orders")
+    canon = o.select(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    return table_checksum(
+        canon,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "cents", "d"],
+        n_buckets=16,
+    )
+
+
+@query(
+    "spearman_qty_price",
+    """
+WITH r AS (
+  SELECT l_returnflag,
+         (2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+          + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)::BIGINT AS rx,
+         (2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+          + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)::BIGINT AS ry
+  FROM lineitem
+),
+a AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n,
+         sum(rx)::HUGEINT AS sx, sum(ry)::HUGEINT AS sy,
+         sum(rx * rx)::HUGEINT AS sxx, sum(ry * ry)::HUGEINT AS syy,
+         sum(rx * ry)::HUGEINT AS sxy
+  FROM r GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy)::DOUBLE
+             / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                * sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS spearman
+FROM a
+""",
+)
+def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Spearman rank correlation between quantity and
+    extended price (operators/stats.spearman_corr): doubled fractional
+    ranks keep every sum exact-integer, the Pearson combination runs in
+    decimal(38,0) (HUGEINT in the oracle), and only the final
+    sqrt/divide — both IEEE-correctly-rounded — touch floating point, so
+    the rounded coefficient hash-matches the oracle. Quantity's 50
+    distinct values mean ~n/50-deep ties per group; the average-rank
+    treatment is what makes that exact."""
+    from datapipeline_spark.operators.stats import spearman_corr
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return spearman_corr(li, "l_quantity", "l_extendedprice", ["l_returnflag"])

@@ -741,3 +741,48 @@ def test_bloom_filter_is_map_side_only(spark):
     # the probe filter must introduce no shuffle and no join
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_table_checksum_invariance_and_sensitivity(spark):
+    from datapipeline_spark.operators.checksum import table_checksum
+
+    d = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 100).alias("v")
+    )
+    base = table_checksum(d, ["k", "v"], n_buckets=8).orderBy("bucket").collect()
+    # partition/order invariance
+    shuf = table_checksum(
+        d.repartition(13, "v").sortWithinPartitions(F.desc("k")),
+        ["k", "v"],
+        n_buckets=8,
+    ).orderBy("bucket").collect()
+    assert base == shuf
+    # one changed value is detected
+    mut = d.withColumn(
+        "v", F.when(F.col("k") == 5000, F.col("v") + 1).otherwise(F.col("v"))
+    )
+    assert base != table_checksum(mut, ["k", "v"], n_buckets=8).orderBy("bucket").collect()
+    # a deleted row is detected even where xor could cancel
+    assert base != table_checksum(
+        d.filter(F.col("k") != 7777), ["k", "v"], n_buckets=8
+    ).orderBy("bucket").collect()
+
+
+def test_spearman_known_values(spark):
+    from datapipeline_spark.operators.stats import spearman_corr
+
+    # perfectly monotone -> 1; anti-monotone -> -1 (nonlinear is fine)
+    d = spark.createDataFrame(
+        [(float(i), float(i * i), float(-i)) for i in range(1, 50)],
+        "x double, up double, down double",
+    )
+    assert spearman_corr(d, "x", "up").collect()[0].spearman == 1.0
+    assert spearman_corr(d, "x", "down").collect()[0].spearman == -1.0
+
+    # hand-computed tie case: x=[1,2,2,3], y=[10,20,30,40]
+    # rank(x)=[1,2.5,2.5,4], rank(y)=[1,2,3,4] -> rho = 0.9486833 (= 3/sqrt(10))
+    t = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 40.0)], "x double, y double"
+    )
+    assert abs(t.transform(lambda s: spearman_corr(s, "x", "y")).collect()[0].spearman
+               - 0.948683) < 1e-6
