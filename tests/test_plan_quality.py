@@ -614,3 +614,48 @@ def test_triangle_plan(spark):
     assert "CartesianProduct" not in plan
     # the scope filter reaches the lineitem scans
     assert "l_orderkey" in plan and "FileScan" in plan
+
+
+def test_hll_plan_shuffles_registers_not_rows(spark):
+    from datapipeline_spark.queries_data import q_hll_distinct_orders
+
+    plan = _plan(q_hll_distinct_orders(spark, SF))
+    # partial register agg + merge + final estimate: exchange family only,
+    # no joins, no sorts — shuffle mass is registers, not rows
+    assert "Join" not in plan
+    assert "Sort" not in plan
+    # spread + per-(flag,month,reg) agg + per-(flag,reg) merge + per-flag
+    # estimate — every exchange above the first carries register rows only
+    assert _shuffles(plan) <= 4
+
+
+def test_checksum_single_aggregation(spark):
+    from datapipeline_spark.queries_data import q_orders_checksum
+
+    plan = _plan(q_orders_checksum(spark, SF))
+    assert "Join" not in plan
+    assert "Sort" not in plan
+    assert _shuffles(plan) == 1  # one bucket-agg exchange; partial_ combine below it
+    assert "partial_" in plan
+
+
+def test_spearman_one_exchange_two_sorts(spark):
+    from datapipeline_spark.queries_data import q_spearman_qty_price
+
+    plan = _plan(q_spearman_qty_price(spark, SF))
+    assert "Join" not in plan
+    # rank windows for x and y ride one hash partitioning on the group key
+    # plus the final aggregate exchange
+    assert _shuffles(plan) <= 2
+    assert plan.count("Sort ") >= 2
+
+
+def test_bloom_query_probe_side_filter_reaches_scan(spark):
+    from datapipeline_spark.queries_data import q_bloom_prefilter_revenue
+
+    plan = _plan(q_bloom_prefilter_revenue(spark, SF))
+    # bitmap bit-tests sit in the lineitem scan stage: no exchange between
+    # the xxhash64 Filter and the probe scan it protects
+    assert "xxhash64" in plan
+    between = plan[plan.index("xxhash64") : plan.index("lineitem.parquet")]
+    assert "Exchange" not in between
