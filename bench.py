@@ -33,6 +33,7 @@ HEADLINE = [
     "hll_flag_overlap",
     "orders_checksum",
     "spearman_qty_price",
+    "hashed_features_docs",
     "bloom_prefilter_revenue",
     "q1_pricing_summary",
     "revenue_by_nation",

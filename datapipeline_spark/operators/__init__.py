@@ -38,7 +38,13 @@ from datapipeline_spark.operators.expect import (
     apply_expectations,
     expectation_report,
 )
-from datapipeline_spark.operators.graph import cooccurrence_edges, pagerank, triangle_counts
+from datapipeline_spark.operators.graph import (
+    bfs_distances,
+    cooccurrence_edges,
+    kcore_nodes,
+    pagerank,
+    triangle_counts,
+)
 from datapipeline_spark.operators.profile import profile_table
 from datapipeline_spark.operators.scd import scd2_history
 
@@ -52,6 +58,8 @@ __all__ = [
     "bloom_prefilter_join",
     "profile_table",
     "triangle_counts",
+    "bfs_distances",
+    "kcore_nodes",
     "collapse",
     "dedupe",
     "derive",

@@ -183,3 +183,51 @@ def kcore_nodes(
         if n_edges == 0:
             return alive.select(F.col("a").alias("node")).distinct()
     raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Multi-source BFS hop distances, capped at ``max_hops`` (nodes
+    unreached within the horizon are excluded) — (node, dist) with dist =
+    min hops from any source. Completes the traversal member of the graph
+    family (pagerank / components / triangles / k-core).
+
+    Level-synchronous frontier expansion: each round joins ONLY the
+    current frontier (not the settled set) to the edge list, anti-joins
+    against settled nodes, and early-exits on an empty frontier — per
+    round one join shuffle bounded by frontier-adjacent edges. The capped-
+    horizon semantics make the oracle a fixed ``max_hops``-deep unrolled
+    min-merge (d_{k+1} = min(d_k, neighbors(d_k)+1)), which equals BFS by
+    the standard level-induction argument. ``sources`` must be a (node)
+    DataFrame; ``edges`` must already contain both directions (the
+    cooccurrence construction does).
+    """
+    dist = sources.select(F.col("node")).distinct().withColumn(
+        "dist", F.lit(0).cast("int")
+    )
+    if checkpoint:
+        dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("int"))
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt)
+        if checkpoint:
+            dist = dist.localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

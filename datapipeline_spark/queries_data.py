@@ -2566,3 +2566,92 @@ def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
     return spearman_corr(li, "l_quantity", "l_extendedprice", ["l_returnflag"])
+
+
+@query(
+    "hashed_features_docs",
+    """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE doc_id % 5 = 0
+),
+t AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(u.tok), 1, 12))::UBIGINT)::BIGINT AS h
+  FROM d, unnest(w) u(tok)
+),
+s AS (
+  SELECT doc_id, h % 262144 AS feature_idx,
+         CASE WHEN ((h >> 40) & 1) = 1 THEN 1 ELSE -1 END AS sign
+  FROM t
+)
+SELECT doc_id, feature_idx, sum(sign)::BIGINT AS weight
+FROM s GROUP BY doc_id, feature_idx
+HAVING sum(sign) <> 0
+""",
+)
+def q_hashed_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing over the (1-in-5-scoped) document corpus
+    (text/features.hashed_features): fixed 2^18-dim sparse features with
+    NO vocabulary pass — index and ±1 sign are pure md5 functions of the
+    token, so featurization is one projection + one aggregation and the
+    oracle replays it exactly. The zero-vocabulary property is the 100 TB
+    point: tf-idf's global-vocab aggregation and broadcast are gone, and
+    dimensionality is fixed regardless of corpus growth."""
+    from datapipeline_spark.text.features import hashed_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return hashed_features(d, "doc_id", "text", dim=1 << 18)
+
+
+def _bfs_sql(max_hops: int = 3) -> str:
+    """Unrolled min-merge oracle: d_{k+1} = min(d_k, neighbors(d_k)+1),
+    which equals capped BFS by level induction. Every d{i} and e are
+    multi-referenced -> AS MATERIALIZED (DuckDB inlines otherwise)."""
+    ctes = ["""e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)""",
+        """d0 AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS node, 0 AS dist FROM li WHERE l_partkey % 97 = 0
+)"""]
+    for i in range(max_hops):
+        ctes.append(
+            f"d{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT node, min(dist) AS dist FROM (\n"
+            f"    SELECT node, dist FROM d{i}\n"
+            f"    UNION ALL\n"
+            f"    SELECT e.b AS node, d.dist + 1 AS dist FROM d{i} d JOIN e ON e.a = d.node\n"
+            f"  ) GROUP BY node\n)"
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 7 = 0),
+{chain}
+SELECT node AS p_partkey, dist::INTEGER AS dist FROM d{max_hops}
+"""
+
+
+@query("bfs_parts", _bfs_sql())
+def q_bfs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (<=3) over the (1-in-7-scoped)
+    co-purchase graph from the ~1% of parts with p_partkey % 97 = 0
+    (operators/graph.bfs_distances): level-synchronous frontier expansion,
+    per round one frontier-bounded join + anti-join, lineage
+    checkpointed. Capped-horizon semantics make the oracle a fixed-depth
+    unrolled min-merge. Correctness-only (construction-eager like the
+    other iterative entries)."""
+    from datapipeline_spark.operators.graph import bfs_distances, cooccurrence_edges
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
+    sources = li.filter(F.col("l_partkey") % 97 == 0).select(
+        F.col("l_partkey").alias("node")
+    )
+    return bfs_distances(edges, sources, max_hops=3).select(
+        F.col("node").alias("p_partkey"), "dist"
+    )

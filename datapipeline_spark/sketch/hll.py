@@ -55,10 +55,21 @@ def alpha_numerator(p: int) -> float:
 
 
 def hll_registers(
-    df: DataFrame, key: str, groups: Sequence[str] = (), p: int = P_DEFAULT
+    df: DataFrame,
+    key: str,
+    groups: Sequence[str] = (),
+    p: int = P_DEFAULT,
+    hash_col: F.Column | None = None,
 ) -> DataFrame:
     """Per-group HLL register state: ``groups + (reg, rho)`` with at most
-    ``2**p`` register rows per group. One aggregation, map-side combined."""
+    ``2**p`` register rows per group. One aggregation, map-side combined.
+
+    ``hash_col`` swaps the default md5 hash for a caller-supplied 60-bit
+    column. The md5→conv default exists so the sketch replays in ANSI SQL
+    (the oracle contract); when cross-engine replay is not needed, pass
+    e.g. ``F.xxhash64(col, F.lit(s)).bitwiseAND(F.lit((1 << 60) - 1))`` —
+    native hashing with no string round-trip, ~10x cheaper per row (the
+    same trade measured for the Bloom filter, operators/bloom.py)."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     rem_bits = _HASH_BITS - p
@@ -71,7 +82,7 @@ def hll_registers(
         .cast("int")
     )
     return (
-        df.select(*groups, _hash60(F.col(key)).alias("__h"))
+        df.select(*groups, (hash_col if hash_col is not None else _hash60(F.col(key))).alias("__h"))
         .select(*groups, F.shiftright(F.col("__h"), rem_bits).alias("reg"), rho.alias("rho"))
         .groupBy(*groups, "reg")
         .agg(F.max("rho").alias("rho"))

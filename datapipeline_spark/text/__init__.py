@@ -9,6 +9,7 @@ from datapipeline_spark.text.analysis import (
     winnow_fingerprints,
 )
 from datapipeline_spark.text.chunk import chunk_documents
+from datapipeline_spark.text.features import hashed_features
 from datapipeline_spark.text.index import bm25_scores, build_inverted_index
 from datapipeline_spark.text.pack import pack_sequences
 from datapipeline_spark.text.clean import (
@@ -44,6 +45,7 @@ __all__ = [
     "PHONE_PATTERN",
     "URL_PATTERN",
     "clean_text",
+    "hashed_features",
     "clean_text_col",
     "mask_pii",
     "normalize_whitespace",

@@ -786,3 +786,46 @@ def test_spearman_known_values(spark):
     )
     assert abs(t.transform(lambda s: spearman_corr(s, "x", "y")).collect()[0].spearman
                - 0.948683) < 1e-6
+
+
+def test_hashed_features_partition_invariant_and_tf_exact(spark):
+    from datapipeline_spark.text.features import hashed_features
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    rows = hashed_features(d, dim=1 << 18).collect()
+    # no collisions in a 3-token vocab at 2^18 dims: |weight| == tf
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(abs(r.weight))
+    assert sorted(by_doc[1]) == [1, 2]  # beta x1, alpha x2
+    assert sorted(by_doc[2]) == [1, 1]
+    # partition invariance
+    again = hashed_features(d.repartition(7), dim=1 << 18).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hll_custom_hash_col(spark):
+    from datapipeline_spark.sketch.hll import corrected_estimate, hll_estimate, hll_registers
+
+    d = spark.range(50_000).select(F.col("id").alias("k"))
+    h = F.xxhash64(F.col("k"), F.lit(7)).bitwiseAND(F.lit((1 << 60) - 1))
+    r = hll_estimate(hll_registers(d, "k", p=10, hash_col=h), p=10).collect()[0]
+    c = corrected_estimate(r.n_registers, r.scaled_harmonic, p=10)
+    assert abs(c - 50_000) / 50_000 < 0.1
+
+
+def test_bfs_distances_path_graph(spark):
+    from datapipeline_spark.operators.graph import bfs_distances
+
+    # path 1-2-3-4-5 (both directions), source {1}
+    e = [(i, i + 1) for i in range(1, 5)] + [(i + 1, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(edges, srcs, 3, checkpoint=False).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond the horizon
+    # two sources: distances are min over sources
+    srcs2 = spark.createDataFrame([(1,), (5,)], "node long")
+    got2 = {r.node: r.dist for r in bfs_distances(edges, srcs2, 3, checkpoint=False).collect()}
+    assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
