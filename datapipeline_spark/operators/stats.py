@@ -59,8 +59,9 @@ def spearman_corr(
     num = (n * sxy - sx * sy).cast("double")
     vx = (n * sxx - sx * sx).cast("double")
     vy = (n * syy - sy * sy).cast("double")
-    return a.select(
-        *gx,
-        F.col("n"),
-        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias(out),
-    )
+    # a constant column (zero rank variance) leaves correlation undefined:
+    # NULL, not a divide-by-zero (ANSI) or NaN
+    corr = F.when(
+        (vx == 0) | (vy == 0), F.lit(None).cast("double")
+    ).otherwise(F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6))
+    return a.select(*gx, F.col("n"), corr.alias(out))

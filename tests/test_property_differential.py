@@ -393,3 +393,92 @@ def test_cusum_matches_recurrence_model(spark, cents, target_c):
         s = max(0, s + c - target_c)
         want.append(s)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=3, max_size=60
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_spearman_matches_pure_python(spark, xy):
+    from datapipeline_spark.operators.stats import spearman_corr
+
+    xs = [float(a) for a, _ in xy]
+    ys = [float(b) for _, b in xy]
+
+    def frank(v):  # average ranks with ties
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        r = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and v[order[j]] == v[order[i]]:
+                j += 1
+            avg = (i + j + 1) / 2  # ranks are 1-based
+            for k in range(i, j):
+                r[order[k]] = avg
+            i = j
+        return r
+
+    rx, ry = frank(xs), frank(ys)
+    n = len(xy)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(a * a for a in rx)
+    syy = sum(a * a for a in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    got = spark_val = spearman_corr(df, "x", "y").collect()[0].spearman
+    if vx == 0 or vy == 0:  # a constant column -> correlation undefined
+        assert got is None or math.isnan(got)
+        return
+    expect = (n * sxy - sx * sy) / math.sqrt(vx) / math.sqrt(vy)
+    assert abs(got - expect) < 1e-5
+
+
+@given(st.lists(st.integers(-3, 3), min_size=1, max_size=200))
+@settings(max_examples=25, deadline=None)
+def test_table_checksum_matches_pure_python(spark, vals):
+    import hashlib
+
+    from datapipeline_spark.operators.checksum import MERSENNE61, table_checksum
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    expect = {}
+    for i, v in rows:
+        h = int(hashlib.md5(f"{i}|{v}".encode()).hexdigest()[:12], 16)
+        b = h % 8
+        c, s, x = expect.get(b, (0, 0, 0))
+        expect[b] = (c + 1, (s + h) % MERSENNE61, x ^ h)
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.bucket: (r.n_rows, r.hash_sum, r.hash_xor)
+        for r in table_checksum(df, ["k", "v"], n_buckets=8).collect()
+    }
+    assert got == expect
+
+
+@given(st.lists(st.integers(0, 5000), min_size=1, max_size=300))
+@settings(max_examples=20, deadline=None)
+def test_hll_registers_match_pure_python(spark, keys):
+    import hashlib
+
+    from datapipeline_spark.sketch.hll import hll_estimate, hll_registers
+
+    P = 10
+    expect_regs = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        reg, rem = h >> 50, h & ((1 << 50) - 1)
+        rho = 51 if rem == 0 else 51 - rem.bit_length()
+        expect_regs[reg] = max(expect_regs.get(reg, 0), rho)
+    scaled = sum(1 << (51 - r) for r in expect_regs.values()) + (
+        1024 - len(expect_regs)
+    ) * (1 << 51)
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    regs = {r.reg: r.rho for r in hll_registers(df, "k", p=P).collect()}
+    assert regs == expect_regs
+    est = hll_estimate(hll_registers(df, "k", p=P), p=P).collect()[0]
+    assert est.scaled_harmonic == scaled
