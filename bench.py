@@ -34,6 +34,8 @@ HEADLINE = [
     "orders_checksum",
     "spearman_qty_price",
     "hashed_features_docs",
+    "hhi_revenue_by_nation",
+    "gini_revenue_by_nation",
     "bloom_prefilter_revenue",
     "q1_pricing_summary",
     "revenue_by_nation",

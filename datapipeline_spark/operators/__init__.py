@@ -25,7 +25,7 @@ from datapipeline_spark.operators.window import (
 from datapipeline_spark.operators.ticks import ensure_cadence, ensure_ticks
 from datapipeline_spark.operators.align import align_streams, broadcast_stream
 from datapipeline_spark.operators.checksum import row_digest, table_checksum
-from datapipeline_spark.operators.stats import spearman_corr
+from datapipeline_spark.operators.stats import gini, hhi, spearman_corr
 from datapipeline_spark.operators.bloom import (
     bloom_build,
     bloom_filter_keys,
@@ -53,6 +53,8 @@ __all__ = [
     "row_digest",
     "table_checksum",
     "spearman_corr",
+    "hhi",
+    "gini",
     "bloom_build",
     "bloom_filter_keys",
     "bloom_prefilter_join",

@@ -65,3 +65,58 @@ def spearman_corr(
         (vx == 0) | (vy == 0), F.lit(None).cast("double")
     ).otherwise(F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6))
     return a.select(*gx, F.col("n"), corr.alias(out))
+
+
+def hhi(
+    df: DataFrame, value: str, groups: Sequence[str] = (), out: str = "hhi"
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group: sum of squared
+    value shares, in (1/n, 1]. ``value`` must be an exact-integer column
+    (cents — the repo-wide convention): HHI = Σv² / (Σv)² is then a ratio
+    of exact decimal(38,0) sums, and the single double division is
+    IEEE-deterministic, so the rounded index hash-matches a SQL oracle.
+    One aggregation; no sort."""
+    gx = list(groups)
+    a = df.groupBy(*gx).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value).cast(_D)).alias("sv"),
+        F.sum((F.col(value).cast(_D) * F.col(value).cast(_D))).alias("svv"),
+    )
+    ratio = F.col("svv").cast("double") / (F.col("sv") * F.col("sv")).cast("double")
+    return a.select(
+        *gx,
+        F.col("n"),
+        F.when(F.col("sv") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(ratio, 6))
+        .alias(out),
+    )
+
+
+def gini(
+    df: DataFrame, value: str, groups: Sequence[str] = (), out: str = "gini"
+) -> DataFrame:
+    """Gini inequality coefficient per group via the sorted-rank identity
+    G = Σ(2i - n - 1)·v_i / (n·Σv), i ascending by value. Tie-order
+    invariant (equal values make the block's coefficient sum independent
+    of order within the block), so row_number over the value alone is
+    deterministic. With integer ``value`` every sum is exact in
+    decimal(38,0) and the one double division is IEEE-deterministic.
+    One exchange + in-partition sort + one aggregate."""
+    gx = list(groups)
+    w = Window.partitionBy(*gx).orderBy(value)
+    d = df.select(*gx, F.col(value).cast(_D).alias("v"), F.row_number().over(w).alias("i"))
+    a = d.groupBy(*gx).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * (2 * F.col("i").cast(_D))).alias("s2iv"),
+    )
+    n = F.col("n").cast(_D)
+    num = (F.col("s2iv") - (n + 1) * F.col("sv")).cast("double")
+    den = (n * F.col("sv")).cast("double")
+    return a.select(
+        *gx,
+        F.col("n"),
+        F.when(F.col("sv") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num / den, 6))
+        .alias(out),
+    )

@@ -2655,3 +2655,77 @@ def q_bfs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, sources, max_hops=3).select(
         F.col("node").alias("p_partkey"), "dist"
     )
+
+
+_CUST_REV_CENTS = """
+c AS (
+  SELECT n.n_name AS nation, o.o_custkey AS cust,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS v
+  FROM orders o
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+"""
+
+
+def _cust_rev_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(nation, customer) revenue in exact cents — the shared base of
+    the concentration metrics; dims broadcast, fact never shuffles for
+    the joins."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_custkey").alias("cust"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v"))
+    )
+
+
+@query(
+    "hhi_revenue_by_nation",
+    f"""
+WITH {_CUST_REV_CENTS}
+SELECT nation, count(*)::BIGINT AS n,
+       round((sum(v::HUGEINT * v))::DOUBLE
+             / (sum(v::HUGEINT) * sum(v::HUGEINT))::DOUBLE, 6) AS hhi
+FROM c GROUP BY nation
+""",
+)
+def q_hhi_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue concentration per nation
+    (operators/stats.hhi): customer shares of national revenue, squared
+    and summed — Σv²/(Σv)² over exact integer cents in decimal(38,0)
+    (HUGEINT in the oracle), one double division at the end. Plain
+    aggregation, no sort — concentration at any scale is two exact sums
+    per group."""
+    from datapipeline_spark.operators.stats import hhi
+
+    return hhi(_cust_rev_cents(spark, sf_dir), "v", ["nation"])
+
+
+@query(
+    "gini_revenue_by_nation",
+    f"""
+WITH {_CUST_REV_CENTS},
+r AS (
+  SELECT nation, v, row_number() OVER (PARTITION BY nation ORDER BY v) AS i
+  FROM c
+)
+SELECT nation, count(*)::BIGINT AS n,
+       round((sum(v::HUGEINT * 2 * i) - (count(*) + 1)::HUGEINT * sum(v::HUGEINT))::DOUBLE
+             / (count(*)::HUGEINT * sum(v::HUGEINT))::DOUBLE, 6) AS gini
+FROM r GROUP BY nation
+""",
+)
+def q_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality of customer revenue per nation
+    (operators/stats.gini): the sorted-rank identity
+    G = Σ(2i-n-1)v_i / (nΣv) with exact integer cents — tie-order
+    invariant, so row_number over the value alone is deterministic. One
+    exchange + in-partition sort + one aggregate."""
+    from datapipeline_spark.operators.stats import gini
+
+    return gini(_cust_rev_cents(spark, sf_dir), "v", ["nation"])

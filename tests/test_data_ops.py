@@ -829,3 +829,28 @@ def test_bfs_distances_path_graph(spark):
     srcs2 = spark.createDataFrame([(1,), (5,)], "node long")
     got2 = {r.node: r.dist for r in bfs_distances(edges, srcs2, 3, checkpoint=False).collect()}
     assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_hhi_and_gini_known_values(spark):
+    from datapipeline_spark.operators.stats import gini, hhi
+
+    # monopoly: one holder -> HHI = 1, and (degenerate n=1) Gini = 0
+    mono = spark.createDataFrame([(100,)], "v long")
+    assert hhi(mono, "v").collect()[0].hhi == 1.0
+    # perfectly equal 4 ways -> HHI = 1/4, Gini = 0
+    eq = spark.createDataFrame([(25,)] * 4, "v long")
+    assert hhi(eq, "v").collect()[0].hhi == 0.25
+    assert gini(eq, "v").collect()[0].gini == 0.0
+    # [1,3] -> shares (0.25, 0.75): HHI = 0.625; G = (2*1*1+2*2*3-3*4)/(2*4) = 0.25
+    two = spark.createDataFrame([(1,), (3,)], "v long")
+    assert hhi(two, "v").collect()[0].hhi == 0.625
+    assert gini(two, "v").collect()[0].gini == 0.25
+    # tie-order invariance under repartition/shuffle
+    t = spark.createDataFrame([(5,), (5,), (2,), (8,)], "v long")
+    a = gini(t, "v").collect()[0].gini
+    b = gini(t.repartition(7), "v").collect()[0].gini
+    assert a == b
+    # zero total -> NULL, not divide-by-zero
+    z = spark.createDataFrame([(0,), (0,)], "v long")
+    assert hhi(z, "v").collect()[0].hhi is None
+    assert gini(z, "v").collect()[0].gini is None
