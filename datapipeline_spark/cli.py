@@ -156,6 +156,31 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_checksum(args) -> int:
+    """Order-independent bucketed content checksum of a parquet table —
+    compare two replicas by comparing two tiny outputs (operators/checksum.py).
+    Doubles must be pre-canonicalized; non-float columns are digested as-is."""
+    from datapipeline_spark.operators.checksum import table_checksum
+    from datapipeline_spark.sources.readers import read_parquet_glob
+
+    spark = _spark(args)
+    df = read_parquet_glob(spark, args.path)
+    cols = args.cols.split(",") if args.cols else df.columns
+    floats = [c for c, t in df.dtypes if c in cols and t in ("double", "float")]
+    if floats:
+        print(
+            f"error: float columns {floats} are not engine-portable as strings; "
+            "pass --cols without them or pre-scale to integer units",
+            file=sys.stderr,
+        )
+        return 2
+    out = table_checksum(df, cols, n_buckets=args.buckets).orderBy("bucket").collect()
+    print("bucket\tn_rows\thash_sum\thash_xor")
+    for r in out:
+        print(f"{r.bucket}\t{r.n_rows}\t{r.hash_sum}\t{r.hash_xor}")
+    return 0
+
+
 def cmd_clean(args) -> int:
     from datapipeline_spark.plans.scaffold import clean
 
@@ -178,6 +203,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--tables-dir", default=None, help="directory of <name>.parquet tables")
     q.add_argument("--limit", type=int, default=100, help="max rows to print (0 = all)")
     q.set_defaults(fn=cmd_sql)
+
+    ck = sub.add_parser("checksum", help="order-independent content checksum of a parquet table")
+    ck.add_argument("path", help="parquet file/dir")
+    ck.add_argument("--cols", default=None, help="comma-separated columns (default: all non-float)")
+    ck.add_argument("--buckets", type=int, default=16)
+    ck.set_defaults(fn=cmd_checksum)
 
     s = sub.add_parser("serve", help="build dataset and write fold outputs")
     s.add_argument("project")

@@ -229,3 +229,21 @@ def test_cli_sql_over_project(spark, project, capsys):
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0] == "n" and out[1] == "12"
+
+
+def test_cli_checksum(spark, tmp_path, capsys):
+    from datapipeline_spark import cli
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr("id AS k", "id % 7 AS v", "cast(id as double) AS f").write.parquet(p)
+
+    rc = cli.main(["checksum", p, "--cols", "k,v", "--buckets", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.strip().splitlines() if l]
+    assert lines[0].split("\t") == ["bucket", "n_rows", "hash_sum", "hash_xor"]
+    assert sum(int(l.split("\t")[1]) for l in lines[1:]) == 100
+
+    # float columns are rejected (digest strings are not engine-portable)
+    rc = cli.main(["checksum", p, "--cols", "k,f"])
+    assert rc == 2
