@@ -36,6 +36,7 @@ HEADLINE = [
     "hashed_features_docs",
     "hhi_revenue_by_nation",
     "gini_revenue_by_nation",
+    "seasonal_naive_mae",
     "bloom_prefilter_revenue",
     "q1_pricing_summary",
     "revenue_by_nation",

@@ -2729,3 +2729,53 @@ def q_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_spark.operators.stats import gini
 
     return gini(_cust_rev_cents(spark, sf_dir), "v", ["nation"])
+
+
+@query(
+    "seasonal_naive_mae",
+    """
+WITH d AS (
+  SELECT o_orderpriority, o_orderdate::DATE AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+),
+l AS (
+  SELECT o_orderpriority, cents,
+         lag(cents, 7) OVER (PARTITION BY o_orderpriority ORDER BY day) AS pred
+  FROM d
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_days,
+       round((sum(abs(cents - pred))::HUGEINT)::DOUBLE / count(*) / 100.0, 2) AS mae
+FROM l WHERE pred IS NOT NULL
+GROUP BY o_orderpriority
+""",
+)
+def q_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per order priority: predict each
+    day's revenue with the value 7 days earlier in the daily series and
+    report mean absolute error — the standard forecasting baseline every
+    model must beat, as one window + one aggregate. Error mass accumulates
+    in exact integer cents (order-independent); only the final
+    mae = sum/n/100 division chain is floating point (IEEE-deterministic),
+    so the backtest hash-matches the oracle."""
+    li = load_table(spark, sf_dir, "orders")
+    daily = li.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("day")
+    l = daily.withColumn("pred", F.lag("cents", 7).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    return l.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.sum(F.abs(F.col("cents") - F.col("pred")).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+            / 100.0,
+            2,
+        ).alias("mae"),
+    )

@@ -728,3 +728,59 @@ def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_cusum_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
     _run_to_memory(out, name, "append")
     return spark.table(name).select("event_id", "user_id", "cusum_cents")
+
+
+def _streaming_hll_sql() -> str:
+    from datapipeline_spark.sketch.hll import alpha_numerator
+
+    p = 10
+    m = 1 << p
+    rem_bits = 60 - p
+    mask = (1 << rem_bits) - 1
+    rho_max = rem_bits + 1
+    num = repr(alpha_numerator(p))
+    return f"""
+WITH {EVENTS_BASE},
+h AS (
+  SELECT event_type,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS h
+  FROM base
+),
+r AS (
+  SELECT event_type, h >> {rem_bits} AS reg,
+         max(CASE WHEN (h & {mask}) = 0 THEN {rho_max}
+                  ELSE {rho_max} - length(bin(h & {mask})) END) AS rho
+  FROM h GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, count(*)::BIGINT AS n_registers,
+         (sum(1::BIGINT << ({rho_max} - rho))
+          + ({m} - count(*)) * (1::BIGINT << {rho_max}))::BIGINT AS scaled_harmonic
+  FROM r GROUP BY 1
+)
+SELECT event_type, n_registers, scaled_harmonic,
+       {num} / scaled_harmonic::DOUBLE AS est_raw
+FROM s
+"""
+
+
+@query("streaming_hll", _streaming_hll_sql())
+def streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog distinct users per event type (sketch/hll.py
+    over an unbounded stream): the register table is a running max
+    aggregation in complete mode whose state is bounded by m=1024 rows per
+    group no matter how long the stream runs — the canonical streaming
+    distinct-count. Deterministic md5 registers mean the streamed state is
+    bit-identical to the batch sketch, so the batch SQL is an exact oracle
+    (streaming == batch, SURVEY.md §2.10); the estimate row is a tiny
+    batch post-aggregate over the materialized registers."""
+    from datapipeline_spark.sketch.hll import hll_estimate, hll_registers
+
+    staging = _staged_events(spark, sf_dir)
+    sdf = _stream_of(spark, staging)
+    regs = hll_registers(
+        sdf.select("event_type", "user_id"), "user_id", ["event_type"], p=10
+    )
+    name = "stream_hll_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
+    _run_to_memory(regs, name, "complete")
+    return hll_estimate(spark.table(name), ["event_type"], p=10)

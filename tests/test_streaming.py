@@ -623,3 +623,26 @@ def test_versioned_sink_exactly_once_across_replay(spark, tmp_path):
     # a genuinely new batch still commits
     sink(spark.range(9, 10).selectExpr("id", "id * 10 AS v"), 2)
     assert read_version(spark, out).count() == 10
+
+
+def test_streaming_hll_equals_batch(spark, tmp_path):
+    """The streamed register state must be bit-identical to one batch pass."""
+    from datapipeline_spark.sketch.hll import hll_registers
+
+    d = spark.range(5000).selectExpr("id % 37 AS user_id", "'t' AS event_type")
+    p = str(tmp_path / "ev")
+    d.coalesce(1).write.parquet(p)
+    batch = spark.read.parquet(p)
+    sdf = spark.readStream.schema("user_id bigint, event_type string").parquet(p)
+    regs = hll_registers(sdf, "user_id", ["event_type"], p=10)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("t_stream_hll")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("t_stream_hll").collect()))
+    want = sorted(map(tuple, hll_registers(batch, "user_id", ["event_type"], p=10).collect()))
+    assert got == want
