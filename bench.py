@@ -37,6 +37,11 @@ HEADLINE = [
     "hhi_revenue_by_nation",
     "gini_revenue_by_nation",
     "seasonal_naive_mae",
+    "chi2_priority_status",
+    "ols_qty_price",
+    "ab_purchase_ztest",
+    "markov_event_transitions",
+    "equidepth_price_bands",
     "bloom_prefilter_revenue",
     "q1_pricing_summary",
     "revenue_by_nation",

@@ -92,6 +92,141 @@ def hhi(
     )
 
 
+def chi_square(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns.
+
+    Output: one row — (n, r, c, dof, chi2). The contingency table is one
+    map-side-combined groupBy on (x, y); row/column/grand totals are window
+    sums over the tiny cell table (≤ r*c rows — no joins, no second scan).
+    Uses the identity χ² = Σ O²·N/(R·C) − N, which is exact even when some
+    (x, y) combinations never occur (absent cells contribute 0 to the sum
+    but E = RC/N to the textbook form — the identity absorbs them).
+    Exactness discipline: O²·N and R·C stay exact in decimal(38,0)
+    (HUGEINT on the oracle side), one IEEE division per cell, then each
+    cell term is fixed to integer micro-units (floor(t*1e6 + 0.5)) so the
+    cross-cell SUM is exact integer arithmetic — order- and
+    engine-invariant — and only the final /1e6 − N touches float.
+    The reference has no statistical-test surface (its stats stop at the
+    Welford scaler, src/datapipeline/pipelines/dataset/scaler.py)."""
+    cells = df.groupBy(x, y).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    wr = Window.partitionBy(x)
+    wc = Window.partitionBy(y)
+    wa = Window.partitionBy()
+    t = cells.select(
+        F.col(x),
+        F.col(y),
+        F.col("o").cast(_D).alias("o"),
+        F.sum("o").over(wr).cast(_D).alias("r_tot"),
+        F.sum("o").over(wc).cast(_D).alias("c_tot"),
+        F.sum("o").over(wa).cast(_D).alias("n_tot"),
+    )
+    num = (F.col("o") * F.col("o") * F.col("n_tot")).cast("double")
+    den = (F.col("r_tot") * F.col("c_tot")).cast("double")
+    micro = F.floor(num / den * 1e6 + F.lit(0.5)).cast("long")
+    return t.agg(
+        F.max(F.col("n_tot").cast("long")).alias("n"),
+        F.count_distinct(F.col(x)).cast("long").alias("r"),
+        F.count_distinct(F.col(y)).cast("long").alias("c"),
+        ((F.count_distinct(F.col(x)) - 1) * (F.count_distinct(F.col(y)) - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round(
+            F.sum(micro).cast("double") / 1e6 - F.max(F.col("n_tot")).cast("double"),
+            6,
+        ).alias("chi2"),
+    )
+
+
+def ols(
+    df: DataFrame, x: str, y: str, groups: Sequence[str] = ()
+) -> DataFrame:
+    """Per-group simple linear regression (OLS): slope, intercept, r2.
+
+    ``x`` and ``y`` must be exact-integer columns (cast/scale upstream —
+    the repo-wide cents convention). All five sufficient statistics
+    (Σx, Σy, Σx², Σy², Σxy) are exact decimal(38,0) sums from ONE
+    map-side-combined aggregation — no sort, no second pass, trivially
+    100 TB-parallel. The combination drops to double only at the end:
+    cov = n·Σxy − ΣxΣy and var_x = n·Σx² − (Σx)² stay exact in decimal,
+    then slope = cov/var_x, intercept = (Σy − slope·Σx)/n and
+    r² = cov²/(var_x·var_y) are short IEEE chains (+,−,*,/ are correctly
+    rounded) so the rounded outputs hash-match a SQL oracle."""
+    gx = list(groups)
+    xc, yc = F.col(x).cast(_D), F.col(y).cast(_D)
+    a = df.groupBy(*gx).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xc).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum(yc * yc).alias("syy"),
+        F.sum(xc * yc).alias("sxy"),
+    )
+    n = F.col("n").cast(_D)
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov / vx
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    undef = (vx == 0) | (vy == 0)
+    return a.select(
+        *gx,
+        F.col("n"),
+        F.when(vx == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6))
+        .alias("slope"),
+        F.when(vx == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(intercept, 2))
+        .alias("intercept"),
+        F.when(undef, F.lit(None).cast("double"))
+        .otherwise(F.round(cov * cov / (vx * vy), 6))
+        .alias("r2"),
+    )
+
+
+def proportion_ztest(
+    df: DataFrame,
+    arm: str,
+    success: str,
+    groups: Sequence[str] = (),
+) -> DataFrame:
+    """Two-proportion z-test per group (the A/B-test primitive).
+
+    ``arm`` must be 0/1 (control/treatment), ``success`` 0/1. One
+    map-side-combined aggregation produces the four exact counts
+    (n₀, c₀, n₁, c₁); the statistic
+    z = (p₁ − p₀) / sqrt(p̂(1−p̂)(1/n₀ + 1/n₁)) with pooled
+    p̂ = (c₀+c₁)/(n₀+n₁) is a fixed chain of IEEE +,−,*,/ and one
+    correctly-rounded sqrt, so the rounded z hash-matches a SQL oracle.
+    No sort, no join — A/B readout at any scale is one aggregate."""
+    gx = list(groups)
+    armc = F.col(arm).cast("long")
+    succ = F.col(success).cast("long")
+    a = df.groupBy(*gx).agg(
+        F.sum(1 - armc).cast("long").alias("n0"),
+        F.sum((1 - armc) * succ).cast("long").alias("c0"),
+        F.sum(armc).cast("long").alias("n1"),
+        F.sum(armc * succ).cast("long").alias("c1"),
+    )
+    n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    p0, p1 = c0 / n0, c1 / n1
+    pool = (c0 + c1) / (n0 + n1)
+    se = F.sqrt(pool * (1 - pool) * (1 / n0 + 1 / n1))
+    undef = (F.col("n0") == 0) | (F.col("n1") == 0) | (se == 0)
+    return a.select(
+        *gx,
+        F.col("n0"),
+        F.col("c0"),
+        F.col("n1"),
+        F.col("c1"),
+        F.when(undef, F.lit(None).cast("double"))
+        .otherwise(F.round((p1 - p0) / se, 6))
+        .alias("z"),
+    )
+
+
 def gini(
     df: DataFrame, value: str, groups: Sequence[str] = (), out: str = "gini"
 ) -> DataFrame:

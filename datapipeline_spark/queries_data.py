@@ -2779,3 +2779,219 @@ def q_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("mae"),
     )
+
+
+@query(
+    "chi2_priority_status",
+    """
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y, count(*)::HUGEINT AS o
+  FROM orders GROUP BY 1, 2
+),
+t AS (
+  SELECT x, y, o,
+         sum(o) OVER (PARTITION BY x) AS r_tot,
+         sum(o) OVER (PARTITION BY y) AS c_tot,
+         sum(o) OVER () AS n_tot
+  FROM cells
+)
+SELECT max(n_tot)::BIGINT AS n,
+       count(DISTINCT x)::BIGINT AS r,
+       count(DISTINCT y)::BIGINT AS c,
+       ((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1))::BIGINT AS dof,
+       round(sum(floor((o * o * n_tot)::DOUBLE / (r_tot * c_tot)::DOUBLE * 1e6
+                       + 0.5::DOUBLE)::BIGINT)::DOUBLE / 1e6
+             - max(n_tot)::DOUBLE, 6) AS chi2
+FROM t
+""",
+)
+def q_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and order
+    status (operators/stats.chi_square): the contingency table is one
+    map-side-combined groupBy; totals are window sums over the tiny cell
+    table; per-cell terms O²N/(RC) are exact decimal(38,0)/HUGEINT with one
+    IEEE division each, fixed to integer micro-units so the cross-cell sum
+    is engine-invariant. The χ² = ΣO²N/(RC) − N identity absorbs
+    never-observed cells exactly."""
+    from datapipeline_spark.operators.stats import chi_square
+
+    return chi_square(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+@query(
+    "ols_qty_price",
+    """
+WITH d AS (
+  SELECT l_returnflag, l_quantity::BIGINT AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+a AS (
+  SELECT l_returnflag, count(*)::HUGEINT AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+         sum(x::HUGEINT * y) AS sxy
+  FROM d GROUP BY 1
+)
+SELECT l_returnflag, n::BIGINT AS n,
+       round((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE, 6) AS slope,
+       round((sy::DOUBLE - ((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE)
+                           * sx::DOUBLE) / n::DOUBLE, 2) AS intercept,
+       round(((n*sxy - sx*sy)::DOUBLE * (n*sxy - sx*sy)::DOUBLE)
+             / ((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6) AS r2
+FROM a
+""",
+)
+def q_ols_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS regression of line price-cents on quantity
+    (operators/stats.ols): slope, intercept and r² from the five exact
+    decimal(38,0) sufficient statistics of ONE map-side-combined
+    aggregation — no sort, no join, the grouped-regression primitive at
+    any scale. Only the final short IEEE chains (correctly-rounded
+    +,−,*,/) touch float, so all three coefficients hash-match."""
+    from datapipeline_spark.operators.stats import ols
+
+    d = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    return ols(d, "x", "y", ["l_returnflag"])
+
+
+@query(
+    "ab_purchase_ztest",
+    """
+WITH u AS (
+  SELECT user_id, (user_id % 2)::BIGINT AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT sum(1 - arm)::BIGINT AS n0, sum((1 - arm) * conv)::BIGINT AS c0,
+         sum(arm)::BIGINT AS n1, sum(arm * conv)::BIGINT AS c1
+  FROM u
+)
+SELECT n0, c0, n1, c1,
+       round((c1::DOUBLE / n1::DOUBLE - c0::DOUBLE / n0::DOUBLE)
+             / sqrt(((c0::DOUBLE + c1::DOUBLE) / (n0::DOUBLE + n1::DOUBLE))
+                    * (1 - (c0::DOUBLE + c1::DOUBLE) / (n0::DOUBLE + n1::DOUBLE))
+                    * (1 / n0::DOUBLE + 1 / n1::DOUBLE)), 6) AS z
+FROM a
+""",
+)
+def q_ab_purchase_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of purchase conversion between the even/odd
+    user-id arms (operators/stats.proportion_ztest) — the A/B-test readout
+    as two aggregations (per-user conversion flag, then the four arm
+    counts). sqrt is IEEE-correctly-rounded, so the full statistic chain
+    hash-matches the oracle. No sort, no join — scales as a pure
+    aggregation tree."""
+    from datapipeline_spark.operators.stats import proportion_ztest
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    u = u.select((F.col("user_id") % 2).cast("long").alias("arm"), "conv")
+    return proportion_ztest(u, "arm", "conv")
+
+
+@query(
+    "markov_event_transitions",
+    """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+),
+c AS (
+  SELECT prev, event_type AS next, count(*)::BIGINT AS cnt
+  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev, next, cnt,
+       round(cnt::DOUBLE / (sum(cnt) OVER (PARTITION BY prev))::DOUBLE, 6)
+         AS prob
+FROM c
+""",
+)
+def q_markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    lag within (user ORDER BY ts, event_id — fully deterministic tie
+    order), count per (prev, next) pair, and row-normalized transition
+    probabilities via a window sum over the tiny k×k count table. One
+    user-keyed exchange + sort, one map-side-combined count, one bounded
+    window — the sequence-mining primitive at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    c = s.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wp = Window.partitionBy("prev")
+    return c.select(
+        "prev",
+        "next",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double") / F.sum("cnt").over(wp).cast("double"), 6
+        ).alias("prob"),
+    )
+
+
+@query(
+    "equidepth_price_bands",
+    """
+WITH d AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_orderkey) AS pos,
+         count(*) OVER () AS n
+  FROM d
+)
+SELECT (((pos - 1) * 8) // n + 1)::BIGINT AS band,
+       count(*)::BIGINT AS n_orders,
+       min(cents) AS lo_cents, max(cents) AS hi_cents
+FROM r GROUP BY 1
+""",
+)
+def q_equidepth_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) price histogram: 8 bands over order total
+    price with exact integer band boundaries. The global value rank comes
+    from operators/rank.bucketed_global_rank with the price's own high bits
+    as the monotone distribution bucket — the heavy sort runs per-bucket
+    with executor parallelism, never the single-partition
+    ``row_number() OVER (ORDER BY …)`` cliff the oracle is allowed (row
+    counts there are engine-tiny). Band assignment is pure integer
+    arithmetic ((pos−1)·k DIV n), so every output cell is exact."""
+    from datapipeline_spark.operators.rank import bucketed_global_rank
+
+    d = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = bucketed_global_rank(
+        d, "cents", ["o_orderkey"], out="pos", hash_bits=40, bucket_bits=24
+    )
+    n1 = d.agg(F.count(F.lit(1)).alias("n"))
+    banded = ranked.crossJoin(F.broadcast(n1)).select(
+        F.expr("CAST(((pos - 1) * 8) DIV n + 1 AS BIGINT)").alias("band"),
+        "cents",
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )

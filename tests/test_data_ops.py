@@ -854,3 +854,102 @@ def test_hhi_and_gini_known_values(spark):
     z = spark.createDataFrame([(0,), (0,)], "v long")
     assert hhi(z, "v").collect()[0].hhi is None
     assert gini(z, "v").collect()[0].gini is None
+
+
+def test_chi_square_known_values(spark):
+    from datapipeline_spark.operators.stats import chi_square
+
+    # 2x2 [[10,20],[20,10]]: E=15 everywhere, chi2 = 4*(25/15) = 20/3
+    rows = (
+        [("a", "p")] * 10 + [("a", "q")] * 20 + [("b", "p")] * 20 + [("b", "q")] * 10
+    )
+    d = spark.createDataFrame(rows, "x string, y string")
+    r = chi_square(d, "x", "y").collect()[0]
+    assert (r.n, r.r, r.c, r.dof) == (60, 2, 2, 1)
+    assert abs(r.chi2 - 20 / 3) < 1e-5
+
+    # absent cell (b,q): identity sum O^2*N/(R*C) - N must absorb it exactly
+    rows2 = [("a", "p")] * 2 + [("a", "q")] * 2 + [("b", "p")] * 2
+    d2 = spark.createDataFrame(rows2, "x string, y string")
+    r2 = chi_square(d2, "x", "y").collect()[0]
+    assert (r2.n, r2.dof) == (6, 1)
+    assert abs(r2.chi2 - 1.5) < 1e-5
+
+    # independence -> chi2 == 0
+    rows3 = [("a", "p")] * 6 + [("a", "q")] * 6 + [("b", "p")] * 3 + [("b", "q")] * 3
+    d3 = spark.createDataFrame(rows3, "x string, y string")
+    assert abs(chi_square(d3, "x", "y").collect()[0].chi2) < 1e-5
+
+
+def test_ols_known_values(spark):
+    from datapipeline_spark.operators.stats import ols
+
+    exact = spark.createDataFrame([(1, 2), (2, 4), (3, 6)], "x long, y long")
+    r = ols(exact, "x", "y").collect()[0]
+    assert (r.slope, r.intercept, r.r2) == (2.0, 0.0, 1.0)
+
+    # n=3, Sx=6, Sy=5, Sxx=14, Syy=9, Sxy=11 -> slope .5, icpt 2/3, r2 .75
+    d = spark.createDataFrame([(1, 1), (2, 2), (3, 2)], "x long, y long")
+    r = ols(d, "x", "y").collect()[0]
+    assert (r.slope, r.intercept, r.r2) == (0.5, 0.67, 0.75)
+
+    # constant x -> undefined slope (NULL, not a div-by-zero)
+    cx = spark.createDataFrame([(5, 1), (5, 2)], "x long, y long")
+    r = ols(cx, "x", "y").collect()[0]
+    assert r.slope is None and r.intercept is None and r.r2 is None
+
+    # grouped + partition invariance
+    g = spark.createDataFrame(
+        [("u", 1, 2), ("u", 2, 4), ("v", 1, 5), ("v", 3, 5)], "k string, x long, y long"
+    )
+    a = {r.k: (r.slope, r.r2) for r in ols(g, "x", "y", ["k"]).collect()}
+    b = {
+        r.k: (r.slope, r.r2)
+        for r in ols(g.repartition(7), "x", "y", ["k"]).collect()
+    }
+    # constant y in group v -> r2 undefined (NULL), slope still 0
+    assert a == b and a["u"] == (2.0, 1.0) and a["v"] == (0.0, None)
+
+
+def test_proportion_ztest_known_values(spark):
+    import math
+
+    from datapipeline_spark.operators.stats import proportion_ztest
+
+    rows = [(0, 1)] * 10 + [(0, 0)] * 90 + [(1, 1)] * 20 + [(1, 0)] * 80
+    d = spark.createDataFrame(rows, "arm long, conv long")
+    r = proportion_ztest(d, "arm", "conv").collect()[0]
+    assert (r.n0, r.c0, r.n1, r.c1) == (100, 10, 100, 20)
+    pool = 30 / 200
+    want = (0.2 - 0.1) / math.sqrt(pool * (1 - pool) * (2 / 100))
+    assert abs(r.z - want) < 1e-6
+
+    # empty arm -> NULL
+    one = spark.createDataFrame([(1, 1), (1, 0)], "arm long, conv long")
+    assert proportion_ztest(one, "arm", "conv").collect()[0].z is None
+
+
+def test_equidepth_bands_cover_and_balance(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    fn, _ = REGISTRY["equidepth_price_bands"]
+    out = fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 8
+    sizes = [r.n_orders for r in out]
+    assert max(sizes) - min(sizes) <= 1  # equi-depth
+    # bands tile the value range in order
+    bands = sorted(out, key=lambda r: r.band)
+    for lo, hi in zip(bands, bands[1:]):
+        assert lo.hi_cents <= hi.lo_cents
+
+
+def test_markov_transitions_rows_normalize(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    fn, _ = REGISTRY["markov_event_transitions"]
+    out = fn(spark, "/root/testdata/sf0.001").collect()
+    by_prev = {}
+    for r in out:
+        by_prev.setdefault(r.prev, []).append(r.prob)
+    for prev, probs in by_prev.items():
+        assert abs(sum(probs) - 1.0) < 1e-4, prev

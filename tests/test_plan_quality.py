@@ -659,3 +659,57 @@ def test_bloom_query_probe_side_filter_reaches_scan(spark):
     assert "xxhash64" in plan
     between = plan[plan.index("xxhash64") : plan.index("lineitem.parquet")]
     assert "Exchange" not in between
+
+
+def test_chi_square_one_scan_tiny_windows(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["chi2_priority_status"][0](spark, SF))
+    # one scan -> one map-side-combined cell aggregate; the unpartitioned
+    # windows run over the <= r*c cell table (bounded), never the raw rows
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert _shuffles(plan) <= 4
+
+
+def test_ols_single_aggregation(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["ols_qty_price"][0](spark, SF))
+    # all five sufficient statistics from ONE map-side-combined aggregate
+    assert plan.count("Scan parquet") == 1
+    assert _shuffles(plan) == 1
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_ztest_aggregation_tree_only(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["ab_purchase_ztest"][0](spark, SF))
+    # per-user conversion agg + arm-counts agg: two exchanges, no sort/join
+    assert plan.count("Scan parquet") == 1
+    assert _shuffles(plan) <= 2
+    assert "Join" not in plan
+
+
+def test_markov_one_user_sort(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["markov_event_transitions"][0](spark, SF))
+    # one user-keyed exchange feeds the lag sort; the prev-normalizing
+    # window runs over the k*k count table
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert _shuffles(plan) <= 3
+
+
+def test_equidepth_never_single_partition_sorts_rows(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["equidepth_price_bands"][0](spark, SF))
+    # the global rank is the two-phase bucketed form: per-bucket windows +
+    # a broadcast offsets join; no row-level range partitioning (the only
+    # unpartitioned window is the <=2^24-bucket offsets scan)
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan

@@ -482,3 +482,57 @@ def test_hll_registers_match_pure_python(spark, keys):
     assert regs == expect_regs
     est = hll_estimate(hll_registers(df, "k", p=P), p=P).collect()[0]
     assert est.scaled_harmonic == scaled
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2)), min_size=4, max_size=80
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_chi_square_matches_pure_python(spark, pairs):
+    from collections import Counter
+
+    from datapipeline_spark.operators.stats import chi_square
+
+    df = spark.createDataFrame([(str(a), str(b)) for a, b in pairs], "x string, y string")
+    r = chi_square(df, "x", "y").collect()[0]
+    cells = Counter(pairs)
+    n = len(pairs)
+    rt = Counter(a for a, _ in pairs)
+    ct = Counter(b for _, b in pairs)
+    want = sum(o * o * n / (rt[a] * ct[b]) for (a, b), o in cells.items()) - n
+    assert (r.n, r.r, r.c) == (n, len(rt), len(ct))
+    assert abs(r.chi2 - want) < 1e-4
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-1000, 1000)),
+        min_size=2,
+        max_size=80,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_ols_matches_pure_python(spark, xy):
+    from datapipeline_spark.operators.stats import ols
+
+    df = spark.createDataFrame(xy, "x long, y long")
+    r = ols(df, "x", "y").collect()[0]
+    n = len(xy)
+    sx = sum(a for a, _ in xy)
+    sy = sum(b for _, b in xy)
+    sxx = sum(a * a for a, _ in xy)
+    syy = sum(b * b for _, b in xy)
+    sxy = sum(a * b for a, b in xy)
+    cov, vx, vy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    if vx == 0:
+        assert r.slope is None and r.intercept is None and r.r2 is None
+        return
+    slope = cov / vx
+    assert abs(r.slope - slope) < 1e-5
+    assert abs(r.intercept - (sy - slope * sx) / n) < 5e-3
+    if vy == 0:
+        assert r.r2 is None
+    else:
+        assert abs(r.r2 - cov * cov / (vx * vy)) < 1e-5
