@@ -185,6 +185,50 @@ def kcore_nodes(
     raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (fixed rounds).
+
+    Returns (node, community). Init: every node labels itself with its own
+    id. Each round, every edge (src, dst) delivers label(src) to dst, and
+    dst adopts the most frequent incoming label, ties broken by the
+    SMALLEST label — making the synchronous update fully deterministic
+    (the classic async LPA is order-dependent; the sync+min-tie variant is
+    the one an exact oracle can replay). ``edges`` must contain both
+    directions (the cooccurrence construction does).
+
+    Each round is one join shuffle keyed on the edge source plus one
+    (node, label) count aggregate; the winner per node comes from the same
+    aggregate via max(struct(count, -label)) — no per-round sort. The
+    static edge relation is checkpointed once, like pagerank.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    labels = e.select(F.col("a").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(labels, F.col("a") == F.col("node"))
+            .groupBy(F.col("b"), F.col("lab"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy(F.col("b").alias("node"))
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("neg"))).alias("w"))
+            .select("node", (-F.col("w.neg")).alias("lab"))
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("lab").alias("community"))
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,

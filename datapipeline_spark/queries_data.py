@@ -2995,3 +2995,60 @@ def q_equidepth_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("lo_cents"),
         F.max("cents").alias("hi_cents"),
     )
+
+
+def _lpa_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous-LPA oracle. Each round's winner-per-node is a
+    row_number over the (node, label) vote counts ordered (c DESC, lab) —
+    identical semantics to the Spark side's max(struct(c, -lab)).
+    e0 is referenced in every round -> AS MATERIALIZED (DuckDB inlines
+    multi-referenced CTEs; the unrolled chain would otherwise recompute
+    the co-occurrence self-join once per reference)."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM e0)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"v{i} AS (SELECT e.b AS node, l.lab, count(*) AS c\n"
+            f"  FROM e0 e JOIN l{i} l ON e.a = l.node GROUP BY 1, 2),\n"
+            f"l{i + 1} AS MATERIALIZED (SELECT node, lab FROM (\n"
+            f"  SELECT node, lab, row_number() OVER (PARTITION BY node"
+            f" ORDER BY c DESC, lab) AS rn FROM v{i}) WHERE rn = 1)"
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0),
+{chain}
+SELECT node AS p_partkey, lab AS community FROM l{rounds}
+"""
+
+
+@query("communities_parts", _lpa_sql())
+def q_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities of the (1-in-5-orders-scoped)
+    co-purchase graph (operators/graph.label_propagation): 4 synchronous
+    rounds, most-frequent-neighbor label with min-label tie break — the
+    deterministic LPA variant, so the unrolled SQL oracle reproduces it
+    bit-for-bit. Per round one source-keyed join + one count aggregate;
+    winner selection rides the same aggregate (max(struct(c, -lab))), no
+    per-round sort. Completes the graph family (pagerank / components /
+    triangles / k-core / BFS). Correctness-only (construction-eager like
+    the other iterative entries)."""
+    from datapipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
+    return label_propagation(edges, rounds=4).select(
+        F.col("node").alias("p_partkey"), "community"
+    )

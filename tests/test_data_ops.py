@@ -953,3 +953,28 @@ def test_markov_transitions_rows_normalize(spark):
         by_prev.setdefault(r.prev, []).append(r.prob)
     for prev, probs in by_prev.items():
         assert abs(sum(probs) - 1.0) < 1e-4, prev
+
+
+def test_label_propagation_two_triangles(spark):
+    from datapipeline_spark.operators.graph import label_propagation
+
+    def clique(nodes):
+        return [(a, b) for a in nodes for b in nodes if a != b]
+
+    e = spark.createDataFrame(
+        clique([1, 2, 3]) + clique([10, 11, 12]), "src long, dst long"
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation(e, rounds=4, checkpoint=False).collect()
+    }
+    # each component converges to its minimum node id
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    # partition invariance (deterministic sync + min tie-break)
+    again = {
+        r.node: r.community
+        for r in label_propagation(
+            e.repartition(7), rounds=4, checkpoint=False
+        ).collect()
+    }
+    assert again == got
