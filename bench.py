@@ -42,6 +42,7 @@ HEADLINE = [
     "ab_purchase_ztest",
     "markov_event_transitions",
     "equidepth_price_bands",
+    "benford_order_prices",
     "bloom_prefilter_revenue",
     "q1_pricing_summary",
     "revenue_by_nation",

@@ -23,6 +23,7 @@ map-side-combined aggregate. No joins, no collects.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -224,6 +225,49 @@ def proportion_ztest(
         F.when(undef, F.lit(None).cast("double"))
         .otherwise(F.round((p1 - p0) / se, 6))
         .alias("z"),
+    )
+
+
+#: Benford first-digit shares log10(1 + 1/d), computed once in Python and
+#: embedded as DOUBLE literals on BOTH engines — no libm call at query time
+#: (ln/log10 are not bit-stable cross-engine; literals are).
+BENFORD_P = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def benford(df: DataFrame, value: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive integer column — the
+    classic fraud/data-entry anomaly screen. Output: one row per leading
+    digit 1-9 — (digit, observed, expected_micro, dev_micro).
+
+    One map-side-combined aggregation over the rows (leading digit via a
+    string head — invariant under the repo's x100 cents scaling, since
+    powers of ten preserve the leading significant digit), then the
+    expected counts from the embedded log10(1+1/d) literals. Everything
+    emitted is an exact integer: expected_micro = floor(n·p_d·1e6 + 0.5)
+    is a deterministic IEEE product of an exact count with a literal, and
+    dev_micro = |observed·1e6 − expected_micro| is integer arithmetic —
+    so the audit hash-matches a SQL oracle carrying the same literals.
+    Zero and negative values are excluded (no leading digit)."""
+    digit = F.substring(F.col(value).cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(value) > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    n = F.sum("observed").over(Window.partitionBy())
+    expected = F.when(
+        F.col("digit") == 1, F.lit(BENFORD_P[1])
+    )
+    for d in range(2, 10):
+        expected = expected.when(F.col("digit") == d, F.lit(BENFORD_P[d]))
+    exp_micro = F.floor(
+        n.cast("double") * expected * 1e6 + F.lit(0.5)
+    ).cast("long")
+    return counts.select(
+        "digit",
+        "observed",
+        exp_micro.alias("expected_micro"),
+        F.abs(F.col("observed") * F.lit(1_000_000) - exp_micro).alias("dev_micro"),
     )
 
 

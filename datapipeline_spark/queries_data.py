@@ -2997,6 +2997,49 @@ def q_equidepth_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _benford_sql() -> str:
+    """Oracle carries the SAME log10(1+1/d) literals the Spark side embeds
+    (repr round-trips the exact double; sci-notation parses as DOUBLE in
+    DuckDB) — neither engine calls libm at query time."""
+    from datapipeline_spark.operators.stats import BENFORD_P
+
+    cases = " ".join(
+        f"WHEN digit = {d} THEN {BENFORD_P[d]!r}" for d in range(1, 10)
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*)::BIGINT AS observed
+  FROM orders WHERE round(o_totalprice * 100) > 0 GROUP BY 1
+),
+t AS (
+  SELECT digit, observed, sum(observed) OVER () AS n,
+         CASE {cases} END AS p
+  FROM c
+)
+SELECT digit, observed,
+       floor(n::DOUBLE * p * 1e6 + 0.5::DOUBLE)::BIGINT AS expected_micro,
+       abs(observed * 1000000 - floor(n::DOUBLE * p * 1e6 + 0.5::DOUBLE)::BIGINT)
+         AS dev_micro
+FROM t
+"""
+
+
+@query("benford_order_prices", _benford_sql())
+def q_benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals
+    (operators/stats.benford): one map-side-combined digit count, expected
+    shares from embedded log10(1+1/d) literals (identical on both engines
+    — no libm at query time), every output an exact integer. The
+    fraud-screen primitive at any scale: shuffle mass is 9 rows."""
+    from datapipeline_spark.operators.stats import benford
+
+    d = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return benford(d, "cents")
+
+
 def _lpa_sql(rounds: int = 4) -> str:
     """Unrolled synchronous-LPA oracle. Each round's winner-per-node is a
     row_number over the (node, label) vote counts ordered (c DESC, lab) —

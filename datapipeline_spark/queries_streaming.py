@@ -784,3 +784,50 @@ def streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_hll_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
     _run_to_memory(regs, name, "complete")
     return hll_estimate(spark.table(name), ["event_type"], p=10)
+
+
+@query(
+    "streaming_ab_ztest",
+    """
+WITH u AS (
+  SELECT user_id, (user_id % 2)::BIGINT AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT sum(1 - arm)::BIGINT AS n0, sum((1 - arm) * conv)::BIGINT AS c0,
+         sum(arm)::BIGINT AS n1, sum(arm * conv)::BIGINT AS c1
+  FROM u
+)
+SELECT n0, c0, n1, c1,
+       round((c1::DOUBLE / n1::DOUBLE - c0::DOUBLE / n0::DOUBLE)
+             / sqrt(((c0::DOUBLE + c1::DOUBLE) / (n0::DOUBLE + n1::DOUBLE))
+                    * (1 - (c0::DOUBLE + c1::DOUBLE) / (n0::DOUBLE + n1::DOUBLE))
+                    * (1 / n0::DOUBLE + 1 / n1::DOUBLE)), 6) AS z
+FROM a
+""",
+)
+def streaming_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A/B conversion monitor: per-user "ever purchased" state as
+    a complete-mode max aggregation (one row per user — the same state
+    class as streaming_user_profile), then the two-proportion z statistic
+    (operators/stats.proportion_ztest) as a tiny batch post-aggregate over
+    the materialized per-user table. After the stream drains, the per-user
+    max state equals the batch per-user max exactly, so the batch SQL is
+    an exact oracle (streaming == batch) — the live-experiment readout the
+    batch ab_purchase_ztest entry models offline."""
+    from datapipeline_spark.operators.stats import proportion_ztest
+
+    staging = _staged_events(spark, sf_dir)
+    sdf = _stream_of(spark, staging)
+    conv = sdf.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    name = "stream_ab_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
+    _run_to_memory(conv, name, "complete")
+    u = spark.table(name).select(
+        (F.col("user_id") % 2).cast("long").alias("arm"), "conv"
+    )
+    return proportion_ztest(u, "arm", "conv")

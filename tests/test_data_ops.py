@@ -978,3 +978,25 @@ def test_label_propagation_two_triangles(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_benford_known_distribution(spark):
+    from datapipeline_spark.operators.stats import BENFORD_P, benford
+
+    # construct counts exactly proportional to Benford: digit d appears
+    # round(p_d * 1000) times -> dev_micro should be small everywhere
+    rows = []
+    for d in range(1, 10):
+        rows += [(d * 100,)] * round(BENFORD_P[d] * 1000)
+    df = spark.createDataFrame(rows, "v long")
+    out = {r.digit: r for r in benford(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    n = sum(r.observed for r in out.values())
+    for d, r in out.items():
+        assert r.observed == round(BENFORD_P[d] * 1000)
+        assert r.expected_micro == math.floor(n * BENFORD_P[d] * 1e6 + 0.5)
+        assert r.dev_micro == abs(r.observed * 1_000_000 - r.expected_micro)
+    # zero/negative values excluded
+    z = spark.createDataFrame([(0,), (-5,), (123,)], "v long")
+    got = benford(z, "v").collect()
+    assert len(got) == 1 and got[0].digit == 1 and got[0].observed == 1

@@ -713,3 +713,14 @@ def test_equidepth_never_single_partition_sorts_rows(spark):
     assert "rangepartitioning" not in plan.lower().replace(" ", "")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_benford_single_aggregation(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["benford_order_prices"][0](spark, SF))
+    # one scan -> one map-side-combined digit count; the unpartitioned
+    # window runs over the 9-row digit table
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert _shuffles(plan) <= 2
