@@ -43,6 +43,8 @@ HEADLINE = [
     "markov_event_transitions",
     "equidepth_price_bands",
     "benford_order_prices",
+    "ks_price_urgent",
+    "mw_price_returnflag",
     "bloom_prefilter_revenue",
     "q1_pricing_summary",
     "revenue_by_nation",

@@ -124,17 +124,32 @@ def chi_square(df: DataFrame, x: str, y: str) -> DataFrame:
     num = (F.col("o") * F.col("o") * F.col("n_tot")).cast("double")
     den = (F.col("r_tot") * F.col("c_tot")).cast("double")
     micro = F.floor(num / den * 1e6 + F.lit(0.5)).cast("long")
-    return t.agg(
+    agg = t.agg(
         F.max(F.col("n_tot").cast("long")).alias("n"),
         F.count_distinct(F.col(x)).cast("long").alias("r"),
         F.count_distinct(F.col(y)).cast("long").alias("c"),
         ((F.count_distinct(F.col(x)) - 1) * (F.count_distinct(F.col(y)) - 1))
         .cast("long")
         .alias("dof"),
-        F.round(
-            F.sum(micro).cast("double") / 1e6 - F.max(F.col("n_tot")).cast("double"),
-            6,
-        ).alias("chi2"),
+        (
+            F.sum(micro).cast("double") / 1e6 - F.max(F.col("n_tot")).cast("double")
+        ).alias("_chi2"),
+    )
+    # Cramér's V = sqrt(chi2 / (n * min(r-1, c-1))) in [0, 1] — effect size
+    # alongside the raw statistic; one more correctly-rounded sqrt chain
+    vden = (
+        F.col("n").cast("double")
+        * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+    )
+    return agg.select(
+        "n",
+        "r",
+        "c",
+        "dof",
+        F.round(F.col("_chi2"), 6).alias("chi2"),
+        F.when(F.col("dof") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.sqrt(F.greatest(F.col("_chi2"), F.lit(0.0)) / vden), 6))
+        .alias("cramers_v"),
     )
 
 
@@ -224,6 +239,141 @@ def proportion_ztest(
         F.col("c1"),
         F.when(undef, F.lit(None).cast("double"))
         .otherwise(F.round((p1 - p0) / se, 6))
+        .alias("z"),
+    )
+
+
+def ks_test(
+    df: DataFrame, value: str, side: str, bucket_shift: int = 16
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test in exact integer arithmetic.
+
+    ``value`` must be a NON-NEGATIVE integer column (the repo's cents
+    convention), ``side`` 0/1. The KS distance is
+    D = max over v of |F0(v) − F1(v)| = max |cum0·n1 − cum1·n0| / (n0·n1)
+    — the maximized numerator is an exact decimal(38,0) integer, so the
+    statistic is one IEEE division at the end and hash-matches a SQL
+    oracle.
+
+    Scale posture: cumulative counts over the value order come from the
+    same two-phase monotone-bucket scheme as operators/rank.py — the
+    value's high bits (``value >> bucket_shift``) form a monotone prefix
+    of the order, per-bucket totals give exclusive offsets via a bounded
+    window (≤ one row per non-empty bucket), and in-bucket cumsums run
+    with executor parallelism. Never a single-partition row window (the
+    oracle, engine-tiny, is allowed one). Output: one row —
+    (n0, n1, d_num, ks)."""
+    g = (
+        df.groupBy(F.col(value).alias("v"))
+        .agg(
+            F.sum(1 - F.col(side).cast("long")).alias("d0"),
+            F.sum(F.col(side).cast("long")).alias("d1"),
+        )
+        .withColumn("__bucket__", F.shiftright(F.col("v"), bucket_shift).cast("int"))
+    )
+    per_bucket = g.groupBy("__bucket__").agg(
+        F.sum("d0").alias("t0"), F.sum("d1").alias("t1")
+    )
+    w_off = Window.orderBy("__bucket__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "__bucket__",
+        F.coalesce(F.sum("t0").over(w_off), F.lit(0)).alias("off0"),
+        F.coalesce(F.sum("t1").over(w_off), F.lit(0)).alias("off1"),
+    )
+    w_in = (
+        Window.partitionBy("__bucket__")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        g.join(F.broadcast(offsets), "__bucket__")
+        .select(
+            (F.col("off0") + F.sum("d0").over(w_in)).cast(_D).alias("cum0"),
+            (F.col("off1") + F.sum("d1").over(w_in)).cast(_D).alias("cum1"),
+        )
+    )
+    totals = per_bucket.agg(
+        F.sum("t0").cast("long").alias("n0"), F.sum("t1").cast("long").alias("n1")
+    )
+    j = cum.crossJoin(F.broadcast(totals))
+    return (
+        j.agg(
+            F.max("n0").alias("n0"),
+            F.max("n1").alias("n1"),
+            F.max(
+                F.abs(
+                    F.col("cum0") * F.col("n1").cast(_D)
+                    - F.col("cum1") * F.col("n0").cast(_D)
+                )
+            ).alias("d_num"),
+        )
+        .select(
+            "n0",
+            "n1",
+            # BIGINT output contract: d_num <= n0*n1, i.e. exact until both
+            # samples exceed ~3e9 rows (the internal max stays decimal)
+            F.col("d_num").cast("long").alias("d_num"),
+            F.when(
+                (F.col("n0") == 0) | (F.col("n1") == 0), F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.round(
+                    F.col("d_num").cast("double")
+                    / (F.col("n0").cast(_D) * F.col("n1").cast(_D)).cast("double"),
+                    6,
+                )
+            )
+            .alias("ks"),
+        )
+    )
+
+
+def mann_whitney(
+    df: DataFrame, value: str, side: str, groups: Sequence[str] = ()
+) -> DataFrame:
+    """Per-group Mann-Whitney U test (rank-sum) with tie-corrected normal
+    approximation — the nonparametric two-sample location test, built on
+    the same doubled-fractional-rank discipline as spearman_corr: every
+    rank sum is an exact bigint, the tie term T = Σ(t³−t) an exact
+    decimal, and z's numerator/denominator are exact decimals dropped to
+    double only for the final correctly-rounded sqrt/divide chain.
+
+    With doubled ranks: U₂ = 2·U1 = ΣR₂(side=1) − n1(n1+1) (exact), mean
+    μ₂ = n1·n0, and σ₂² = n1·n0·((n+1)·n·(n−1) − T) / (3·n·(n−1)).
+    Output: groups + (n0, n1, u, z) where u = U₂/2 (exact halving).
+    One group-keyed exchange, one in-partition rank sort, one aggregate."""
+    gx = list(groups)
+    d = df.select(
+        *gx,
+        F.col(side).cast("long").alias("__s"),
+        _rank2(gx, value).alias("r2"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(*gx, value))
+        .cast("long")
+        .alias("__t"),
+    )
+    a = d.groupBy(*gx).agg(
+        F.sum(1 - F.col("__s")).cast("long").alias("n0"),
+        F.sum("__s").cast("long").alias("n1"),
+        F.sum((F.col("__s") * F.col("r2")).cast(_D)).alias("r1sum"),
+        # each value-tie block of size t contributes t rows of (t^2 - 1):
+        # sum over rows of (t^2 - 1) == sum over blocks of (t^3 - t)
+        F.sum((F.col("__t") * F.col("__t") - 1).cast(_D)).alias("tie_t"),
+    )
+    n0, n1 = F.col("n0").cast(_D), F.col("n1").cast(_D)
+    n = (F.col("n0") + F.col("n1")).cast(_D)
+    u2 = F.col("r1sum") - n1 * (n1 + 1)
+    var_num = (n0 * n1 * ((n + 1) * n * (n - 1) - F.col("tie_t"))).cast("double")
+    var_den = (3 * n * (n - 1)).cast("double")
+    sigma2 = F.sqrt(var_num / var_den)
+    undef = (F.col("n0") == 0) | (F.col("n1") == 0) | (sigma2 == 0)
+    return a.select(
+        *gx,
+        F.col("n0"),
+        F.col("n1"),
+        (u2.cast("double") / 2).alias("u"),
+        F.when(undef, F.lit(None).cast("double"))
+        .otherwise(F.round((u2 - n1 * n0).cast("double") / sigma2, 6))
         .alias("z"),
     )
 

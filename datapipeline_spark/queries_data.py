@@ -2794,15 +2794,23 @@ t AS (
          sum(o) OVER (PARTITION BY y) AS c_tot,
          sum(o) OVER () AS n_tot
   FROM cells
+),
+a AS (
+  SELECT max(n_tot)::BIGINT AS n,
+         count(DISTINCT x)::BIGINT AS r,
+         count(DISTINCT y)::BIGINT AS c,
+         ((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1))::BIGINT AS dof,
+         sum(floor((o * o * n_tot)::DOUBLE / (r_tot * c_tot)::DOUBLE * 1e6
+                   + 0.5::DOUBLE)::BIGINT)::DOUBLE / 1e6
+           - max(n_tot)::DOUBLE AS chi2_raw
+  FROM t
 )
-SELECT max(n_tot)::BIGINT AS n,
-       count(DISTINCT x)::BIGINT AS r,
-       count(DISTINCT y)::BIGINT AS c,
-       ((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1))::BIGINT AS dof,
-       round(sum(floor((o * o * n_tot)::DOUBLE / (r_tot * c_tot)::DOUBLE * 1e6
-                       + 0.5::DOUBLE)::BIGINT)::DOUBLE / 1e6
-             - max(n_tot)::DOUBLE, 6) AS chi2
-FROM t
+SELECT n, r, c, dof, round(chi2_raw, 6) AS chi2,
+       CASE WHEN dof = 0 THEN NULL
+            ELSE round(sqrt(greatest(chi2_raw, 0::DOUBLE)
+                            / (n::DOUBLE * least(r - 1, c - 1)::DOUBLE)), 6)
+       END AS cramers_v
+FROM a
 """,
 )
 def q_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2995,6 +3003,99 @@ def q_equidepth_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("lo_cents"),
         F.max("cents").alias("hi_cents"),
     )
+
+
+@query(
+    "ks_price_urgent",
+    """
+WITH d AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS s
+  FROM orders
+),
+g AS (SELECT v, sum(1 - s)::HUGEINT AS d0, sum(s)::HUGEINT AS d1 FROM d GROUP BY v),
+c AS (
+  SELECT sum(d0) OVER (ORDER BY v) AS cum0,
+         sum(d1) OVER (ORDER BY v) AS cum1
+  FROM g
+),
+t AS (SELECT sum(d0)::BIGINT AS n0, sum(d1)::BIGINT AS n1 FROM g)
+SELECT n0, n1,
+       max(abs(cum0 * n1 - cum1 * n0))::BIGINT AS d_num,
+       round(max(abs(cum0 * n1 - cum1 * n0))::DOUBLE
+             / (n0::HUGEINT * n1)::DOUBLE, 6) AS ks
+FROM c, t GROUP BY n0, n1
+""",
+)
+def q_ks_price_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between urgent and
+    non-urgent order price distributions (operators/stats.ks_test):
+    D = max|cum0·n1 − cum1·n0|/(n0·n1) with the maximized numerator an
+    exact decimal/HUGEINT integer. The Spark side's cumulative counts use
+    the two-phase monotone-bucket scheme (price high bits as the bucket
+    prefix) — per-bucket parallel cumsums + a bounded offsets window,
+    never a single-partition row window (the engine-tiny oracle is
+    allowed one)."""
+    from datapipeline_spark.operators.stats import ks_test
+
+    d = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("s"),
+    )
+    return ks_test(d, "v", "s")
+
+
+@query(
+    "mw_price_returnflag",
+    """
+WITH d AS (
+  SELECT l_linestatus,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS s,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+),
+r AS (
+  SELECT l_linestatus, s,
+         2 * rank() OVER (PARTITION BY l_linestatus ORDER BY v)
+           + count(*) OVER (PARTITION BY l_linestatus, v) - 1 AS r2,
+         count(*) OVER (PARTITION BY l_linestatus, v) AS t
+  FROM d
+),
+a AS (
+  SELECT l_linestatus, sum(1 - s)::BIGINT AS n0, sum(s)::BIGINT AS n1,
+         sum((s * r2)::HUGEINT) AS r1sum,
+         sum((t * t - 1)::HUGEINT) AS tie_t
+  FROM r GROUP BY 1
+)
+SELECT l_linestatus, n0, n1,
+       (r1sum - n1::HUGEINT * (n1 + 1))::DOUBLE / 2 AS u,
+       round(((r1sum - n1::HUGEINT * (n1 + 1)) - n1::HUGEINT * n0)::DOUBLE
+             / sqrt((n0::HUGEINT * n1
+                     * (((n0 + n1)::HUGEINT + 1) * (n0 + n1)::HUGEINT
+                        * ((n0 + n1)::HUGEINT - 1) - tie_t))::DOUBLE
+                    / (3 * (n0 + n1)::HUGEINT
+                       * ((n0 + n1)::HUGEINT - 1))::DOUBLE), 6) AS z
+FROM a
+""",
+)
+def q_mw_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-linestatus Mann-Whitney U test of returned vs kept line price
+    distributions (operators/stats.mann_whitney): doubled fractional ranks
+    keep every rank sum exact-integer (the spearman discipline), the tie
+    correction Σ(t³−t) accumulates as a per-row exact decimal, and only
+    the final sqrt/divide chain touches float — so both U and the
+    tie-corrected z hash-match. One group-keyed exchange + rank sort +
+    one aggregate."""
+    from datapipeline_spark.operators.stats import mann_whitney
+
+    d = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("s"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    return mann_whitney(d, "v", "s", ["l_linestatus"])
 
 
 def _benford_sql() -> str:

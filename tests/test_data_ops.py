@@ -867,6 +867,8 @@ def test_chi_square_known_values(spark):
     r = chi_square(d, "x", "y").collect()[0]
     assert (r.n, r.r, r.c, r.dof) == (60, 2, 2, 1)
     assert abs(r.chi2 - 20 / 3) < 1e-5
+    # Cramer's V for 2x2 = sqrt(chi2 / n)
+    assert abs(r.cramers_v - math.sqrt((20 / 3) / 60)) < 1e-5
 
     # absent cell (b,q): identity sum O^2*N/(R*C) - N must absorb it exactly
     rows2 = [("a", "p")] * 2 + [("a", "q")] * 2 + [("b", "p")] * 2

@@ -724,3 +724,24 @@ def test_benford_single_aggregation(spark):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert _shuffles(plan) <= 2
+
+
+def test_ks_two_phase_no_row_range_partitioning(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["ks_price_urgent"][0](spark, SF))
+    # cumulative counts ride per-bucket windows + a broadcast offsets join;
+    # no range partitioning of the row stream
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_mann_whitney_one_exchange_rank_sort(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["mw_price_returnflag"][0](spark, SF))
+    # one group-keyed exchange feeds the rank sort; one aggregate after
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert _shuffles(plan) <= 2

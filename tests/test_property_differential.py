@@ -536,3 +536,63 @@ def test_ols_matches_pure_python(spark, xy):
         assert r.r2 is None
     else:
         assert abs(r.r2 - cov * cov / (vx * vy)) < 1e-5
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.booleans()), min_size=4, max_size=100
+    ).filter(lambda xs: any(s for _, s in xs) and any(not s for _, s in xs))
+)
+@settings(max_examples=25, deadline=None)
+def test_ks_matches_pure_python(spark, data):
+    from datapipeline_spark.operators.stats import ks_test
+
+    rows = [(v, int(s)) for v, s in data]
+    df = spark.createDataFrame(rows, "v long, s long")
+    r = ks_test(df, "v", "s", bucket_shift=2).collect()[0]
+    n0 = sum(1 for _, s in rows if s == 0)
+    n1 = len(rows) - n0
+    vals = sorted({v for v, _ in rows})
+    c0 = c1 = best = 0
+    for v in vals:
+        c0 += sum(1 for x, s in rows if x == v and s == 0)
+        c1 += sum(1 for x, s in rows if x == v and s == 1)
+        best = max(best, abs(c0 * n1 - c1 * n0))
+    assert (r.n0, r.n1, r.d_num) == (n0, n1, best)
+    assert abs(r.ks - best / (n0 * n1)) < 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.booleans()), min_size=4, max_size=80
+    ).filter(lambda xs: any(s for _, s in xs) and any(not s for _, s in xs))
+)
+@settings(max_examples=25, deadline=None)
+def test_mann_whitney_matches_pure_python(spark, data):
+    from datapipeline_spark.operators.stats import mann_whitney
+
+    rows = [(v, int(s)) for v, s in data]
+    df = spark.createDataFrame(rows, "v long, s long")
+    r = mann_whitney(df, "v", "s").collect()[0]
+    n0 = sum(1 for _, s in rows if s == 0)
+    n1 = len(rows) - n0
+    n = n0 + n1
+    # average ranks
+    by_v: dict = {}
+    for v, _ in rows:
+        by_v[v] = by_v.get(v, 0) + 1
+    start, avg_rank = 1, {}
+    for v in sorted(by_v):
+        t = by_v[v]
+        avg_rank[v] = start + (t - 1) / 2
+        start += t
+    r1 = sum(avg_rank[v] for v, s in rows if s == 1)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert abs(r.u - u1) < 1e-9
+    tie = sum(t ** 3 - t for t in by_v.values())
+    var = n0 * n1 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    if var == 0:
+        assert r.z is None
+    else:
+        want = (u1 - n0 * n1 / 2) / math.sqrt(var)
+        assert abs(r.z - want) < 1e-5
