@@ -45,6 +45,8 @@ HEADLINE = [
     "benford_order_prices",
     "ks_price_urgent",
     "mw_price_returnflag",
+    "pearson_qty_discount",
+    "acf7_daily_revenue",
     "bloom_prefilter_revenue",
     "q1_pricing_summary",
     "revenue_by_nation",

@@ -93,6 +93,59 @@ def hhi(
     )
 
 
+def pearson_corr(
+    df: DataFrame, x: str, y: str, groups: Sequence[str] = (), out: str = "pearson"
+) -> DataFrame:
+    """Per-group Pearson correlation of exact-integer columns, the signed
+    companion to ols' r²: r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+    with all five sums exact decimal(38,0) from ONE map-side-combined
+    aggregate and the same correctly-rounded sqrt/divide chain as
+    spearman_corr (which is this function on doubled ranks). Output:
+    groups + (n, <out>) rounded to 6 decimals; NULL when either variance
+    is zero."""
+    gx = list(groups)
+    xc, yc = F.col(x).cast(_D), F.col(y).cast(_D)
+    a = df.groupBy(*gx).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xc).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum(yc * yc).alias("syy"),
+        F.sum(xc * yc).alias("sxy"),
+    )
+    n = F.col("n").cast(_D)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    corr = F.when((vx == 0) | (vy == 0), F.lit(None).cast("double")).otherwise(
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6)
+    )
+    return a.select(*gx, F.col("n"), corr.alias(out))
+
+
+def autocorr(
+    df: DataFrame,
+    value: str,
+    lag: int,
+    groups: Sequence[str] = (),
+    order_by: str = "time",
+    out: str = "acf",
+) -> DataFrame:
+    """Per-group autocorrelation at ``lag``: Pearson correlation between
+    the series and its lag-k self over the overlap rows (the standard
+    sample ACF up to the mean convention — per-overlap means, which makes
+    it exactly a Pearson pair and keeps every sum exact-integer).
+    One window (group-keyed exchange + in-partition sort) then the
+    pearson_corr aggregate. ``value`` must be an exact-integer column."""
+    gx = list(groups)
+    w = Window.partitionBy(*gx).orderBy(order_by)
+    d = (
+        df.select(*gx, F.col(value).alias("__y"), F.lag(value, lag).over(w).alias("__yl"))
+        .filter(F.col("__yl").isNotNull())
+    )
+    return pearson_corr(d, "__yl", "__y", gx, out=out)
+
+
 def chi_square(df: DataFrame, x: str, y: str) -> DataFrame:
     """Chi-square test of independence between two categorical columns.
 

@@ -3006,6 +3006,95 @@ def q_equidepth_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pearson_qty_discount",
+    """
+WITH d AS (
+  SELECT l_returnflag, l_quantity::BIGINT AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+a AS (
+  SELECT l_returnflag, count(*)::HUGEINT AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+         sum(x::HUGEINT * y) AS sxy
+  FROM d GROUP BY 1
+)
+SELECT l_returnflag, n::BIGINT AS n,
+       round((n*sxy - sx*sy)::DOUBLE
+             / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)),
+             6) AS pearson
+FROM a
+""",
+)
+def q_pearson_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation of quantity vs discount
+    percentage (operators/stats.pearson_corr): the signed companion to
+    ols' r², five exact decimal(38,0)/HUGEINT sums from one
+    map-side-combined aggregate, correctly-rounded sqrt/divide chain —
+    hash-matches. No sort, no join."""
+    from datapipeline_spark.operators.stats import pearson_corr
+
+    d = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    return pearson_corr(d, "x", "y", ["l_returnflag"])
+
+
+@query(
+    "acf7_daily_revenue",
+    """
+WITH daily AS (
+  SELECT o_orderpriority, o_orderdate::DATE AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+),
+l AS (
+  SELECT o_orderpriority, cents AS y,
+         lag(cents, 7) OVER (PARTITION BY o_orderpriority ORDER BY day) AS yl
+  FROM daily
+),
+a AS (
+  SELECT o_orderpriority, count(*)::HUGEINT AS n,
+         sum(yl::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(yl::HUGEINT * yl) AS sxx, sum(y::HUGEINT * y) AS syy,
+         sum(yl::HUGEINT * y) AS sxy
+  FROM l WHERE yl IS NOT NULL GROUP BY 1
+)
+SELECT o_orderpriority, n::BIGINT AS n,
+       round((n*sxy - sx*sy)::DOUBLE
+             / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)),
+             6) AS acf
+FROM a
+""",
+)
+def q_acf7_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality check: lag-7 autocorrelation of the daily revenue
+    series per order priority (operators/stats.autocorr) — one window
+    (priority-keyed exchange + in-partition day sort) feeding the exact
+    Pearson aggregate over the overlap. The companion diagnostic to
+    seasonal_naive_mae: the ACF says whether the lag-7 baseline is even
+    plausible. Exact integer cents throughout; only the final
+    sqrt/divide chain is float."""
+    from datapipeline_spark.operators.stats import autocorr
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority", F.col("o_orderdate").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    return autocorr(
+        daily, "cents", 7, ["o_orderpriority"], order_by="day", out="acf"
+    )
+
+
+@query(
     "ks_price_urgent",
     """
 WITH d AS (

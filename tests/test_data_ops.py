@@ -1002,3 +1002,31 @@ def test_benford_known_distribution(spark):
     z = spark.createDataFrame([(0,), (-5,), (123,)], "v long")
     got = benford(z, "v").collect()
     assert len(got) == 1 and got[0].digit == 1 and got[0].observed == 1
+
+
+def test_pearson_and_autocorr_known_values(spark):
+    from datapipeline_spark.operators.stats import autocorr, pearson_corr
+
+    # exact linear -> 1; anti-linear -> -1
+    d = spark.createDataFrame(
+        [(i, 2 * i + 3, -i) for i in range(1, 30)], "x long, up long, down long"
+    )
+    assert pearson_corr(d, "x", "up").collect()[0].pearson == 1.0
+    assert pearson_corr(d, "x", "down").collect()[0].pearson == -1.0
+    # constant -> NULL
+    c = spark.createDataFrame([(1, 5), (2, 5)], "x long, y long")
+    assert pearson_corr(c, "x", "y").collect()[0].pearson is None
+    # period-2 alternating series: lag-2 ACF = 1, lag-1 ACF = -1
+    s = spark.createDataFrame(
+        [(t, 10 if t % 2 == 0 else -10) for t in range(20)], "time long, v long"
+    )
+    assert autocorr(s, "v", 2).collect()[0].acf == 1.0
+    assert autocorr(s, "v", 1).collect()[0].acf == -1.0
+    # grouped + partition invariance
+    g = spark.createDataFrame(
+        [("a", t, t % 3) for t in range(12)] + [("b", t, 7) for t in range(6)],
+        "k string, time long, v long",
+    )
+    one = {r.k: r.acf for r in autocorr(g, "v", 3, ["k"]).collect()}
+    two = {r.k: r.acf for r in autocorr(g.repartition(5), "v", 3, ["k"]).collect()}
+    assert one == two and one["a"] == 1.0 and one["b"] is None
