@@ -181,6 +181,65 @@ def cmd_checksum(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Run one of the hypothesis tests / association measures on a parquet
+    table from the shell (operators/stats.py). Exact-integer discipline:
+    tests that require integer inputs (ks, benford, pearson, ols) reject
+    float columns — pre-scale to integer units (cents) first, exactly like
+    the checksum contract."""
+    from datapipeline_spark.operators import stats as S
+    from datapipeline_spark.sources.readers import read_parquet_glob
+
+    spark = _spark(args)
+    df = read_parquet_glob(spark, args.path)
+    groups = args.by.split(",") if args.by else []
+    int_types = ("int", "bigint", "smallint", "tinyint", "long")
+    dtypes = dict(df.dtypes)
+
+    def _need_int(*cols: str) -> bool:
+        bad = [c for c in cols if dtypes.get(c) not in int_types]
+        if bad:
+            print(
+                f"error: {args.test} requires exact-integer columns; "
+                f"{bad} are not — pre-scale to integer units (cents)",
+                file=sys.stderr,
+            )
+            return False
+        return True
+
+    if args.test == "ks":
+        if not _need_int(args.value):
+            return 2
+        out = S.ks_test(df, args.value, args.side)
+    elif args.test == "mw":
+        out = S.mann_whitney(df, args.value, args.side, groups)
+    elif args.test == "ztest":
+        out = S.proportion_ztest(df, args.side, args.value, groups)
+    elif args.test == "chi2":
+        out = S.chi_square(df, args.x, args.y)
+    elif args.test == "pearson":
+        if not _need_int(args.x, args.y):
+            return 2
+        out = S.pearson_corr(df, args.x, args.y, groups)
+    elif args.test == "spearman":
+        out = S.spearman_corr(df, args.x, args.y, groups)
+    elif args.test == "benford":
+        if not _need_int(args.value):
+            return 2
+        out = S.benford(df, args.value)
+    else:  # pragma: no cover - argparse choices guard
+        raise ValueError(args.test)
+    rows = out.collect()
+    if not rows:
+        print("(no rows)")
+        return 0
+    cols = rows[0].__fields__
+    print("\t".join(cols))
+    for r in rows:
+        print("\t".join(str(r[c]) for c in cols))
+    return 0
+
+
 def cmd_clean(args) -> int:
     from datapipeline_spark.plans.scaffold import clean
 
@@ -209,6 +268,21 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("--cols", default=None, help="comma-separated columns (default: all non-float)")
     ck.add_argument("--buckets", type=int, default=16)
     ck.set_defaults(fn=cmd_checksum)
+
+    stt = sub.add_parser(
+        "stats", help="hypothesis tests / association measures on a parquet table"
+    )
+    stt.add_argument(
+        "test",
+        choices=["ks", "mw", "ztest", "chi2", "pearson", "spearman", "benford"],
+    )
+    stt.add_argument("path", help="parquet file/dir")
+    stt.add_argument("--value", default=None, help="value column (ks/mw/benford) or success 0-1 column (ztest)")
+    stt.add_argument("--side", default=None, help="0/1 sample/arm column (ks/mw/ztest)")
+    stt.add_argument("-x", default=None, help="first column (chi2/pearson/spearman)")
+    stt.add_argument("-y", default=None, help="second column (chi2/pearson/spearman)")
+    stt.add_argument("--by", default=None, help="comma-separated group columns")
+    stt.set_defaults(fn=cmd_stats)
 
     s = sub.add_parser("serve", help="build dataset and write fold outputs")
     s.add_argument("project")

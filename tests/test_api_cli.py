@@ -247,3 +247,35 @@ def test_cli_checksum(spark, tmp_path, capsys):
     # float columns are rejected (digest strings are not engine-portable)
     rc = cli.main(["checksum", p, "--cols", "k,f"])
     assert rc == 2
+
+
+def test_cli_stats(spark, tmp_path, capsys):
+    from datapipeline_spark import cli
+
+    p = str(tmp_path / "s.parquet")
+    spark.range(400).selectExpr(
+        "cast(id % 2 as bigint) AS s",
+        "cast(id % 40 + 1 as bigint) AS v",
+        "cast(id % 5 = 0 as int) + cast(0 as bigint) AS conv",
+        "cast(id as double) AS f",
+    ).write.parquet(p)
+
+    rc = cli.main(["stats", "ks", p, "--value", "v", "--side", "s"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.splitlines()[0].split("\t") == ["n0", "n1", "d_num", "ks"]
+
+    rc = cli.main(["stats", "ztest", p, "--value", "conv", "--side", "s"])
+    out = capsys.readouterr().out
+    assert rc == 0 and out.splitlines()[0].split("\t") == ["n0", "c0", "n1", "c1", "z"]
+
+    rc = cli.main(["stats", "mw", p, "--value", "v", "--side", "s"])
+    assert rc == 0
+
+    # integer discipline: float value column rejected for ks/benford/pearson
+    rc = cli.main(["stats", "ks", p, "--value", "f", "--side", "s"])
+    assert rc == 2
+    rc = cli.main(["stats", "pearson", p, "-x", "f", "-y", "v"])
+    assert rc == 2
+    rc = cli.main(["stats", "spearman", p, "-x", "f", "-y", "v"])
+    assert rc == 0  # rank-based: floats are fine
