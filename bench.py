@@ -47,6 +47,7 @@ HEADLINE = [
     "mw_price_returnflag",
     "pearson_qty_discount",
     "acf7_daily_revenue",
+    "welch_price_returnflag",
     "bloom_prefilter_revenue",
     "q1_pricing_summary",
     "revenue_by_nation",

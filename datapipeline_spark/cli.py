@@ -213,6 +213,10 @@ def cmd_stats(args) -> int:
         out = S.ks_test(df, args.value, args.side)
     elif args.test == "mw":
         out = S.mann_whitney(df, args.value, args.side, groups)
+    elif args.test == "welch":
+        if not _need_int(args.value):
+            return 2
+        out = S.welch_ttest(df, args.value, args.side, groups)
     elif args.test == "ztest":
         out = S.proportion_ztest(df, args.side, args.value, groups)
     elif args.test == "chi2":
@@ -274,7 +278,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     stt.add_argument(
         "test",
-        choices=["ks", "mw", "ztest", "chi2", "pearson", "spearman", "benford"],
+        choices=["ks", "mw", "welch", "ztest", "chi2", "pearson", "spearman", "benford"],
     )
     stt.add_argument("path", help="parquet file/dir")
     stt.add_argument("--value", default=None, help="value column (ks/mw/benford) or success 0-1 column (ztest)")

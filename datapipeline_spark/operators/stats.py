@@ -431,6 +431,59 @@ def mann_whitney(
     )
 
 
+def welch_ttest(
+    df: DataFrame, value: str, side: str, groups: Sequence[str] = ()
+) -> DataFrame:
+    """Per-group Welch's unequal-variance t-test on an exact-integer value
+    column — the parametric companion to mann_whitney. One
+    map-side-combined aggregation yields the exact decimal(38,0) sums
+    (n, Σy, Σy²) per side carried in a single pass via conditional sums;
+    means, sample variances, the t statistic
+    t = (m1 − m0) / sqrt(s0²/n0 + s1²/n1) and the Welch-Satterthwaite
+    degrees of freedom are fixed IEEE chains (+,−,*,/ and one sqrt) over
+    those exact sums, so both outputs hash-match a SQL oracle. No sort,
+    no join. Output: groups + (n0, n1, t, df_welch)."""
+    gx = list(groups)
+    s = F.col(side).cast("long")
+    yc = F.col(value).cast(_D)
+    a = df.groupBy(*gx).agg(
+        F.sum(1 - s).cast("long").alias("n0"),
+        F.sum(s).cast("long").alias("n1"),
+        F.sum(yc * (1 - s)).alias("s0"),
+        F.sum(yc * s).alias("s1"),
+        F.sum(yc * yc * (1 - s)).alias("q0"),
+        F.sum(yc * yc * s).alias("q1"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    n0, n1 = F.col("n0").cast(_D), F.col("n1").cast(_D)
+    m0 = F.col("s0").cast("double") / n0d
+    m1 = F.col("s1").cast("double") / n1d
+    # sample variance: (nΣy² - (Σy)²) / (n(n-1)) — numerator exact decimal
+    v0 = (n0 * F.col("q0") - F.col("s0") * F.col("s0")).cast("double") / (
+        n0 * (n0 - 1)
+    ).cast("double")
+    v1 = (n1 * F.col("q1") - F.col("s1") * F.col("s1")).cast("double") / (
+        n1 * (n1 - 1)
+    ).cast("double")
+    a0, a1 = v0 / n0d, v1 / n1d
+    se = F.sqrt(a0 + a1)
+    dof = (a0 + a1) * (a0 + a1) / (
+        a0 * a0 / (n0d - 1) + a1 * a1 / (n1d - 1)
+    )
+    undef = (F.col("n0") < 2) | (F.col("n1") < 2) | (se == 0)
+    return a.select(
+        *gx,
+        F.col("n0"),
+        F.col("n1"),
+        F.when(undef, F.lit(None).cast("double"))
+        .otherwise(F.round((m1 - m0) / se, 6))
+        .alias("t"),
+        F.when(undef, F.lit(None).cast("double"))
+        .otherwise(F.round(dof, 2))
+        .alias("df_welch"),
+    )
+
+
 #: Benford first-digit shares log10(1 + 1/d), computed once in Python and
 #: embedded as DOUBLE literals on BOTH engines — no libm call at query time
 #: (ln/log10 are not bit-stable cross-engine; literals are).

@@ -3095,6 +3095,56 @@ def q_acf7_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "welch_price_returnflag",
+    """
+WITH d AS (
+  SELECT l_linestatus,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS s,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+a AS (
+  SELECT l_linestatus,
+         sum(1 - s)::BIGINT AS n0, sum(s)::BIGINT AS n1,
+         sum((y * (1 - s))::HUGEINT) AS s0, sum((y * s)::HUGEINT) AS s1,
+         sum((y::HUGEINT * y) * (1 - s)) AS q0, sum((y::HUGEINT * y) * s) AS q1
+  FROM d GROUP BY 1
+),
+t AS (
+  SELECT l_linestatus, n0, n1,
+         s1::DOUBLE / n1::DOUBLE - s0::DOUBLE / n0::DOUBLE AS diff,
+         ((n0::HUGEINT * q0 - s0 * s0)::DOUBLE
+          / (n0::HUGEINT * (n0::HUGEINT - 1))::DOUBLE) / n0::DOUBLE AS a0,
+         ((n1::HUGEINT * q1 - s1 * s1)::DOUBLE
+          / (n1::HUGEINT * (n1::HUGEINT - 1))::DOUBLE) / n1::DOUBLE AS a1
+  FROM a
+)
+SELECT l_linestatus, n0, n1,
+       round(diff / sqrt(a0 + a1), 6) AS t,
+       round((a0 + a1) * (a0 + a1)
+             / (a0 * a0 / (n0::DOUBLE - 1) + a1 * a1 / (n1::DOUBLE - 1)), 2)
+         AS df_welch
+FROM t
+""",
+)
+def q_welch_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-linestatus Welch's t-test of returned vs kept line price means
+    (operators/stats.welch_ttest) — the parametric companion to
+    mw_price_returnflag: one conditional-sum aggregation carries both
+    sides' exact decimal/HUGEINT sums in a single pass; t and the
+    Welch-Satterthwaite dof are fixed IEEE chains, so both hash-match.
+    No sort, no join."""
+    from datapipeline_spark.operators.stats import welch_ttest
+
+    d = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("s"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    return welch_ttest(d, "y", "s", ["l_linestatus"])
+
+
+@query(
     "ks_price_urgent",
     """
 WITH d AS (

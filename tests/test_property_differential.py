@@ -596,3 +596,35 @@ def test_mann_whitney_matches_pure_python(spark, data):
     else:
         want = (u1 - n0 * n1 / 2) / math.sqrt(var)
         assert abs(r.z - want) < 1e-5
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-500, 500), st.booleans()), min_size=4, max_size=80
+    ).filter(
+        lambda xs: sum(1 for _, s in xs if s) >= 2
+        and sum(1 for _, s in xs if not s) >= 2
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_welch_matches_pure_python(spark, data):
+    from datapipeline_spark.operators.stats import welch_ttest
+
+    rows = [(v, int(s)) for v, s in data]
+    df = spark.createDataFrame(rows, "y long, s long")
+    r = welch_ttest(df, "y", "s").collect()[0]
+    g0 = [v for v, s in rows if s == 0]
+    g1 = [v for v, s in rows if s == 1]
+    n0, n1 = len(g0), len(g1)
+    assert (r.n0, r.n1) == (n0, n1)
+    m0, m1 = sum(g0) / n0, sum(g1) / n1
+    v0 = sum((x - m0) ** 2 for x in g0) / (n0 - 1)
+    v1 = sum((x - m1) ** 2 for x in g1) / (n1 - 1)
+    a0, a1 = v0 / n0, v1 / n1
+    if a0 + a1 == 0:
+        assert r.t is None and r.df_welch is None
+        return
+    assert abs(r.t - (m1 - m0) / math.sqrt(a0 + a1)) < 1e-4
+    if a0 * a0 / (n0 - 1) + a1 * a1 / (n1 - 1) > 0:
+        want_df = (a0 + a1) ** 2 / (a0 * a0 / (n0 - 1) + a1 * a1 / (n1 - 1))
+        assert abs(r.df_welch - want_df) < 0.05
