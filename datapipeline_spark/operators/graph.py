@@ -185,6 +185,52 @@ def kcore_nodes(
     raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
 
 
+def sssp_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Single/multi-source shortest paths with non-negative INTEGER edge
+    weights (Bellman-Ford relaxation, fixed rounds) — the weighted
+    companion to bfs_distances. Returns (node, dist); nodes not reached
+    within ``rounds`` relaxations are excluded, and a path using more than
+    ``rounds`` edges may report a longer-than-optimal distance (the capped
+    horizon is the documented semantics, same as BFS — an oracle that
+    unrolls the same number of rounds matches exactly).
+
+    Each round relaxes EVERY settled node's out-edges: one join keyed on
+    the edge source + one min aggregate, then a min-merge with the current
+    distances — exact integer arithmetic throughout, monotone
+    non-increasing, so the result is partition- and order-independent.
+    Lineage is checkpointed per round like the other iterative operators.
+    """
+    dist = sources.select(F.col("node")).distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    if checkpoint:
+        dist = dist.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(edges, dist["node"] == edges[src])
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("dist") + F.col(weight)).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint:
+            dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 4,

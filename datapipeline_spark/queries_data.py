@@ -3280,6 +3280,79 @@ def q_benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford(d, "cents")
 
 
+def _sssp_sql(rounds: int = 3) -> str:
+    """Unrolled Bellman-Ford oracle: each round is relax + min-merge; the
+    capped-round semantics match the operator exactly. Every multi-
+    referenced CTE is MATERIALIZED (DuckDB inlines by default — the
+    unrolled chain would otherwise go exponential)."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b,
+         min((a.l_quantity + b.l_quantity)::BIGINT) AS w
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+)""",
+        """d0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, 0::BIGINT AS dist FROM e0 WHERE a % 500 = 0
+)""",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"r{i} AS (SELECT e.b AS node, d.dist + e.w AS dist\n"
+            f"  FROM d{i} d JOIN e0 e ON d.node = e.a),\n"
+            f"d{i + 1} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (\n"
+            f"  SELECT node, dist FROM d{i} UNION ALL SELECT node, dist FROM r{i}\n"
+            f") GROUP BY node)"
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH li AS (SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_orderkey % 5 = 0),
+{chain}
+SELECT node AS p_partkey, dist FROM d{rounds}
+"""
+
+
+@query("sssp_parts", _sssp_sql())
+def q_sssp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths on the scoped co-purchase graph
+    (operators/graph.sssp_distances): Bellman-Ford relaxation from the
+    partkey%500 source set, edge weight = min combined quantity over the
+    shared orders, 3 fixed rounds — exact integer min-plus arithmetic, so
+    the unrolled relax/min-merge oracle matches bit-for-bit. Per round one
+    source-keyed join + one min aggregate; the weighted companion to
+    bfs_parts, completing the graph family. Correctness-only
+    (construction-eager like the other iterative entries)."""
+    from datapipeline_spark.operators.graph import sssp_distances
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("__o"),
+        F.col("l_partkey").alias("src"),
+        F.col("l_quantity").alias("qa"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("__o"),
+        F.col("l_partkey").alias("dst"),
+        F.col("l_quantity").alias("qb"),
+    )
+    edges = (
+        a.join(b, "__o")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min((F.col("qa") + F.col("qb")).cast("long")).alias("w"))
+    )
+    sources = edges.filter(F.col("src") % 500 == 0).select(
+        F.col("src").alias("node")
+    ).distinct()
+    return sssp_distances(edges, sources, rounds=3).select(
+        F.col("node").alias("p_partkey"), "dist"
+    )
+
+
 def _lpa_sql(rounds: int = 4) -> str:
     """Unrolled synchronous-LPA oracle. Each round's winner-per-node is a
     row_number over the (node, label) vote counts ordered (c DESC, lab) —

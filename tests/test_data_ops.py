@@ -1030,3 +1030,25 @@ def test_pearson_and_autocorr_known_values(spark):
     one = {r.k: r.acf for r in autocorr(g, "v", 3, ["k"]).collect()}
     two = {r.k: r.acf for r in autocorr(g.repartition(5), "v", 3, ["k"]).collect()}
     assert one == two and one["a"] == 1.0 and one["b"] is None
+
+
+def test_sssp_weighted_path(spark):
+    from datapipeline_spark.operators.graph import sssp_distances
+
+    # 1 -2-> 2 -3-> 3; direct 1 -10-> 3: shortest 1->3 is 5 via 2
+    e = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 3), (1, 3, 10), (2, 1, 2), (3, 2, 3), (3, 1, 10)],
+        "src long, dst long, w long",
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in sssp_distances(e, srcs, rounds=3, checkpoint=False).collect()
+    }
+    assert got == {1: 0, 2: 2, 3: 5}
+    # capped horizon: 1 round can't take the 2-hop path yet
+    one = {
+        r.node: r.dist
+        for r in sssp_distances(e, srcs, rounds=1, checkpoint=False).collect()
+    }
+    assert one == {1: 0, 2: 2, 3: 10}
