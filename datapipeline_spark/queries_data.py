@@ -3408,3 +3408,48 @@ def q_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=4).select(
         F.col("node").alias("p_partkey"), "community"
     )
+
+
+@query(
+    "heavy_hitter_tokens",
+    """
+WITH tok AS (
+  SELECT lower(t) AS term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS u(t)
+  WHERE t <> ''
+),
+tot AS (SELECT count(*) AS total FROM tok),
+c AS (SELECT term, count(*) AS n FROM tok GROUP BY term)
+SELECT term, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+       CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+FROM c, tot WHERE n * 201 > total
+""",
+)
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the token stream (sketch/mg.py —
+    mergeable-summaries MG(k), Agarwal et al. PODS 2012; the reference has
+    no frequency sketches): every token with exact frequency > N/201,
+    found WITHOUT a full-vocabulary groupBy. Pass 1 holds 200 counters per
+    partition (mapInPandas, O(k) memory, zero shuffle of raw tokens) and
+    is guaranteed to retain a superset of the true heavy hitters under any
+    partition layout; pass 2 broadcasts the <= k*partitions candidates
+    back for an exact map-side-combined recount + threshold filter. The
+    output is therefore EXACT — the oracle is plain GROUP BY + HAVING —
+    while executor memory stays independent of vocabulary size (the 100 TB
+    contract; a straight groupBy carries the full token domain as shuffle
+    state). share_ppm is integer arithmetic (n*1e6 DIV total), no FP."""
+    from datapipeline_spark.sketch import heavy_hitters
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+        .select(F.lower(F.col("term")).alias("term"))
+    )
+    hh = heavy_hitters(tok, "term", k=200)
+    return hh.select(
+        "term",
+        "n",
+        "total",
+        F.expr("CAST((n * 1000000) DIV total AS BIGINT)").alias("share_ppm"),
+    )

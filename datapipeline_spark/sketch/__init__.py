@@ -1,4 +1,5 @@
 from datapipeline_spark.sketch.cm import build_cm_sketch, cm_estimate
+from datapipeline_spark.sketch.mg import heavy_hitters, mg_candidates
 from datapipeline_spark.sketch.hll import (
     corrected_estimate,
     hll_estimate,
@@ -10,6 +11,8 @@ from datapipeline_spark.sketch.hll import (
 __all__ = [
     "build_cm_sketch",
     "cm_estimate",
+    "heavy_hitters",
+    "mg_candidates",
     "corrected_estimate",
     "hll_estimate",
     "hll_merge",

@@ -99,3 +99,58 @@ def test_hll_overlap_accuracy(spark):
     assert abs(r.est_union - 50_000) / 50_000 < 0.1
     # inclusion-exclusion amplifies union error by |U|/|I| = 5x -> loose bound
     assert abs(r.est_intersection - 10_000) / 10_000 < 0.35
+
+
+# ---------------------------------------------------------------- Misra-Gries
+
+
+def test_mg_heavy_hitters_exact_vs_groupby(spark):
+    from datapipeline_spark.sketch import heavy_hitters
+
+    # skewed stream: key i appears i^2 times, i in 1..30 -> N = 9455
+    rows = [(i,) for i in range(1, 31) for _ in range(i * i)]
+    df = spark.createDataFrame(rows, "k int")
+    k = 15  # threshold 9455/16 ~ 591 -> keys 25..30 qualify
+    got = {r.k: r.n for r in heavy_hitters(df, "k", k=k).collect()}
+    n_total = len(rows)
+    expect = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r.n * (k + 1) > n_total
+    }
+    assert got == expect and len(expect) > 0
+
+
+def test_mg_partition_invariant(spark):
+    from datapipeline_spark.sketch import heavy_hitters
+
+    rows = [("a",)] * 400 + [("b",)] * 260 + [(f"x{i}",) for i in range(450)]
+    df = spark.createDataFrame(rows, "k string")
+    outs = []
+    for nparts in (1, 3, 13):
+        hh = heavy_hitters(df.repartition(nparts), "k", k=4)
+        outs.append(sorted((r.k, r.n, r.total) for r in hh.collect()))
+    # candidate sweep is layout-dependent; the exact recount is not
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0] == [("a", 400, 1110), ("b", 260, 1110)]  # threshold N/5 = 222
+
+
+def test_mg_candidates_bounded_and_superset(spark):
+    from datapipeline_spark.sketch import heavy_hitters, mg_candidates
+
+    # adversarial: huge distinct tail, k far smaller than the domain
+    rows = [(i % 5000,) for i in range(5000)] + [(7,)] * 900
+    df = spark.createDataFrame(rows, "k int").repartition(8)
+    k = 20
+    cand = mg_candidates(df, "k", k=k).collect()
+    assert len(cand) <= k * 8  # <= k per partition
+    got = {r.k for r in heavy_hitters(df, "k", k=k).collect()}
+    assert got == {7}  # 901/5900 > 1/21; every tail key is 1 or 2
+
+
+def test_mg_nulls_dropped(spark):
+    from datapipeline_spark.sketch import heavy_hitters
+
+    df = spark.createDataFrame([("a",)] * 10 + [(None,)] * 90, "k string")
+    got = {(r.k, r.n, r.total) for r in heavy_hitters(df, "k", k=3).collect()}
+    assert got == {("a", 10, 10)}  # N excludes NULLs; 'a' is 100% of non-null
