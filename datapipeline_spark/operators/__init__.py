@@ -33,6 +33,10 @@ from datapipeline_spark.operators.bloom import (
 )
 from datapipeline_spark.operators.interval import interval_join
 from datapipeline_spark.operators.cdc import apply_changes, snapshot_diff
+from datapipeline_spark.operators.privacy import (
+    k_anonymity_report,
+    suppress_small_classes,
+)
 from datapipeline_spark.operators.expect import (
     Expectation,
     apply_expectations,
@@ -88,6 +92,8 @@ __all__ = [
     "interval_join",
     "apply_changes",
     "snapshot_diff",
+    "k_anonymity_report",
+    "suppress_small_classes",
     "Expectation",
     "expectation_report",
     "apply_expectations",

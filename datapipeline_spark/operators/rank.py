@@ -54,3 +54,36 @@ def bucketed_global_rank(
         .withColumn(out, (F.col("__off__") + F.row_number().over(w_in)).cast("long"))
         .drop("__bucket__", "__off__")
     )
+
+
+def reservoir_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    id_cols: Sequence[str],
+    n: int,
+    seed: str = "rsv",
+    out: str | None = None,
+) -> DataFrame:
+    """Deterministic uniform sample of ``n`` rows per key — the batch twin
+    of per-key reservoir sampling (Vitter 1985), derandomized the corpus-
+    sampling way (hash-order selection, same contract as the md5-membership
+    sampling in the corpus queries): keep the ``n`` rows whose seeded md5
+    over ``id_cols`` sorts first within the key.
+
+    Same-sized-uniform-sample guarantees without RNG state: reproducible
+    across engines/runs/partitionings, refreshable (a re-run on grown data
+    keeps previously chosen rows iff they still rank in the top n), and
+    SQL-oracle-exact. Scale: one keyed shuffle; Spark plans the per-key
+    top-n as WindowGroupLimit, so only n candidate rows per key per map
+    task cross the wire — never the full key group.
+
+    ``id_cols`` must uniquely identify rows within a key (total order, no
+    rank ties). ``out`` optionally keeps the 1-based rank column.
+    """
+    h = F.md5(
+        F.concat_ws("|", F.lit(seed), *[F.col(c).cast("string") for c in id_cols])
+    )
+    w = Window.partitionBy(*key_cols).orderBy(h)
+    rank = out or "__rsv__"
+    res = df.withColumn(rank, F.row_number().over(w)).filter(F.col(rank) <= n)
+    return res if out else res.drop(rank)

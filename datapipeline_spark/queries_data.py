@@ -3453,3 +3453,73 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         F.expr("CAST((n * 1000000) DIV total AS BIGINT)").alias("share_ppm"),
     )
+
+
+@query(
+    "k_anonymity_customers",
+    """
+SELECT c_nationkey,
+       CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+       count(*) AS class_size,
+       count(DISTINCT c_mktsegment) AS l_distinct,
+       CAST(count(*) >= 5 AS INT) AS k_anonymous,
+       CAST(count(DISTINCT c_mktsegment) >= 2 AS INT) AS l_diverse
+FROM customer
+GROUP BY 1, 2
+""",
+)
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (operators/privacy.py — Sweeney
+    2002 / Machanavajjhala 2006; the reference has no privacy surface):
+    equivalence classes over the quasi-identifier tuple (nation,
+    account-balance band), class size vs k=5 and distinct market segments
+    vs l=2. One map-side-combinable aggregation — class count and the
+    distinct-sensitive count share the shuffle; the band is integer
+    floor-division so both engines bucket identically. The enforcement
+    twin (suppress_small_classes) is pytest-pinned to drop exactly the
+    rows of the k_anonymous=0 classes."""
+    from datapipeline_spark.operators.privacy import k_anonymity_report
+
+    c = load_table(spark, sf_dir, "customer").withColumns(
+        {"bal_band": F.floor(F.col("c_acctbal") / 2000).cast("long")}
+    )
+    return k_anonymity_report(
+        c, ["c_nationkey", "bal_band"], "c_mktsegment", k=5, l=2
+    )
+
+
+@query(
+    "reservoir_events_per_user",
+    """
+SELECT user_id, event_id, event_type, pick
+FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY md5('rsv|' || event_id::VARCHAR)
+         ) AS pick
+  FROM events
+) WHERE pick <= 3
+""",
+)
+def q_reservoir_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key reservoir sample (operators/rank.py
+    reservoir_per_key — Vitter 1985 derandomized via seeded-md5 hash order;
+    the reference's only sampling is the preview row limit): 3 uniform
+    events per user, reproducible across engines, runs, and partition
+    layouts — the contract RNG-based sampling cannot give. Spark plans the
+    per-key top-n as WindowGroupLimit (n candidates per key per map task
+    cross the one keyed shuffle, never whole groups); the oracle is the
+    same row_number over the same md5, bit-identical because the hash
+    input bytes are identical."""
+    from datapipeline_spark.operators.rank import reservoir_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return reservoir_per_key(
+        ev.select("user_id", "event_id", "event_type"),
+        ["user_id"],
+        ["event_id"],
+        n=3,
+        seed="rsv",
+        out="pick",
+    )

@@ -1052,3 +1052,33 @@ def test_sssp_weighted_path(spark):
         for r in sssp_distances(e, srcs, rounds=1, checkpoint=False).collect()
     }
     assert one == {1: 0, 2: 2, 3: 10}
+
+
+# ------------------------------------------------------------------- privacy
+
+
+def test_k_anonymity_report_and_suppression(spark):
+    from datapipeline_spark.operators.privacy import (
+        k_anonymity_report,
+        suppress_small_classes,
+    )
+
+    rows = (
+        [("dk", 1, "red")] * 4
+        + [("dk", 1, "blue")] * 3
+        + [("dk", 2, "red")] * 2      # class of 2 -> suppressed at k=3
+        + [("se", 1, "red")] * 5      # single sensitive value -> not l-diverse
+    )
+    df = spark.createDataFrame(rows, "country string, band int, color string")
+    rep = {
+        (r.country, r.band): (r.class_size, r.l_distinct, r.k_anonymous, r.l_diverse)
+        for r in k_anonymity_report(df, ["country", "band"], "color", k=3, l=2).collect()
+    }
+    assert rep == {
+        ("dk", 1): (7, 2, 1, 1),
+        ("dk", 2): (2, 1, 0, 0),
+        ("se", 1): (5, 1, 1, 0),
+    }
+    kept = suppress_small_classes(df, ["country", "band"], k=3)
+    assert kept.count() == 12  # exactly the (dk,2) pair dropped
+    assert kept.filter((F.col("country") == "dk") & (F.col("band") == 2)).count() == 0
