@@ -31,6 +31,11 @@ from datapipeline_spark.operators.bloom import (
     bloom_filter_keys,
     bloom_prefilter_join,
 )
+from datapipeline_spark.operators.basket import (
+    association_rules,
+    frequent_pairs,
+    item_supports,
+)
 from datapipeline_spark.operators.interval import interval_join
 from datapipeline_spark.operators.cdc import apply_changes, snapshot_diff
 from datapipeline_spark.operators.privacy import (
@@ -89,6 +94,9 @@ __all__ = [
     "ensure_ticks",
     "align_streams",
     "broadcast_stream",
+    "association_rules",
+    "frequent_pairs",
+    "item_supports",
     "interval_join",
     "apply_changes",
     "snapshot_diff",

@@ -1,0 +1,168 @@
+"""Frequent-itemset / association-rule mining (market-basket analysis).
+
+The reference has no basket-mining surface (its aggregation layer stops at
+accumulator folds, see reference core/pipeline/dataset/vector.py); this is
+the Agrawal-Srikant 1994 a-priori family re-expressed as DataFrame joins:
+
+- support counting is one map-side-combinable groupBy over the distinct
+  (basket, item) projection;
+- the pair generation is a BASKET-KEYED self-join *after* the infrequent
+  items are pruned (the a-priori downward-closure: a pair can only be
+  frequent if both members are). At 100 TB that prune is what keeps the
+  self-join bounded: the join fan-out per basket is (frequent items in
+  basket choose 2), not (all items choose 2);
+- an optional ``max_basket_items`` cap drops pathological baskets (a
+  basket with 10k items contributes 5*10^7 pairs on its own — standard
+  production guard, same spirit as the LSH max_bucket cap in
+  dedup/minhash.py).
+
+Confidence and lift are emitted as exact integer parts-per-million
+(DECIMAL(38) intermediates, so ``pair * n_baskets * 1e6`` cannot overflow
+at any realistic scale) — no floating point anywhere, so the numbers are
+bit-identical across engines and partition layouts.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_items(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Distinct (basket, item) pairs — presence, not multiplicity."""
+    return df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+
+
+def item_supports(
+    df: DataFrame, basket_col: str, item_col: str, min_support: int = 1
+) -> DataFrame:
+    """Per-item basket counts, pruned to ``support >= min_support``.
+
+    One exchange on the item key with map-side partial counts; the distinct
+    upstream shares the same basket-keyed exchange as the pair join when
+    both are used (Spark reuses the shuffle under AQE).
+    """
+    return (
+        basket_items(df, basket_col, item_col)
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int = 1,
+    min_pair_support: int = 1,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Co-occurrence counts for item pairs (ia < ib) across baskets.
+
+    A-priori pruned: items below ``min_item_support`` never enter the
+    self-join. ``max_basket_items`` (when set) drops whole baskets whose
+    post-prune item count exceeds the cap — the worst-case join fan-out is
+    then ``max_basket_items**2 / 2`` per basket, independent of data skew.
+    """
+    it = basket_items(df, basket_col, item_col)
+    if min_item_support > 1:
+        keep = item_supports(df, basket_col, item_col, min_item_support)
+        it = it.join(keep.select("item"), "item", "left_semi")
+    if max_basket_items is not None:
+        sizes = it.groupBy("basket").agg(F.count(F.lit(1)).alias("__bn__"))
+        it = (
+            it.join(sizes, "basket")
+            .filter(F.col("__bn__") <= max_basket_items)
+            .drop("__bn__")
+        )
+    a = it.select("basket", F.col("item").alias("ia"))
+    b = it.select("basket", F.col("item").alias("ib"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
+    )
+    return pairs.filter(F.col("pair_support") >= min_pair_support)
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int = 1,
+    min_pair_support: int = 1,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Directed rules antecedent→consequent with exact integer metrics.
+
+    Emits one row per ordered pair: ``conf_ppm = ⌊pair/sup(a) * 1e6⌋`` and
+    ``lift_ppm = ⌊pair·n / (sup(a)·sup(b)) * 1e6⌋`` computed in
+    DECIMAL(38) integer arithmetic (exact in any accumulation order, no
+    float drift between engines). ``n`` is the total basket count of the
+    FULL input (before any pruning) so support fractions are true
+    frequencies.
+
+    Plan: distinct → item supports (one exchange) → pruned pair self-join
+    (basket-keyed exchange) → two broadcast joins against the tiny frequent
+    -item support table → broadcast 1-row total. No shuffle is keyed on
+    anything wider than (basket) or (item).
+    """
+    pairs = frequent_pairs(
+        df,
+        basket_col,
+        item_col,
+        min_item_support,
+        min_pair_support,
+        max_basket_items,
+    )
+    sup = item_supports(df, basket_col, item_col, min_item_support)
+    n = basket_items(df, basket_col, item_col).agg(
+        F.countDistinct("basket").cast("long").alias("n_baskets")
+    )
+    sa = sup.select(F.col("item").alias("ia"), F.col("support").alias("sup_a"))
+    sb = sup.select(F.col("item").alias("ib"), F.col("support").alias("sup_b"))
+    both = (
+        pairs.join(F.broadcast(sa), "ia")
+        .join(F.broadcast(sb), "ib")
+        .crossJoin(F.broadcast(n))
+    )
+    directed = both.select(
+        F.col("ia").alias("antecedent"),
+        F.col("ib").alias("consequent"),
+        "pair_support",
+        F.col("sup_a").alias("antecedent_support"),
+        F.col("sup_b").alias("consequent_support"),
+        "n_baskets",
+    ).unionByName(
+        both.select(
+            F.col("ib").alias("antecedent"),
+            F.col("ia").alias("consequent"),
+            "pair_support",
+            F.col("sup_b").alias("antecedent_support"),
+            F.col("sup_a").alias("consequent_support"),
+            "n_baskets",
+        )
+    )
+    dec = "CAST(pair_support AS DECIMAL(38,0))"
+    return directed.select(
+        "antecedent",
+        "consequent",
+        "pair_support",
+        "antecedent_support",
+        "consequent_support",
+        "n_baskets",
+        F.expr(
+            f"CAST(({dec} * 1000000) DIV antecedent_support AS BIGINT)"
+        ).alias("conf_ppm"),
+        F.expr(
+            f"CAST(({dec} * n_baskets * 1000000) DIV "
+            "(CAST(antecedent_support AS DECIMAL(38,0)) * consequent_support) "
+            "AS BIGINT)"
+        ).alias("lift_ppm"),
+    )

@@ -3523,3 +3523,77 @@ def q_reservoir_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed="rsv",
         out="pick",
     )
+
+
+@query(
+    "basket_rules_brands",
+    """
+WITH it AS (SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+            FROM lineitem JOIN part ON p_partkey = l_partkey),
+sup AS (SELECT item, count(*)::BIGINT AS support FROM it GROUP BY 1),
+n AS (SELECT count(DISTINCT basket)::BIGINT AS n_baskets FROM it),
+pairs AS (SELECT a.item AS ia, b.item AS ib, count(*)::BIGINT AS pair_support
+          FROM it a JOIN it b ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2),
+dir AS (SELECT ia AS antecedent, ib AS consequent, pair_support FROM pairs
+        UNION ALL
+        SELECT ib, ia, pair_support FROM pairs)
+SELECT d.antecedent, d.consequent, d.pair_support,
+       sa.support AS antecedent_support, sb.support AS consequent_support,
+       n.n_baskets,
+       ((d.pair_support::HUGEINT * 1000000) // sa.support)::BIGINT AS conf_ppm,
+       ((d.pair_support::HUGEINT * n.n_baskets * 1000000)
+        // (sa.support::HUGEINT * sb.support))::BIGINT AS lift_ppm
+FROM dir d
+JOIN sup sa ON sa.item = d.antecedent
+JOIN sup sb ON sb.item = d.consequent, n
+""",
+)
+def q_basket_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets at brand granularity
+    (operators/basket.py — Agrawal-Srikant 1994; the reference has no
+    basket-mining surface): every brand→brand rule with exact integer
+    confidence/lift in parts-per-million. DECIMAL(38) intermediates mean
+    the ppm numbers are bit-identical across engines and partition
+    layouts — no float anywhere. Plan: distinct (order, brand) projection
+    → basket-keyed pair self-join (25 brands ⇒ ≤300 pairs per basket
+    worst-case, dense output is the POINT at this granularity) → two
+    broadcast joins against the 25-row support table → broadcast 1-row
+    basket total."""
+    from datapipeline_spark.operators.basket import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    return association_rules(baskets, "l_orderkey", "p_brand")
+
+
+@query(
+    "frequent_part_pairs",
+    """
+WITH it AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+sup AS (SELECT item FROM it GROUP BY item HAVING count(*) >= 5),
+fi AS (SELECT basket, item FROM it WHERE item IN (SELECT item FROM sup)),
+pairs AS (SELECT a.item AS ia, b.item AS ib, count(*)::BIGINT AS pair_support
+          FROM fi a JOIN fi b ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2)
+SELECT ia, ib, pair_support FROM pairs WHERE pair_support >= 2
+""",
+)
+def q_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori-pruned frequent pair mining at part granularity
+    (operators/basket.py frequent_pairs): items below support 5 never
+    enter the pair self-join (downward closure — a frequent pair needs two
+    frequent members), so the basket-keyed join fans out over frequent
+    items only. This is the 100 TB posture: the prune bounds the
+    quadratic stage by the post-prune basket width, and the optional
+    max_basket_items cap (exercised in pytest) makes the worst case
+    skew-independent."""
+    from datapipeline_spark.operators.basket import frequent_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_item_support=5, min_pair_support=2
+    )

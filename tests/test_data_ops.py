@@ -1082,3 +1082,45 @@ def test_k_anonymity_report_and_suppression(spark):
     kept = suppress_small_classes(df, ["country", "band"], k=3)
     assert kept.count() == 12  # exactly the (dk,2) pair dropped
     assert kept.filter((F.col("country") == "dk") & (F.col("band") == 2)).count() == 0
+
+
+# -------------------------------------------------------------------- baskets
+
+
+def test_association_rules_exact_ppm(spark):
+    from datapipeline_spark.operators.basket import association_rules
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"),
+            (3, "c"), (4, "b"), (4, "b"), (5, "d")]
+    df = spark.createDataFrame(rows, "o long, it string")
+    got = {
+        (r.antecedent, r.consequent): (r.pair_support, r.conf_ppm, r.lift_ppm)
+        for r in association_rules(df, "o", "it").collect()
+    }
+    # sup: a=3 b=3 c=2 d=1; n=5; e.g. c->a: 2/2 conf, lift 2*5/(2*3)
+    assert got[("c", "a")] == (2, 1_000_000, 1_666_666)
+    assert got[("a", "b")] == (2, 666_666, 1_111_111)
+    assert got[("b", "c")] == (1, 333_333, 833_333)
+    assert ("d", "a") not in got  # d co-occurs with nothing
+
+
+def test_frequent_pairs_apriori_prune_and_basket_cap(spark):
+    from datapipeline_spark.operators.basket import frequent_pairs
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"),
+            (3, "c"), (4, "b"), (4, "b"), (5, "d")]
+    df = spark.createDataFrame(rows, "o long, it string")
+    # support>=2 prunes d; cap=2 drops basket 1 (3 frequent items)
+    got = {
+        (r.ia, r.ib): r.pair_support
+        for r in frequent_pairs(
+            df, "o", "it", min_item_support=2, max_basket_items=2
+        ).collect()
+    }
+    assert got == {("a", "b"): 1, ("a", "c"): 1}
+    # duplicate (4,'b') rows count once: presence, not multiplicity
+    full = {
+        (r.ia, r.ib): r.pair_support
+        for r in frequent_pairs(df, "o", "it").collect()
+    }
+    assert full == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
