@@ -3597,3 +3597,62 @@ def q_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_pairs(
         li, "l_orderkey", "l_partkey", min_item_support=5, min_pair_support=2
     )
+
+
+@query(
+    "cm_join_size",
+    """
+WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+ca AS (
+  SELECT j,
+         CAST((('0x' || substr(sha256('cm' || j::VARCHAR || '|' || user_id::VARCHAR), 1, 13))::UBIGINT)::BIGINT % 256 AS INT) AS bucket,
+         count(*)::HUGEINT AS c
+  FROM events, js GROUP BY 1, 2
+),
+cb AS (
+  SELECT j,
+         CAST((('0x' || substr(sha256('cm' || j::VARCHAR || '|' || o_custkey::VARCHAR), 1, 13))::UBIGINT)::BIGINT % 256 AS INT) AS bucket,
+         count(*)::HUGEINT AS c
+  FROM orders, js GROUP BY 1, 2
+),
+ip AS (
+  SELECT ca.j, sum(ca.c * cb.c) AS ip
+  FROM ca JOIN cb USING (j, bucket) GROUP BY 1
+),
+exact AS (
+  SELECT count(*)::BIGINT AS true_join_size
+  FROM events e JOIN orders o ON e.user_id = o.o_custkey
+)
+SELECT CAST(min(ip) AS BIGINT) AS est_join_size,
+       any_value(true_join_size) AS true_join_size,
+       CAST(min(ip) - any_value(true_join_size) AS BIGINT) AS overcount
+FROM ip, exact
+""",
+)
+def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based equi-join cardinality estimation (sketch/cm.py
+    cm_inner_product — Cormode-Muthukrishnan 2005 §4.2; the reference has
+    no sketches): estimate |events ⋈ orders ON user_id = o_custkey| from
+    two 4x256 Count-Min sketches as min_j Σ_bucket ca*cb, WITHOUT running
+    the join — the planner's cardinality primitive, two bounded-shuffle
+    passes whose cost is independent of the 100 TB behind them. Integer
+    arithmetic end-to-end (DECIMAL(38)/HUGEINT products), so even the
+    collision overcount hash-matches the oracle; est >= true always
+    (pytest asserts the bound)."""
+    from datapipeline_spark.sketch import build_cm_sketch, cm_inner_product
+
+    ev = load_table(spark, sf_dir, "events")
+    od = load_table(spark, sf_dir, "orders")
+    sa = build_cm_sketch(ev, "user_id", depth=4, width=256)
+    sb = build_cm_sketch(od, "o_custkey", depth=4, width=256)
+    est = cm_inner_product(sa, sb, out="est_join_size")
+    exact = (
+        ev.select("user_id")
+        .join(od.select("o_custkey"), ev.user_id == od.o_custkey)
+        .agg(F.count(F.lit(1)).cast("long").alias("true_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size",
+        "true_join_size",
+        (F.col("est_join_size") - F.col("true_join_size")).alias("overcount"),
+    )

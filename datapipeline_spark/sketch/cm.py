@@ -90,3 +90,33 @@ def cm_estimate(
         .groupBy(key_col)
         .agg(F.min("c").alias(out))
     )
+
+
+def cm_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame, out: str = "est"
+) -> DataFrame:
+    """Inner-product / equi-join-size estimate from two sketches built with
+    the SAME (depth, width, seeds): ``min over hash rows j of
+    sum_bucket a.c * b.c`` (Cormode & Muthukrishnan 2005 §4.2). Always an
+    OVERestimate of ``sum_k f_a(k) * f_b(k)`` — the exact row count of the
+    equi-join — since collisions only add cross terms.
+
+    This is the query planner's classic cardinality-estimation primitive:
+    both sketches are a few KB regardless of input size, so estimating a
+    100 TB x 100 TB join costs two bounded-shuffle aggregation passes plus
+    this depth x width join — never the join itself. Products accumulate in
+    DECIMAL(38) (two petabyte-scale counters can multiply past bigint);
+    the returned scalar is cast to bigint, valid while the true estimate
+    fits (document: est < 9.2e18)."""
+    a = sketch_a.select(
+        "j", "bucket", F.col("c").cast("decimal(38,0)").alias("ca")
+    )
+    b = sketch_b.select(
+        "j", "bucket", F.col("c").cast("decimal(38,0)").alias("cb")
+    )
+    per_row = (
+        a.join(b, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").cast("long").alias(out))

@@ -1124,3 +1124,18 @@ def test_frequent_pairs_apriori_prune_and_basket_cap(spark):
         for r in frequent_pairs(df, "o", "it").collect()
     }
     assert full == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
+
+
+def test_cm_inner_product_upper_bounds_join_size(spark):
+    from datapipeline_spark.sketch import build_cm_sketch, cm_inner_product
+
+    a = spark.createDataFrame([(i % 7,) for i in range(200)], "k long")
+    b = spark.createDataFrame([(i % 5,) for i in range(100)], "k long")
+    true_size = a.join(b, "k").count()
+    est = cm_inner_product(
+        build_cm_sketch(a, "k", depth=4, width=64),
+        build_cm_sketch(b, "k", depth=4, width=64),
+    ).collect()[0]["est"]
+    assert est >= true_size
+    # at 64 buckets for 7x5 keys there are no collisions: estimate is exact
+    assert est == true_size
