@@ -13,8 +13,10 @@ from datapipeline_spark.dataset.postprocess import (
     select_columns_by_coverage,
 )
 from datapipeline_spark.dataset.metadata import collect_series_metadata, coverage_stats
+from datapipeline_spark.dataset.negatives import negative_samples
 
 __all__ = [
+    "negative_samples",
     "encode_series_id_expr",
     "project_series",
     "assemble_samples",

@@ -3656,3 +3656,54 @@ def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_join_size",
         (F.col("est_join_size") - F.col("true_join_size")).alias("overcount"),
     )
+
+
+@query(
+    "negative_sampling_pairs",
+    """
+WITH pos AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS it
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey < 100
+),
+nv AS (SELECT (max(p_partkey) + 1)::BIGINT AS n_items FROM part),
+draws AS (SELECT unnest([0, 1, 2]) AS draw),
+cand AS (
+  SELECT u AS "user", it AS pos_item, draw,
+         ((('0x' || substr(sha256('neg' || '|' || u::VARCHAR || '|' || it::VARCHAR || '|' || draw::VARCHAR), 1, 13))::UBIGINT)::BIGINT % n_items) AS neg_item
+  FROM pos, draws, nv
+)
+SELECT c."user", c.pos_item, c.draw, c.neg_item,
+       CASE WHEN p.it IS NULL THEN 0 ELSE 1 END AS is_positive
+FROM cand c
+LEFT JOIN pos p ON p.u = c."user" AND p.it = c.neg_item
+""",
+)
+def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs
+    (dataset/negatives.py — word2vec-style uniform proposal, Mikolov 2013,
+    derandomized via the repo's 52-bit sha256 contract; the reference has
+    no sampling surface beyond the preview limit): 3 candidate negatives
+    per (customer, part) interaction, reproducible across engines / runs /
+    partition layouts, accidental hits LABELED not resampled (fixed k rows
+    per positive — rejection loops have data-dependent depth). Plan: pure
+    map explode over the positives + one (user,item)-keyed left join back
+    against distinct positives; the item-domain size arrives as a
+    broadcast 1-row max, never a driver collect."""
+    from datapipeline_spark.dataset.negatives import negative_samples
+
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        od.filter(F.col("o_custkey") < 100)
+        .join(li, od.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    n = load_table(spark, sf_dir, "part").agg(
+        (F.max("p_partkey") + 1).cast("long").alias("n_items")
+    )
+    pos_n = pos.crossJoin(F.broadcast(n))
+    return negative_samples(
+        pos_n, "o_custkey", "l_partkey", F.col("n_items"), k=3, seed="neg"
+    ).drop("n_items")

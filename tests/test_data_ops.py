@@ -1139,3 +1139,23 @@ def test_cm_inner_product_upper_bounds_join_size(spark):
     assert est >= true_size
     # at 64 buckets for 7x5 keys there are no collisions: estimate is exact
     assert est == true_size
+
+
+def test_negative_samples_fixed_k_and_labeling(spark):
+    from datapipeline_spark.dataset.negatives import negative_samples
+
+    pos = spark.createDataFrame([(1, 0), (1, 1), (2, 3)], "u long, it long")
+    out = negative_samples(pos, "u", "it", n_items=4, k=5).collect()
+    assert len(out) == 3 * 5  # exactly k rows per positive, hits included
+    by_user = {}
+    for r in out:
+        assert 0 <= r.neg_item < 4
+        by_user.setdefault(r.user, set()).add((r.neg_item, r.is_positive))
+    # user 1 interacted with {0,1}: any drawn 0/1 must be flagged, 2/3 not
+    for item, flag in by_user[1]:
+        assert flag == (1 if item in (0, 1) else 0)
+    for item, flag in by_user[2]:
+        assert flag == (1 if item == 3 else 0)
+    # deterministic: a second run is bit-identical
+    again = negative_samples(pos, "u", "it", n_items=4, k=5).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
