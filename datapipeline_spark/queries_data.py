@@ -3707,3 +3707,43 @@ def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(
         pos_n, "o_custkey", "l_partkey", F.col("n_items"), k=3, seed="neg"
     ).drop("n_items")
+
+
+@query(
+    "skyline_parts",
+    """
+WITH d AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents, p_size
+  FROM part
+),
+m AS (
+  SELECT *,
+         max(p_size) OVER (ORDER BY price_cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+         max(p_size) OVER (PARTITION BY price_cents) AS mx
+  FROM d
+)
+SELECT p_partkey, price_cents, p_size
+FROM m WHERE (m1 IS NULL OR m1 < p_size) AND mx = p_size
+""",
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline / Pareto frontier (operators/skyline.py —
+    Borzsony-Kossmann-Stocker 2001; no reference analogue): parts that are
+    cheapest-for-their-size — not dominated on (minimize retail price,
+    maximize size). The Spark side refuses the textbook global-sort sweep
+    (a partitionBy-less window = one partition at 100 TB) and decomposes
+    it two-phase like bucketed_global_rank: 256 monotone value-range
+    buckets of the exact integer cents, per-bucket max size, exclusive
+    prefix max over the 256-row bucket table, within-bucket RANGE window.
+    The oracle states the equivalent single-node sweep in window SQL;
+    dominance semantics (ties kept unless strictly beaten) are pinned
+    against brute-force NOT EXISTS in pytest."""
+    from datapipeline_spark.operators.skyline import skyline_2d
+
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    return skyline_2d(pt, "price_cents", "p_size", buckets=256)

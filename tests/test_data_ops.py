@@ -1159,3 +1159,30 @@ def test_negative_samples_fixed_k_and_labeling(spark):
     # deterministic: a second run is bit-identical
     again = negative_samples(pos, "u", "it", n_items=4, k=5).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_skyline_2d_matches_brute_force(spark):
+    from datapipeline_spark.operators.skyline import skyline_2d
+
+    import itertools, random
+    rng = random.Random(7)
+    pts = [(rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(300)]
+    pts += [pts[0], pts[1]]  # exact duplicates both survive
+    df = spark.createDataFrame(pts, "x long, y long")
+
+    def brute(mx, my):
+        def better(q, p):
+            qx, qy = (q[0], q[1]) if mx else (-q[0], q[1])
+            px, py = (p[0], p[1]) if mx else (-p[0], p[1])
+            qy, py = (qy, py) if my else (-qy, -py)
+            return qx <= px and qy >= py and (qx < px or qy > py)
+        return sorted(p for p in pts if not any(better(q, p) for q in pts))
+
+    for mx, my in itertools.product([True, False], repeat=2):
+        got = sorted(
+            (r.x, r.y)
+            for r in skyline_2d(
+                df, "x", "y", minimize_x=mx, maximize_y=my, buckets=8
+            ).collect()
+        )
+        assert got == brute(mx, my), (mx, my)
