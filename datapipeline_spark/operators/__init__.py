@@ -36,7 +36,7 @@ from datapipeline_spark.operators.basket import (
     frequent_pairs,
     item_supports,
 )
-from datapipeline_spark.operators.interval import interval_join
+from datapipeline_spark.operators.interval import interval_concurrency, interval_join
 from datapipeline_spark.operators.skyline import skyline_2d
 from datapipeline_spark.operators.cdc import apply_changes, snapshot_diff
 from datapipeline_spark.operators.privacy import (
@@ -99,6 +99,7 @@ __all__ = [
     "frequent_pairs",
     "item_supports",
     "interval_join",
+    "interval_concurrency",
     "skyline_2d",
     "apply_changes",
     "snapshot_diff",

@@ -119,3 +119,38 @@ def interval_join(
     for c in iv_cols:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
     return matched.unionByName(unmatched)
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    out: str = "concurrent",
+) -> DataFrame:
+    """Sweep-line concurrency: for every boundary point, how many
+    [start, end) intervals cover it — peak-load / in-transit / concurrent-
+    sessions analytics (the classic interval stabbing aggregate; no
+    reference analogue).
+
+    One +1/-1 boundary projection, one map-side-combined groupBy on the
+    boundary value, then a running sum over the AGGREGATED boundary table
+    — whose row count is the number of DISTINCT boundary points (days,
+    slots), not input rows, so the partitionBy-less window rides the same
+    tiny-table contract as the Markov/prefix tables (bounded by the time
+    domain; for an unbounded domain feed it through
+    bucketed_global_rank's two-phase prefix instead). Emits one row per
+    distinct boundary point with the concurrency ON that point (start
+    inclusive, end exclusive).
+    """
+    from pyspark.sql import Window
+
+    b = intervals.select(
+        F.col(start_col).alias("point"), F.lit(1).alias("__d__")
+    ).unionAll(
+        intervals.select(F.col(end_col).alias("point"), F.lit(-1).alias("__d__"))
+    )
+    daily = b.groupBy("point").agg(F.sum("__d__").alias("__delta__"))
+    w = Window.orderBy("point").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "point", F.sum("__delta__").over(w).cast("long").alias(out)
+    )

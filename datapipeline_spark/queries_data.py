@@ -3747,3 +3747,47 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
     )
     return skyline_2d(pt, "price_cents", "p_size", buckets=256)
+
+
+@query(
+    "shipping_concurrency",
+    """
+WITH iv AS (
+  SELECT date_trunc('day', l_shipdate) AS s,
+         date_trunc('day', l_shipdate)
+           + to_days(1 + (CAST(l_quantity AS INT) % 14)) AS e
+  FROM lineitem
+),
+b AS (
+  SELECT s AS point, 1 AS d FROM iv
+  UNION ALL
+  SELECT e AS point, -1 AS d FROM iv
+),
+daily AS (SELECT point, sum(d) AS delta FROM b GROUP BY 1)
+SELECT point,
+       CAST(sum(delta) OVER (ORDER BY point ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS in_transit
+FROM daily
+""",
+)
+def q_shipping_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency (operators/interval.py
+    interval_concurrency — the stabbing-count aggregate; no reference
+    analogue): shipments in transit per day, with the transit window
+    derived deterministically from quantity (1 + qty % 14 days — the
+    trimmed schema has no l_receiptdate). The +1/-1 boundary projection
+    and groupBy are map-side combinable at any scale; the running sum
+    operates on the aggregated per-DAY table (bounded by the ~7-year date
+    domain, not row count). Start day counts, end day does not."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("day", F.col("l_shipdate")).alias("s"),
+        F.expr(
+            "timestampadd(DAY, 1 + CAST(l_quantity AS INT) % 14,"
+            " date_trunc('day', l_shipdate))"
+        ).alias("e"),
+    )
+    from datapipeline_spark.operators.interval import interval_concurrency
+
+    return interval_concurrency(li, "s", "e", out="in_transit").withColumnRenamed(
+        "point", "point"
+    )

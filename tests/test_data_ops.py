@@ -1186,3 +1186,17 @@ def test_skyline_2d_matches_brute_force(spark):
             ).collect()
         )
         assert got == brute(mx, my), (mx, my)
+
+
+def test_interval_concurrency_sweep(spark):
+    from datapipeline_spark.operators.interval import interval_concurrency
+
+    iv = spark.createDataFrame(
+        [(0, 10), (0, 10), (5, 7), (10, 11), (20, 21)], "s long, e long"
+    )
+    got = {
+        r.point: r.concurrent
+        for r in interval_concurrency(iv, "s", "e").collect()
+    }
+    # [start, end): at 0 ->2, at 5 ->3, at 7 ->2, at 10 both close +1 opens
+    assert got == {0: 2, 5: 3, 7: 2, 10: 1, 11: 0, 20: 1, 21: 0}
