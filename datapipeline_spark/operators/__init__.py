@@ -38,6 +38,7 @@ from datapipeline_spark.operators.basket import (
 )
 from datapipeline_spark.operators.interval import interval_concurrency, interval_join
 from datapipeline_spark.operators.skyline import skyline_2d
+from datapipeline_spark.operators.survivorship import golden_record
 from datapipeline_spark.operators.cdc import apply_changes, snapshot_diff
 from datapipeline_spark.operators.privacy import (
     k_anonymity_report,
@@ -101,6 +102,7 @@ __all__ = [
     "interval_join",
     "interval_concurrency",
     "skyline_2d",
+    "golden_record",
     "apply_changes",
     "snapshot_diff",
     "k_anonymity_report",

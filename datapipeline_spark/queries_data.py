@@ -3791,3 +3791,49 @@ def q_shipping_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_concurrency(li, "s", "e", out="in_transit").withColumnRenamed(
         "point", "point"
     )
+
+
+@query(
+    "golden_user_profile",
+    """
+SELECT user_id,
+       arg_max(CASE WHEN event_type = 'error' THEN NULL ELSE value END,
+               CASE WHEN event_type <> 'error'
+                    THEN epoch_us(ts)::HUGEINT * 10000000 + event_id END)
+         AS value_n,
+       arg_max(event_type, epoch_us(ts)::HUGEINT * 10000000 + event_id)
+         AS event_type,
+       count(*)::BIGINT AS n_records
+FROM events GROUP BY 1
+""",
+)
+def q_golden_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (operators/survivorship.py — the MDM
+    merge step downstream of linkage; the reference's closest concept,
+    collapse-last, keeps one whole ROW while this merges per FIELD): per
+    user, the latest NON-NULL reading (value_n is null on error events,
+    so the survivor can come from an earlier row than the surviving
+    event_type) plus the latest event type and the merged record count.
+    One max_by aggregation per field sharing a single entity-keyed
+    exchange — no window, no self-join. The oracle encodes the same
+    (ts, event_id) total order as a HUGEINT scalar; selection equality is
+    exact because the order is total and the moved values cross engines
+    without arithmetic."""
+    from datapipeline_spark.operators.survivorship import golden_record
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value_n"),
+    )
+    return golden_record(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        ["value_n", "event_type"],
+        count_col="n_records",
+    )

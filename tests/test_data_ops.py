@@ -1200,3 +1200,20 @@ def test_interval_concurrency_sweep(spark):
     }
     # [start, end): at 0 ->2, at 5 ->3, at 7 ->2, at 10 both close +1 opens
     assert got == {0: 2, 5: 3, 7: 2, 10: 1, 11: 0, 20: 1, 21: 0}
+
+
+def test_golden_record_per_field_survivorship(spark):
+    from datapipeline_spark.operators.survivorship import golden_record
+
+    rows = [
+        (1, 1, "a@x", None),     # oldest: has email, no phone
+        (1, 2, None, "555"),     # newer: phone only
+        (1, 3, None, None),      # newest: nothing -> both survive from older
+        (2, 1, None, None),      # entity with all-null field stays null
+    ]
+    df = spark.createDataFrame(rows, "ent long, pri long, email string, phone string")
+    got = {
+        r.ent: (r.email, r.phone, r.n_records)
+        for r in golden_record(df, ["ent"], ["pri"], ["email", "phone"]).collect()
+    }
+    assert got == {1: ("a@x", "555", 3), 2: (None, None, 1)}
