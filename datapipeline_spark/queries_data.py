@@ -3837,3 +3837,22 @@ def q_golden_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["value_n", "event_type"],
         count_col="n_records",
     )
+
+
+@query("bpe_merges")  # iterative data-dependent argmax → rows-only check
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule learning (text/bpe.py — Sennrich 2016; the
+    reference's token surface stops at whitespace counts): 24 merge
+    rounds over the documents corpus. The corpus collapses to the
+    distinct-word frequency table ONCE (the 100 TB contract: all rounds
+    run against vocabulary-sized data), each round is a JVM-side
+    pair-count aggregation + 1-row argmax collect + a higher-order fold
+    merge, with localCheckpoint every 4 merges to keep lineage shallow.
+    Deterministic: exact integer pair counts, lexicographic tie-break.
+    Not SQL-expressible (an oracle would need one CTE per merge per
+    symbol position); pinned differentially against a pure-Python BPE in
+    pytest instead."""
+    from datapipeline_spark.text.bpe import bpe_merges_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges_df(spark, docs, "text", n_merges=24, min_pair_count=2)

@@ -1217,3 +1217,61 @@ def test_golden_record_per_field_survivorship(spark):
         for r in golden_record(df, ["ent"], ["pri"], ["email", "phone"]).collect()
     }
     assert got == {1: ("a@x", "555", 3), 2: (None, None, 1)}
+
+
+# ------------------------------------------------------------------------ bpe
+
+
+def _python_bpe(texts, n_merges, min_pair_count=2):
+    """Pure-Python Sennrich BPE on word frequencies — differential oracle."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-zA-Z]+", t.lower()):
+            if w:
+                wf[w] += 1
+    words = {w: list(w) + ["</w>"] for w in wf}
+    rules = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        rules.append((rank, a, b, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return rules
+
+
+def test_bpe_merges_match_python_reference(spark):
+    from datapipeline_spark.text.bpe import apply_bpe, learn_bpe_merges
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog dog dog",
+        "the lazier dogs jumped over quick brown foxes",
+        "thinking about the things they think through",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = learn_bpe_merges(docs, "text", 12, min_pair_count=2)
+    assert got == _python_bpe(texts, 12)
+    # applying the learned merges re-tokenizes deterministically
+    m = [(a, b) for _, a, b, _ in got]
+    toks = apply_bpe(docs, "text", m).collect()
+    assert all(len(r.bpe_tokens) > 0 for r in toks)
+    joined = "".join(toks[0].bpe_tokens).replace("</w>", "")
+    assert joined == "thequickbrownfoxjumpsoverthelazydogdogdog"
