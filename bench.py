@@ -175,6 +175,15 @@ HEADLINE = [
     "doc_cosine_pairs",
     "interpolate_gaps",
     "table_profile",
+    "k_anonymity_customers",
+    "reservoir_events_per_user",
+    "basket_rules_brands",
+    "frequent_part_pairs",
+    "cm_join_size",
+    "negative_sampling_pairs",
+    "skyline_parts",
+    "shipping_concurrency",
+    "golden_user_profile",
 ]
 
 

@@ -39,6 +39,7 @@ from datapipeline_spark.operators.basket import (
 from datapipeline_spark.operators.interval import interval_concurrency, interval_join
 from datapipeline_spark.operators.skyline import skyline_2d
 from datapipeline_spark.operators.survivorship import golden_record
+from datapipeline_spark.operators.fd import fd_profile
 from datapipeline_spark.operators.cdc import apply_changes, snapshot_diff
 from datapipeline_spark.operators.privacy import (
     k_anonymity_report,
@@ -103,6 +104,7 @@ __all__ = [
     "interval_concurrency",
     "skyline_2d",
     "golden_record",
+    "fd_profile",
     "apply_changes",
     "snapshot_diff",
     "k_anonymity_report",

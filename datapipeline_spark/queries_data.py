@@ -3856,3 +3856,45 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_merges_df(spark, docs, "text", n_merges=24, min_pair_count=2)
+
+
+_FD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _fd_pair_sql(a: str, b: str) -> str:
+    return f"""
+SELECT '{a}' AS det, '{b}' AS dep,
+       count(*)::BIGINT AS det_groups,
+       sum(grp_rows)::BIGINT AS n_rows,
+       sum(CASE WHEN n_dep > 1 THEN grp_rows ELSE 0 END)::BIGINT AS violating_rows,
+       CAST(CASE WHEN sum(CASE WHEN n_dep > 1 THEN grp_rows ELSE 0 END) > 0
+                 THEN 0 ELSE 1 END AS INT) AS holds,
+       ((sum(grp_rows) - sum(CASE WHEN n_dep > 1 THEN grp_rows ELSE 0 END))
+         * 1000000 // sum(grp_rows))::BIGINT AS held_ppm
+FROM (
+  SELECT av, count(*) AS grp_rows, count(DISTINCT bv) AS n_dep
+  FROM (SELECT {a}::VARCHAR AS av, coalesce({b}::VARCHAR, '␀') AS bv FROM orders)
+  GROUP BY av
+)"""
+
+
+@query(
+    "fd_discovery_orders",
+    "\nUNION ALL\n".join(
+        _fd_pair_sql(a, b) for a in _FD_COLS for b in _FD_COLS if a != b
+    ),
+)
+def q_fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (operators/fd.py — the
+    Papenbrock-2015 profiling family; the reference's profiling stops at
+    per-column stats): all 12 ordered pairs of four orders columns
+    profiled in ONE pass — rows explode to (pair, determinant-value,
+    dependent-value), one (pair, value)-keyed aggregation, one per-pair
+    rollup. o_orderkey → * holds exactly (it is the key); the reverse
+    directions report exact integer violation counts and held-ppm
+    (integer division — engine-exact). The oracle is the 12-way UNION ALL
+    of per-pair SQL, generated from the same column list."""
+    from datapipeline_spark.operators.fd import fd_profile
+
+    od = load_table(spark, sf_dir, "orders").select(*_FD_COLS)
+    return fd_profile(od, _FD_COLS)

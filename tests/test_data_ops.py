@@ -1275,3 +1275,22 @@ def test_bpe_merges_match_python_reference(spark):
     assert all(len(r.bpe_tokens) > 0 for r in toks)
     joined = "".join(toks[0].bpe_tokens).replace("</w>", "")
     assert joined == "thequickbrownfoxjumpsoverthelazydogdogdog"
+
+
+def test_fd_profile_exact_and_approximate(spark):
+    from datapipeline_spark.operators.fd import fd_profile
+
+    rows = [
+        (1, "a", "x"), (2, "a", "x"), (3, "b", "y"),
+        (4, "b", "z"),               # b -> {y,z}: violates c2->c3
+        (5, "c", None), (6, "c", None),  # null dependent: two nulls agree
+    ]
+    df = spark.createDataFrame(rows, "id long, c2 string, c3 string")
+    got = {
+        (r.det, r.dep): (r.det_groups, r.violating_rows, r.holds, r.held_ppm)
+        for r in fd_profile(df, ["id", "c2", "c3"]).collect()
+    }
+    assert got[("id", "c2")] == (6, 0, 1, 1_000_000)  # key determines all
+    assert got[("c2", "c3")] == (3, 2, 0, 666_666)    # b-group (2 rows) violates
+    # c3=x -> c2=a, y->b, z->b, null->c: the reverse direction holds
+    assert got[("c3", "c2")] == (4, 0, 1, 1_000_000)
