@@ -40,6 +40,7 @@ from datapipeline_spark.operators.interval import interval_concurrency, interval
 from datapipeline_spark.operators.skyline import skyline_2d
 from datapipeline_spark.operators.survivorship import golden_record
 from datapipeline_spark.operators.fd import fd_profile
+from datapipeline_spark.operators.impute import group_mode, impute_mode
 from datapipeline_spark.operators.cdc import apply_changes, snapshot_diff
 from datapipeline_spark.operators.privacy import (
     k_anonymity_report,
@@ -105,6 +106,8 @@ __all__ = [
     "skyline_2d",
     "golden_record",
     "fd_profile",
+    "group_mode",
+    "impute_mode",
     "apply_changes",
     "snapshot_diff",
     "k_anonymity_report",

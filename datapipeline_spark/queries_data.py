@@ -3898,3 +3898,35 @@ def q_fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     od = load_table(spark, sf_dir, "orders").select(*_FD_COLS)
     return fd_profile(od, _FD_COLS)
+
+
+@query(
+    "modal_event_type",
+    """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type DESC) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode, cnt AS mode_count FROM r WHERE rn = 1
+""",
+)
+def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic group mode (operators/impute.py group_mode — SQL
+    MODE() with a pinned tie-break, largest value wins, so the answer is
+    partition- and engine-stable where engines' MODE is arbitrary-pick):
+    each user's most frequent event type. Two map-side-combinable
+    aggregations, no window over raw rows — the oracle's row_number
+    formulation is the single-node equivalent; the Spark side is
+    max_by(value, (count, value)) over the counted table. The imputation
+    twin (impute_mode) is pytest-pinned to fill exactly the null cells
+    from the group distribution."""
+    from datapipeline_spark.operators.impute import group_mode
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_mode(ev, ["user_id"], "event_type")

@@ -1294,3 +1294,23 @@ def test_fd_profile_exact_and_approximate(spark):
     assert got[("c2", "c3")] == (3, 2, 0, 666_666)    # b-group (2 rows) violates
     # c3=x -> c2=a, y->b, z->b, null->c: the reverse direction holds
     assert got[("c3", "c2")] == (4, 0, 1, 1_000_000)
+
+
+def test_group_mode_and_impute(spark):
+    from datapipeline_spark.operators.impute import group_mode, impute_mode
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),         # mode a
+        (2, "x"), (2, "y"),                   # tie -> larger value y
+        (3, None), (3, "z"), (3, None),       # nulls ignored, mode z
+        (4, None),                            # all-null group stays null
+    ]
+    df = spark.createDataFrame(rows, "g long, v string")
+    modes = {r.g: (r.mode, r.mode_count) for r in group_mode(df, ["g"], "v").collect()}
+    assert modes == {1: ("a", 2), 2: ("y", 1), 3: ("z", 1)}
+    filled = {(r.g, i): r.v for i, r in enumerate(
+        impute_mode(df, ["g"], "v").orderBy("g", "v").collect())}
+    vals = sorted(filled.items())
+    assert [v for (_, _), v in vals if v is None] == [None]  # only group 4
+    got3 = [v for (g, _), v in vals if g == 3]
+    assert got3 == ["z", "z", "z"]
