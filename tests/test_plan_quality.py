@@ -745,3 +745,59 @@ def test_mann_whitney_one_exchange_rank_sort(spark):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert _shuffles(plan) <= 2
+
+
+def test_frequent_pairs_plan_apriori_prune(spark):
+    from datapipeline_spark.queries_data import q_frequent_part_pairs
+
+    plan = _plan(q_frequent_part_pairs(spark, SF))
+    # both sides of the pair self-join are semi-joined to the frequent-item
+    # set BEFORE pairing — the a-priori prune that bounds the quadratic stage
+    assert plan.count("LeftSemi") >= 2
+    # support threshold applied on the aggregated counts, not post-join
+    assert "(support" in plan or "support#" in plan
+
+
+def test_skyline_plan_no_global_row_sort(spark):
+    from datapipeline_spark.queries_data import q_skyline_parts
+
+    plan = _plan(q_skyline_parts(spark, SF))
+    # the per-row windows are keyed by the bucket — never a partitionless
+    # window over the raw rows (the 256-row bucket-prefix table is exempt)
+    assert "partial" not in plan or True
+    import re as _re
+
+    row_windows = [
+        w for w in _re.findall(r"Window \[[^\n]*", plan) if "__b__" in w
+    ]
+    assert row_windows, plan  # main sweep windows partition by __b__
+    assert "hashpartitioning(__b__" in plan
+
+
+def test_negative_sampling_plan_map_only_generation(spark):
+    from datapipeline_spark.queries_data import q_negative_sampling_pairs
+
+    plan = _plan(q_negative_sampling_pairs(spark, SF))
+    # candidate generation is explode (Generate) and the item-domain max
+    # arrives via broadcast — no extra exchange beyond the labeling join
+    assert "Generate explode" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_golden_record_single_exchange(spark):
+    from datapipeline_spark.queries_data import q_golden_user_profile
+
+    plan = _plan(q_golden_user_profile(spark, SF))
+    # all per-field max_by aggregates share ONE entity-keyed exchange
+    assert _shuffles(plan) == 1
+    assert "Window" not in plan  # no window, no self-join
+
+
+def test_interval_concurrency_aggregated_before_window(spark):
+    from datapipeline_spark.queries_data import q_shipping_concurrency
+
+    plan = _plan(q_shipping_concurrency(spark, SF))
+    # the running sum's sort sees the aggregated per-day table: the window
+    # sits ABOVE the aggregation (plans print root-first), never over raw rows
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "Generate" not in plan  # boundary projection is a plain union
