@@ -39,6 +39,7 @@ from datapipeline_spark.operators.basket import (
 from datapipeline_spark.operators.interval import interval_concurrency, interval_join
 from datapipeline_spark.operators.skyline import skyline_2d
 from datapipeline_spark.operators.survivorship import golden_record
+from datapipeline_spark.operators.apportion import apportion
 from datapipeline_spark.operators.fd import fd_profile
 from datapipeline_spark.operators.impute import group_mode, impute_mode
 from datapipeline_spark.operators.cdc import apply_changes, snapshot_diff
@@ -106,6 +107,7 @@ __all__ = [
     "skyline_2d",
     "golden_record",
     "fd_profile",
+    "apportion",
     "group_mode",
     "impute_mode",
     "apply_changes",

@@ -3930,3 +3930,49 @@ def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return group_mode(ev, ["user_id"], "event_type")
+
+
+@query(
+    "token_budget_apportionment",
+    """
+WITH w AS (
+  SELECT source,
+         sum(len(regexp_split_to_array(trim(text), '\\s+')))::HUGEINT AS tw
+  FROM documents WHERE trim(text) <> '' GROUP BY 1
+),
+t AS (SELECT sum(tw) AS tot FROM w),
+q AS (
+  SELECT source, tw::BIGINT AS weight,
+         ((1000000 * tw) // tot)::BIGINT AS q,
+         ((1000000 * tw) % tot) AS r
+  FROM w, t
+),
+l AS (SELECT (1000000 - sum(q))::BIGINT AS leftover FROM q),
+rk AS (
+  SELECT source, weight, q,
+         row_number() OVER (ORDER BY r DESC, source ASC) AS rn
+  FROM q
+)
+SELECT source, weight,
+       (q + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)::BIGINT AS allocated
+FROM rk, l
+""",
+)
+def q_token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment (operators/apportion.py;
+    the reference has no allocation surface): split a 1,000,000-token
+    training budget across corpus sources exactly proportionally to their
+    whitespace-token mass — integer allocations that SUM EXACTLY to the
+    budget, the property naive rounding loses. quota/remainder in
+    DECIMAL(38)/HUGEINT (engine-exact), remainder ranking on the
+    per-SOURCE table (tiny-table window), deterministic tie-break on the
+    source key. Companion to token_budget_mixture: that op fills a budget
+    doc-by-doc; this one commits the per-source split first."""
+    from datapipeline_spark.operators.apportion import apportion
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.filter(F.trim(F.col("text")) != "").select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("tw"),
+    )
+    return apportion(w, ["source"], "tw", budget=1_000_000, out="allocated")

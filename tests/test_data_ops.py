@@ -1314,3 +1314,21 @@ def test_group_mode_and_impute(spark):
     assert [v for (_, _), v in vals if v is None] == [None]  # only group 4
     got3 = [v for (g, _), v in vals if g == 3]
     assert got3 == ["z", "z", "z"]
+
+
+def test_apportion_exact_sum_and_hamilton(spark):
+    from datapipeline_spark.operators.apportion import apportion
+
+    w = spark.createDataFrame(
+        [("a", 505), ("b", 305), ("c", 190)], "src string, tokens long"
+    )
+    got = {r.src: r.allocated for r in apportion(w, ["src"], "tokens", 100).collect()}
+    # floors: 50,30,19 -> 99; largest remainder .5 tie between a and b -> a wins (key order)
+    assert sum(got.values()) == 100
+    assert got == {"a": 51, "b": 30, "c": 19}
+    # multi-row weights sum per group; budget conservation at awkward sizes
+    w2 = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 1), ("z", 1)], "src string, tokens long"
+    )
+    got2 = {r.src: r.allocated for r in apportion(w2, ["src"], "tokens", 10).collect()}
+    assert sum(got2.values()) == 10 and got2["x"] == 5
