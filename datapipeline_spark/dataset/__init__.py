@@ -4,6 +4,7 @@ from datapipeline_spark.dataset.scaler import apply_scaler, fit_scaler
 from datapipeline_spark.dataset.split import (
     hash_split_label,
     route_folds,
+    stratified_exact_split,
     time_split_label,
 )
 from datapipeline_spark.dataset.postprocess import (
@@ -17,6 +18,7 @@ from datapipeline_spark.dataset.negatives import negative_samples
 
 __all__ = [
     "negative_samples",
+    "stratified_exact_split",
     "encode_series_id_expr",
     "project_series",
     "assemble_samples",

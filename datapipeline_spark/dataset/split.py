@@ -14,7 +14,7 @@ from __future__ import annotations
 from datetime import datetime
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TWO_53 = 1 << 53
@@ -84,3 +84,84 @@ def route_folds(
         for role, labels in roles.items():
             outputs[(fold, role)] = df.filter(F.col(label_col).isin(list(labels)))
     return outputs
+
+
+def stratified_exact_split(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    id_cols: Sequence[str],
+    fractions_ppm: Sequence[tuple[str, int]],
+    seed: str = "split",
+    out: str = "split",
+    hash_bits: int = 52,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """EXACT stratified split: within every stratum, split sizes are the
+    integer cumulative-floor of the requested fractions — not merely
+    proportional in expectation like hash_split_label (a 1k-row stratum at
+    800000 ppm train gets EXACTLY 800 rows, every run, every engine).
+
+    ``fractions_ppm`` is an ordered [(label, ppm)] list summing to
+    1,000,000. Rows are ordered within their stratum by a seeded 52-bit
+    sha256 of ``id_cols`` (uniform, reproducible; ``id_cols`` must be
+    unique within a stratum), and the stratum's rank space is cut at
+    ``(n * cum_ppm) DIV 1e6``.
+
+    Scale: the per-stratum ranking uses the same two-phase bucket
+    decomposition as bucketed_global_rank — per-(stratum, hash-bucket)
+    counts, exclusive offsets over the (strata x 256)-row aggregate, rank
+    within (stratum, bucket) — so no stratum is ever sorted in one task.
+    """
+    total = sum(p for _, p in fractions_ppm)
+    if total != 1_000_000:
+        raise ValueError(f"fractions_ppm must sum to 1000000, got {total}")
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    "|", F.lit(seed), *[F.col(c).cast("string") for c in id_cols]
+                ),
+                256,
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    shift = hash_bits - bucket_bits
+    b = df.withColumn("__h__", h).withColumn(
+        "__bucket__", F.shiftright(F.col("__h__"), shift).cast("int")
+    )
+    counts = b.groupBy(*strata_cols, "__bucket__").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    w_off = (
+        Window.partitionBy(*strata_cols)
+        .orderBy("__bucket__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(*strata_cols)
+    offsets = counts.select(
+        *strata_cols,
+        "__bucket__",
+        F.coalesce(F.sum("__c__").over(w_off), F.lit(0)).alias("__off__"),
+        F.sum("__c__").over(w_tot).alias("__n__"),
+    )
+    w_in = Window.partitionBy(*strata_cols, "__bucket__").orderBy(
+        "__h__", *[F.col(c) for c in id_cols]
+    )
+    ranked = b.join(F.broadcast(offsets), [*strata_cols, "__bucket__"]).withColumn(
+        "__rank__", F.col("__off__") + F.row_number().over(w_in)
+    )
+    cum = 0
+    expr = None
+    for label, ppm in fractions_ppm[:-1]:
+        cum += ppm
+        cond = F.col("__rank__") <= F.expr(f"CAST((__n__ * {cum}) DIV 1000000 AS BIGINT)")
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = fractions_ppm[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return ranked.withColumn(out, expr).drop(
+        "__h__", "__bucket__", "__off__", "__n__", "__rank__"
+    )

@@ -3976,3 +3976,58 @@ def q_token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("tw"),
     )
     return apportion(w, ["source"], "tw", budget=1_000_000, out="allocated")
+
+
+@query(
+    "stratified_split_counts",
+    """
+WITH h AS (
+  SELECT o_orderpriority AS stratum,
+         o_orderkey,
+         (('0x' || substr(sha256('split' || '|' || o_orderkey::VARCHAR), 1, 13))::UBIGINT)::BIGINT AS hv
+  FROM orders
+),
+r AS (
+  SELECT stratum, o_orderkey,
+         row_number() OVER (PARTITION BY stratum ORDER BY hv, o_orderkey) AS rk,
+         count(*) OVER (PARTITION BY stratum) AS n
+  FROM h
+),
+lab AS (
+  SELECT stratum,
+         CASE WHEN rk <= (n * 800000) // 1000000 THEN 'train'
+              WHEN rk <= (n * 900000) // 1000000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM r
+)
+SELECT stratum, split, count(*)::BIGINT AS n_rows
+FROM lab GROUP BY 1, 2
+""",
+)
+def q_stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified 80/10/10 split (dataset/split.py
+    stratified_exact_split): per order-priority stratum the split sizes
+    are the integer cumulative-floor of the fractions — every run, every
+    engine, every partitioning — where hash_split_label is only
+    proportional in expectation. The per-stratum ranking is the two-phase
+    (stratum, hash-bucket) decomposition (counts → exclusive offsets over
+    the strata x 256 aggregate → within-bucket window), so no stratum is
+    ever a single-task sort; the oracle's one-window-per-stratum
+    formulation is the single-node equivalent of the same total order.
+    Output is the per-(stratum, split) contingency — the exactness
+    certificate itself."""
+    from datapipeline_spark.dataset.split import stratified_exact_split
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"), "o_orderkey"
+    )
+    s = stratified_exact_split(
+        od,
+        ["stratum"],
+        ["o_orderkey"],
+        [("train", 800_000), ("val", 100_000), ("test", 100_000)],
+        seed="split",
+    )
+    return s.groupBy("stratum", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )

@@ -1332,3 +1332,36 @@ def test_apportion_exact_sum_and_hamilton(spark):
     )
     got2 = {r.src: r.allocated for r in apportion(w2, ["src"], "tokens", 10).collect()}
     assert sum(got2.values()) == 10 and got2["x"] == 5
+
+
+def test_stratified_exact_split_sizes_and_determinism(spark):
+    from datapipeline_spark.dataset.split import stratified_exact_split
+
+    rows = [(chr(97 + i % 3), i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "stratum string, id long")
+    fr = [("train", 800_000), ("val", 100_000), ("test", 100_000)]
+    out = stratified_exact_split(df, ["stratum"], ["id"], fr)
+    counts = {
+        (r.stratum, r.split): r.n
+        for r in out.groupBy("stratum", "split").agg(F.count("*").alias("n")).collect()
+    }
+    # strata: a=334, b=333, c=333 -> train floor(0.8n), val floor(0.9n)-train
+    for s_, n in (("a", 334), ("b", 333), ("c", 333)):
+        tr = n * 800000 // 1000000
+        va = n * 900000 // 1000000 - tr
+        assert counts[(s_, "train")] == tr
+        assert counts[(s_, "val")] == va
+        assert counts[(s_, "test")] == n - tr - va
+    # repartitioning must not change a single assignment
+    a = sorted(map(tuple, out.select("stratum", "id", "split").collect()))
+    b2 = sorted(
+        map(
+            tuple,
+            stratified_exact_split(df.repartition(13), ["stratum"], ["id"], fr)
+            .select("stratum", "id", "split")
+            .collect(),
+        )
+    )
+    assert a == b2
+    with pytest.raises(ValueError):
+        stratified_exact_split(df, ["stratum"], ["id"], [("x", 1)])
