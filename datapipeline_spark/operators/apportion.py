@@ -34,6 +34,7 @@ def apportion(
     carry several rows per group (they are summed first); weights must be
     non-negative integers (scale floats to integer units upstream, per
     the repo's cents convention)."""
+    budget = int(budget)  # interpolated into SQL exprs — never a raw string
     g = weights.groupBy(*group_cols).agg(
         F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("__w__")
     )

@@ -555,3 +555,58 @@ def gini(
         .otherwise(F.round(num / den, 6))
         .alias(out),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimator (Card-Krueger 1994 design):
+    ``DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_control,post − ȳ_control,pre)``
+    from the 2×2 cell means — the econometrics readout for natural
+    experiments, one row out.
+
+    ``treat_col``/``post_col`` are boolean columns; ``value_col`` must be
+    exact integer units (cents), per the repo's stats-input discipline.
+    All four cell sums/counts come from ONE map-side-combined conditional
+    aggregation (no groupBy at all — the 4 cells are fixed); each mean is
+    a single IEEE division of exact integers and the estimator is an IEEE
+    subtraction chain on those — bit-stable cross-engine (the repo's
+    "IEEE *,/ are correctly rounded" contract), so the double
+    hash-matches the oracle. Cells with no rows yield null means and a
+    null estimate.
+    """
+    t, p = F.col(treat_col), F.col(post_col)
+    cells = {
+        "t1": t & p,
+        "t0": t & ~p,
+        "c1": ~t & p,
+        "c0": ~t & ~p,
+    }
+    aggs = []
+    for k, cond in cells.items():
+        aggs.append(
+            F.sum(F.when(cond, F.col(value_col)).otherwise(F.lit(0)))
+            .cast("decimal(38,0)")
+            .alias(f"__s_{k}__")
+        )
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"__n_{k}__")
+        )
+    g = df.agg(*aggs)
+    mean = {
+        k: F.when(
+            F.col(f"__n_{k}__") > 0,
+            F.col(f"__s_{k}__").cast("double") / F.col(f"__n_{k}__").cast("double"),
+        )
+        for k in cells
+    }
+    return g.select(
+        *[F.col(f"__n_{k}__").alias(f"n_{k}") for k in cells],
+        *[mean[k].alias(f"mean_{k}") for k in cells],
+        (
+            (mean["t1"] - mean["t0"]) - (mean["c1"] - mean["c0"])
+        ).alias("did"),
+    )

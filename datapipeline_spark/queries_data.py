@@ -4031,3 +4031,56 @@ def q_stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("stratum", "split").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
+
+
+@query(
+    "did_building_1995",
+    """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         (c_mktsegment = 'BUILDING') AS t,
+         (o_orderdate >= TIMESTAMP '1995-01-01') AS p
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT sum(CASE WHEN t AND p THEN 1 ELSE 0 END)::BIGINT AS n_t1,
+       sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)::BIGINT AS n_t0,
+       sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)::BIGINT AS n_c1,
+       sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)::BIGINT AS n_c0,
+       sum(CASE WHEN t AND p THEN cents ELSE 0 END)::DOUBLE
+         / sum(CASE WHEN t AND p THEN 1 ELSE 0 END)::DOUBLE AS mean_t1,
+       sum(CASE WHEN t AND NOT p THEN cents ELSE 0 END)::DOUBLE
+         / sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)::DOUBLE AS mean_t0,
+       sum(CASE WHEN NOT t AND p THEN cents ELSE 0 END)::DOUBLE
+         / sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)::DOUBLE AS mean_c1,
+       sum(CASE WHEN NOT t AND NOT p THEN cents ELSE 0 END)::DOUBLE
+         / sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)::DOUBLE AS mean_c0,
+       ((sum(CASE WHEN t AND p THEN cents ELSE 0 END)::DOUBLE
+          / sum(CASE WHEN t AND p THEN 1 ELSE 0 END)::DOUBLE
+         - sum(CASE WHEN t AND NOT p THEN cents ELSE 0 END)::DOUBLE
+          / sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)::DOUBLE)
+        - (sum(CASE WHEN NOT t AND p THEN cents ELSE 0 END)::DOUBLE
+            / sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)::DOUBLE
+           - sum(CASE WHEN NOT t AND NOT p THEN cents ELSE 0 END)::DOUBLE
+            / sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)::DOUBLE)) AS did
+FROM base
+""",
+)
+def q_did_building_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (operators/stats.diff_in_diff —
+    Card-Krueger 1994 design; extends the hypothesis-test suite into
+    quasi-experimental econometrics): BUILDING-segment customers as the
+    treated group, 1995-01-01 as the intervention, order value in exact
+    integer cents. ONE conditional aggregation produces all four cells
+    (no groupBy — the cell lattice is fixed), each mean is a single IEEE
+    division of exact integers and the estimator an IEEE subtraction
+    chain, so even the double hash-matches the oracle."""
+    from datapipeline_spark.operators.stats import diff_in_diff
+
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("c_mktsegment") == "BUILDING").alias("t"),
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")).alias("p"),
+    )
+    return diff_in_diff(j, "t", "p", "cents")

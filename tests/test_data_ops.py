@@ -1365,3 +1365,22 @@ def test_stratified_exact_split_sizes_and_determinism(spark):
     assert a == b2
     with pytest.raises(ValueError):
         stratified_exact_split(df, ["stratum"], ["id"], [("x", 1)])
+
+
+def test_diff_in_diff_cells(spark):
+    from datapipeline_spark.operators.stats import diff_in_diff
+
+    rows = [
+        (True, False, 100), (True, False, 200),   # treat pre mean 150
+        (True, True, 400), (True, True, 600),     # treat post mean 500
+        (False, False, 100),                      # control pre mean 100
+        (False, True, 200), (False, True, 200),   # control post mean 200
+    ]
+    df = spark.createDataFrame(rows, "t boolean, p boolean, v long")
+    r = diff_in_diff(df, "t", "p", "v").collect()[0]
+    assert (r.n_t1, r.n_t0, r.n_c1, r.n_c0) == (2, 2, 2, 1)
+    assert (r.mean_t1, r.mean_t0, r.mean_c1, r.mean_c0) == (500.0, 150.0, 200.0, 100.0)
+    assert r.did == (500.0 - 150.0) - (200.0 - 100.0)
+    # empty cell -> null means and null estimate
+    r2 = diff_in_diff(df.filter("NOT (t AND p)"), "t", "p", "v").collect()[0]
+    assert r2.mean_t1 is None and r2.did is None
