@@ -4084,3 +4084,65 @@ def q_did_building_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")).alias("p"),
     )
     return diff_in_diff(j, "t", "p", "cents")
+
+
+@query(
+    "embedding_gram_matrix",
+    """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+m AS (
+  SELECT v, greatest(abs(list_aggregate(v, 'min')), abs(list_aggregate(v, 'max'))) AS maxabs
+  FROM e
+),
+q AS (
+  SELECT CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x / (maxabs / 127) + 0.5) AS INTEGER))
+         END AS qvec
+  FROM m
+),
+px AS (
+  SELECT ti.i, tj.j,
+         (qvec[ti.i + 1]::BIGINT * qvec[tj.j + 1]::BIGINT) AS prod,
+         qvec[ti.i + 1]::BIGINT AS qi, qvec[tj.j + 1]::BIGINT AS qj
+  FROM q, range(0, 64) ti(i), range(0, 64) tj(j)
+  WHERE tj.j >= ti.i
+)
+SELECT i::INT AS i, j::INT AS j, count(*)::BIGINT AS n,
+       sum(prod)::BIGINT AS s_ij, sum(qi)::BIGINT AS s_i, sum(qj)::BIGINT AS s_j,
+       (count(*)::HUGEINT * sum(prod) - sum(qi)::HUGEINT * sum(qj))::BIGINT AS cov_num
+FROM px GROUP BY 1, 2
+""",
+)
+def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram/covariance matrix of the int8-quantized
+    embedding corpus (similarity/gram.py — the distributed second-moment
+    primitive under PCA/whitening/drift; the reference has no linear
+    algebra): all 2080 upper-triangle cells from ONE map stage (nested
+    transform over sequence flattens each row's outer product in
+    Tungsten) + one map-side-combined (i,j) aggregation — the shuffle
+    carries ≤2080 cells per task at ANY corpus size. cov_num =
+    n·S_ij − S_i·S_j in DECIMAL(38)/HUGEINT, bit-identical across
+    engines and partitionings where a float covariance is
+    accumulation-order-dependent. Quantization replays the
+    embedding_quantize projection; eigen-decomposition of the 64×64
+    result is a driver-side numpy call outside the engine."""
+    from datapipeline_spark.similarity.gram import int_gram_matrix
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    m = e.withColumn(
+        "maxabs",
+        F.greatest(F.abs(F.array_min("v")), F.abs(F.array_max("v"))),
+    )
+    q = m.select(
+        F.when(F.col("maxabs") == 0, F.transform(F.col("v"), lambda x: F.lit(0)))
+        .otherwise(
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(x / (F.col("maxabs") / 127) + 0.5).cast("int"),
+            )
+        )
+        .alias("qvec")
+    )
+    return int_gram_matrix(q, "qvec", dim=64)

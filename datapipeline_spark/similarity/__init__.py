@@ -9,8 +9,10 @@ from datapipeline_spark.similarity.ann import (
     lsh_similar_pairs,
     random_hyperplane_signature,
 )
+from datapipeline_spark.similarity.gram import int_gram_matrix
 
 __all__ = [
+    "int_gram_matrix",
     "brute_force_knn",
     "cosine_similarity_expr",
     "embedding_similar_pairs",

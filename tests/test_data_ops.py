@@ -1384,3 +1384,21 @@ def test_diff_in_diff_cells(spark):
     # empty cell -> null means and null estimate
     r2 = diff_in_diff(df.filter("NOT (t AND p)"), "t", "p", "v").collect()[0]
     assert r2.mean_t1 is None and r2.did is None
+
+
+def test_int_gram_matrix_exact(spark):
+    from datapipeline_spark.similarity.gram import int_gram_matrix
+
+    rows = [([1, 2, 3],), ([4, 5, 6],), ([-1, 0, 2],)]
+    df = spark.createDataFrame(rows, "q array<int>")
+    got = {(r.i, r.j): (r.n, r.s_ij, r.s_i, r.s_j, r.cov_num)
+           for r in int_gram_matrix(df, "q", 3).collect()}
+    assert len(got) == 6  # upper triangle of 3x3
+    # cell (0,1): s01 = 1*2+4*5+(-1)*0 = 22; s0=4, s1=7 -> cov_num = 3*22-28=38
+    assert got[(0, 1)] == (3, 22, 4, 7, 38)
+    # diagonal (2,2): s22 = 9+36+4 = 49; s2=11 -> 3*49-121=26
+    assert got[(2, 2)] == (3, 49, 11, 11, 26)
+    # partition invariance: exact integers cannot drift
+    got2 = {(r.i, r.j): r.cov_num
+            for r in int_gram_matrix(df.repartition(5), "q", 3).collect()}
+    assert got2 == {k: v[4] for k, v in got.items()}
