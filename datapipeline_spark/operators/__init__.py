@@ -43,6 +43,7 @@ from datapipeline_spark.operators.apportion import apportion
 from datapipeline_spark.operators.fd import fd_profile
 from datapipeline_spark.operators.impute import group_mode, impute_mode
 from datapipeline_spark.operators.cdc import apply_changes, snapshot_diff
+from datapipeline_spark.operators.cover import greedy_max_coverage
 from datapipeline_spark.operators.privacy import (
     k_anonymity_report,
     suppress_small_classes,
@@ -111,6 +112,7 @@ __all__ = [
     "group_mode",
     "impute_mode",
     "apply_changes",
+    "greedy_max_coverage",
     "snapshot_diff",
     "k_anonymity_report",
     "suppress_small_classes",

@@ -4146,3 +4146,87 @@ def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qvec")
     )
     return int_gram_matrix(q, "qvec", dim=64)
+
+
+def _cover_oracle_sql(k: int) -> str:
+    parts = [
+        """tt AS MATERIALIZED (
+  SELECT DISTINCT source AS grp, s AS item FROM (
+    SELECT source, lower(w[g.i]) || ' ' || lower(w[g.i + 1]) AS s
+    FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents WHERE trim(text) <> '') d,
+         unnest(generate_series(1, len(w) - 1)) g(i)
+  )
+)"""
+    ]
+    for r in range(1, k + 1):
+        not_taken = (
+            ""
+            if r == 1
+            else "WHERE t.grp NOT IN ("
+            + " UNION ALL ".join(f"SELECT grp FROM s{i}" for i in range(1, r))
+            + ")"
+        )
+        anti = (
+            ""
+            if r == 1
+            else (" AND" if not_taken else "WHERE")
+            + f" t.item NOT IN (SELECT item FROM cov{r-1})"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT t.grp, count(*)::BIGINT AS gain "
+            f"FROM tt t {not_taken}{anti} GROUP BY 1)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT {r} AS rank, grp, gain "
+            f"FROM c{r} ORDER BY gain DESC, grp LIMIT 1)"
+        )
+        prev = f"SELECT item FROM cov{r-1} UNION " if r > 1 else ""
+        parts.append(
+            f"cov{r} AS MATERIALIZED ({prev}SELECT DISTINCT t.item FROM tt t "
+            f"JOIN s{r} USING (grp))"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT rank, grp, gain FROM s{r}" for r in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+all_s AS ({union})
+SELECT CAST(rank AS INT) AS rank, grp, gain,
+       CAST(sum(gain) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_covered
+FROM all_s
+"""
+    )
+
+
+@query("source_cover_greedy", _cover_oracle_sql(4))
+def q_source_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage source selection (operators/cover.py —
+    Nemhauser-Wolsey-Fisher 1978 submodular greedy, the (1−1/e)
+    guarantee; no reference analogue): which 4 document sources buy the
+    most distinct word-bigram coverage for a training mix. Driver loop of k small
+    jobs over the distinct (source, word) projection — per round one
+    anti-join against the checkpointed covered set, one count, a 1-row
+    argmax with a total-order tie-break — so the whole run is
+    deterministic and the oracle is the unrolled 4-round MATERIALIZED-CTE
+    chain (the kcore/bfs pattern), cumulative coverage via a window over
+    the 4-row result."""
+    from datapipeline_spark.operators.cover import greedy_max_coverage
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    w = docs.select("source", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    bigrams = w.filter(F.size("w") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> lower(element_at(w, i)) || ' ' || lower(element_at(w, i + 1)))"
+            )
+        ).alias("item"),
+    )
+    return greedy_max_coverage(spark, bigrams, "source", "item", k=4)

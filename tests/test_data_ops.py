@@ -1402,3 +1402,19 @@ def test_int_gram_matrix_exact(spark):
     got2 = {(r.i, r.j): r.cov_num
             for r in int_gram_matrix(df.repartition(5), "q", 3).collect()}
     assert got2 == {k: v[4] for k, v in got.items()}
+
+
+def test_greedy_max_coverage_picks(spark):
+    from datapipeline_spark.operators.cover import greedy_max_coverage
+
+    rows = [
+        ("a", 1), ("a", 2), ("a", 3),          # a covers 3
+        ("b", 3), ("b", 4),                    # b adds 1 after a
+        ("c", 4), ("c", 5), ("c", 6),          # c adds 3... but greedy: a(3) then c(+3) then b(0 new? 3,4 covered -> 0)
+        ("d", 1),                              # d adds nothing ever
+    ]
+    df = spark.createDataFrame(rows, "src string, item long")
+    got = [(r.rank, r.grp, r.gain, r.cum_covered)
+           for r in greedy_max_coverage(spark, df, "src", "item", k=4).collect()]
+    # round1 tie a(3) vs c(3) -> 'a'; round2 c adds {4,5,6}=3; round3 b adds 0 -> stop
+    assert got == [(1, "a", 3, 3), (2, "c", 3, 6)]
