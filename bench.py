@@ -184,6 +184,12 @@ HEADLINE = [
     "skyline_parts",
     "shipping_concurrency",
     "golden_user_profile",
+    "fd_discovery_orders",
+    "modal_event_type",
+    "token_budget_apportionment",
+    "stratified_split_counts",
+    "did_building_1995",
+    "embedding_gram_matrix",
 ]
 
 

@@ -197,6 +197,10 @@ def apply_transform(
             partition_by=partition_by,
             out=spec.to or "cusum",
         )
+    if op == "impute_mode":
+        from datapipeline_spark.operators.impute import impute_mode
+
+        return impute_mode(df, partition_by, spec.field, out=spec.to)
     if op == "ensure_ticks":
         # grid_by == partition_by (reference ensure_ticks.py:42-92); the grid
         # spans each partition's observed bounds at the given cadence — the

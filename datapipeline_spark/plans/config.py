@@ -151,6 +151,7 @@ class TransformSpec(_Strict):
         "ewma",
         "rolling_corr",
         "cusum",
+        "impute_mode",
     ]
     # where
     operator: str | None = None
@@ -259,6 +260,9 @@ class TransformSpec(_Strict):
         elif op == "cusum":
             if not self.field or self.target is None:
                 raise ValueError("cusum requires 'field' and 'target'")
+        elif op == "impute_mode":
+            if not self.field:
+                raise ValueError("impute_mode requires 'field'")
         return self
 
 

@@ -414,3 +414,25 @@ def test_cusum_via_yaml_grammar(spark):
 
     with pytest.raises(ValueError, match="cusum requires"):
         TransformSpec(operation="cusum", field="value", to="c")  # no target
+
+
+def test_impute_mode_via_yaml_grammar(spark):
+    """impute_mode is reachable from the declarative grammar: nulls fill
+    from the stream-partition group's modal value."""
+    import pytest
+
+    from datapipeline_spark.plans.compiler import apply_transform
+    from datapipeline_spark.plans.config import TransformSpec
+
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "a"), (1, 2, None), (2, 0, None)],
+        "user_id long, time long, seg string",
+    )
+    spec = TransformSpec(operation="impute_mode", field="seg")
+    got = {(r.user_id, r.time): r.seg
+           for r in apply_transform(df, spec, ["user_id"]).collect()}
+    assert got[(1, 2)] == "a"       # filled from user 1's mode
+    assert got[(2, 0)] is None      # all-null group stays null
+
+    with pytest.raises(ValueError, match="impute_mode requires"):
+        TransformSpec(operation="impute_mode")
