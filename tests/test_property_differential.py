@@ -628,3 +628,80 @@ def test_welch_matches_pure_python(spark, data):
     if a0 * a0 / (n0 - 1) + a1 * a1 / (n1 - 1) > 0:
         want_df = (a0 + a1) ** 2 / (a0 * a0 / (n0 - 1) + a1 * a1 / (n1 - 1))
         assert abs(r.df_welch - want_df) < 0.05
+
+
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=12),
+    budget=st.integers(min_value=1, max_value=100_000),
+)
+@settings(max_examples=12, deadline=None)
+def test_apportion_hamilton_properties(spark, weights, budget):
+    """Sum == budget exactly; every allocation within 1 of the exact share
+    (the Hamilton quota property); zero-weight groups get zero."""
+    from datapipeline_spark.operators.apportion import apportion
+
+    if sum(weights) == 0:
+        weights = weights + [1]
+    rows = [(f"g{i:02d}", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "g string, w long")
+    got = {r.g: r.allocated for r in apportion(df, ["g"], "w", budget).collect()}
+    assert sum(got.values()) == budget
+    tot = sum(weights)
+    for (g, w) in rows:
+        exact = budget * w / tot
+        assert exact - 1 < got[g] < exact + 1 or got[g] in (
+            math.floor(exact),
+            math.ceil(exact),
+        )
+        if w == 0:
+            assert got[g] == 0
+
+
+@given(
+    n_rows=st.integers(min_value=0, max_value=60),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=10, deadline=None)
+def test_reservoir_per_key_size_and_uniform_subset(spark, n_rows, k):
+    """Exactly min(n_key, k) rows per key, drawn from the key's rows, and
+    stable under repartitioning."""
+    from datapipeline_spark.operators.rank import reservoir_per_key
+
+    rows = [(i % 3, i) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "key long, id long") if rows else None
+    if df is None:
+        return
+    out = reservoir_per_key(df, ["key"], ["id"], n=k).collect()
+    per_key: dict = {}
+    for r in out:
+        per_key.setdefault(r.key, set()).add(r.id)
+    for key in {r[0] for r in rows}:
+        n_key = sum(1 for r in rows if r[0] == key)
+        assert len(per_key.get(key, set())) == min(n_key, k)
+        assert per_key[key] <= {r[1] for r in rows if r[0] == key}
+    again = reservoir_per_key(df.repartition(7), ["key"], ["id"], n=k).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5)), min_size=2, max_size=40
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_frequent_pairs_matches_pure_python(spark, rows):
+    """Pair counts equal an independent per-basket set model."""
+    from itertools import combinations
+
+    from datapipeline_spark.operators.basket import frequent_pairs
+
+    df = spark.createDataFrame(rows, "b long, i long")
+    got = {(r.ia, r.ib): r.pair_support for r in frequent_pairs(df, "b", "i").collect()}
+    baskets: dict = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    want: dict = {}
+    for items in baskets.values():
+        for a, c in combinations(sorted(items), 2):
+            want[(a, c)] = want.get((a, c), 0) + 1
+    assert got == want
