@@ -3896,7 +3896,12 @@ def q_fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     of per-pair SQL, generated from the same column list."""
     from datapipeline_spark.operators.fd import fd_profile
 
-    od = load_table(spark, sf_dir, "orders").select(*_FD_COLS)
+    from datapipeline_spark.tables import spread
+
+    # single-row-group scan serializes the 12x explode; spread buys full
+    # width (2.67 -> 1.17 s at sf0.1; the (pair, value) keys are too
+    # distinct for map-side combine to prefer the single-task scan)
+    od = spread(load_table(spark, sf_dir, "orders").select(*_FD_COLS))
     return fd_profile(od, _FD_COLS)
 
 
