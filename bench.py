@@ -190,6 +190,7 @@ HEADLINE = [
     "stratified_split_counts",
     "did_building_1995",
     "embedding_gram_matrix",
+    "entity_resolution_pipeline",
 ]
 
 

@@ -4235,3 +4235,121 @@ def q_source_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("item"),
     )
     return greedy_max_coverage(spark, bigrams, "source", "item", k=4)
+
+
+def _er_pipeline_sql() -> str:
+    from datapipeline_spark.operators.linkage import WEIGHT_SCALE, weight_pair
+
+    name_a, name_d = weight_pair(0.95, 0.01)
+    seg_a, seg_d = weight_pair(0.90, 0.20)
+    bal_a, bal_d = weight_pair(0.80, 0.10)
+    up = 3 * WEIGHT_SCALE
+    return f"""
+WITH RECURSIVE mp AS (
+  SELECT a.c_custkey AS left_key, b.c_custkey AS right_key
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE a.c_nationkey < 5
+    AND CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+             THEN {name_a} ELSE {name_d} END
+      + CASE WHEN a.c_mktsegment = b.c_mktsegment
+             THEN {seg_a} ELSE {seg_d} END
+      + CASE WHEN abs(CAST(round(a.c_acctbal * 100) AS BIGINT)
+                      - CAST(round(b.c_acctbal * 100) AS BIGINT)) <= 50000
+             THEN {bal_a} ELSE {bal_d} END >= {up}
+),
+bi AS (SELECT left_key AS a, right_key AS b FROM mp
+       UNION SELECT right_key, left_key FROM mp),
+reach(a, b) AS (
+  SELECT a, b FROM bi
+  UNION
+  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+agg AS (
+  SELECT cluster_id,
+         count(*)::BIGINT AS n_members,
+         max(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS max_bal_cents,
+         count(DISTINCT c.c_mktsegment)::BIGINT AS n_segments
+  FROM comp JOIN customer c ON c.c_custkey = comp.id
+  GROUP BY 1
+)
+SELECT g.cluster_id, g.n_members, cc.c_name AS canonical_name,
+       g.max_bal_cents, g.n_segments
+FROM agg g JOIN customer cc ON cc.c_custkey = g.cluster_id
+"""
+
+
+@query("entity_resolution_pipeline", _er_pipeline_sql())
+def q_entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the composition the MDM stack runs
+    as one lazy plan plus one bounded iteration: nation-blocked
+    Fellegi-Sunter scoring (operators/linkage.py, integer micro-unit
+    weights) → 'match'-decision pairs → distributed min-label connected
+    components (dedup/cluster.py pointer jumping, checkpointed) → cluster
+    profile with the canonical record (the min-custkey member's name —
+    deterministic survivorship) and exact-cent extrema. The oracle
+    replays the identical weights and closes the match graph with a
+    recursive CTE (the near_dup_clusters pattern). Every stage is the
+    bounded form: blocked pairs (never all-pairs), capped levenshtein,
+    O(log d)-round CC."""
+    from datapipeline_spark.dedup.cluster import connected_components
+    from datapipeline_spark.operators.linkage import (
+        FieldComparison,
+        fellegi_sunter_score,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    scoped = c.filter(F.col("c_nationkey") < 5)
+    fanout = spark.sparkContext.defaultParallelism * 2
+    a = scoped.repartition(fanout, F.col("c_custkey")).alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    comparisons = [
+        FieldComparison(
+            "name",
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2) >= 0,
+            0.95,
+            0.01,
+        ),
+        FieldComparison(
+            "segment", F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 0.90, 0.20
+        ),
+        FieldComparison(
+            "acctbal",
+            F.abs(
+                F.round(F.col("a.c_acctbal") * 100).cast("long")
+                - F.round(F.col("b.c_acctbal") * 100).cast("long")
+            )
+            <= 50000,
+            0.80,
+            0.10,
+        ),
+    ]
+    scored = fellegi_sunter_score(pairs, comparisons, upper=3.0, lower=0.0)
+    matches = scored.filter(F.col("decision") == "match").select(
+        F.col("a.c_custkey").alias("left_key"),
+        F.col("b.c_custkey").alias("right_key"),
+    )
+    comp = connected_components(matches, src="left_key", dst="right_key")
+    members = comp.join(c, comp.id == c.c_custkey)
+    agg = members.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+            "max_bal_cents"
+        ),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+    )
+    canon = c.select(
+        F.col("c_custkey").alias("cluster_id"),
+        F.col("c_name").alias("canonical_name"),
+    )
+    return agg.join(canon, "cluster_id").select(
+        "cluster_id", "n_members", "canonical_name", "max_bal_cents", "n_segments"
+    )
