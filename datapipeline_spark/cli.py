@@ -231,6 +231,11 @@ def cmd_stats(args) -> int:
         if not _need_int(args.value):
             return 2
         out = S.benford(df, args.value)
+    elif args.test == "did":
+        # difference-in-differences: -x treat flag, -y post flag, --value cents
+        if not _need_int(args.value):
+            return 2
+        out = S.diff_in_diff(df, args.x, args.y, args.value)
     else:  # pragma: no cover - argparse choices guard
         raise ValueError(args.test)
     rows = out.collect()
@@ -278,13 +283,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     stt.add_argument(
         "test",
-        choices=["ks", "mw", "welch", "ztest", "chi2", "pearson", "spearman", "benford"],
+        choices=["ks", "mw", "welch", "ztest", "chi2", "pearson", "spearman", "benford", "did"],
     )
     stt.add_argument("path", help="parquet file/dir")
-    stt.add_argument("--value", default=None, help="value column (ks/mw/benford) or success 0-1 column (ztest)")
+    stt.add_argument("--value", default=None, help="value column (ks/mw/benford/did cents) or success 0-1 column (ztest)")
     stt.add_argument("--side", default=None, help="0/1 sample/arm column (ks/mw/ztest)")
-    stt.add_argument("-x", default=None, help="first column (chi2/pearson/spearman)")
-    stt.add_argument("-y", default=None, help="second column (chi2/pearson/spearman)")
+    stt.add_argument("-x", default=None, help="first column (chi2/pearson/spearman) / treat flag (did)")
+    stt.add_argument("-y", default=None, help="second column (chi2/pearson/spearman) / post flag (did)")
     stt.add_argument("--by", default=None, help="comma-separated group columns")
     stt.set_defaults(fn=cmd_stats)
 

@@ -279,3 +279,19 @@ def test_cli_stats(spark, tmp_path, capsys):
     assert rc == 2
     rc = cli.main(["stats", "spearman", p, "-x", "f", "-y", "v"])
     assert rc == 0  # rank-based: floats are fine
+
+
+def test_cli_stats_did(spark, tmp_path, capsys):
+    from datapipeline_spark import cli
+
+    p = str(tmp_path / "did.parquet")
+    spark.range(200).selectExpr(
+        "id % 2 = 0 AS treat",
+        "id % 4 < 2 AS post",
+        "cast(id % 10 * 100 as bigint) AS cents",
+    ).write.parquet(p)
+    rc = cli.main(["stats", "did", p, "-x", "treat", "-y", "post", "--value", "cents"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    header = out.splitlines()[0].split("\t")
+    assert header[:4] == ["n_t1", "n_t0", "n_c1", "n_c0"] and "did" in header
