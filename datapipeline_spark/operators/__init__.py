@@ -38,6 +38,7 @@ from datapipeline_spark.operators.basket import (
 )
 from datapipeline_spark.operators.interval import interval_concurrency, interval_join
 from datapipeline_spark.operators.skyline import skyline_2d
+from datapipeline_spark.operators.survival import kaplan_meier, life_table
 from datapipeline_spark.operators.survivorship import golden_record
 from datapipeline_spark.operators.apportion import apportion
 from datapipeline_spark.operators.fd import fd_profile
@@ -107,6 +108,8 @@ __all__ = [
     "interval_concurrency",
     "skyline_2d",
     "golden_record",
+    "life_table",
+    "kaplan_meier",
     "fd_profile",
     "apportion",
     "group_mode",

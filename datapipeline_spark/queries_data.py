@@ -4353,3 +4353,56 @@ def q_entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(canon, "cluster_id").select(
         "cluster_id", "n_members", "canonical_name", "max_bal_cents", "n_segments"
     )
+
+
+@query(
+    "churn_life_table",
+    """
+WITH span AS (SELECT max(ts) AS tmax FROM events),
+u AS (
+  SELECT user_id,
+         date_diff('day', min(ts), max(ts))::BIGINT AS t,
+         CASE WHEN max(ts) < (SELECT tmax FROM span) - INTERVAL 7 DAY
+              THEN 1 ELSE 0 END AS ev
+  FROM events GROUP BY user_id
+),
+cell AS (
+  SELECT t,
+         sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END)::BIGINT AS d_events,
+         sum(CASE WHEN ev = 1 THEN 0 ELSE 1 END)::BIGINT AS c_censored
+  FROM u GROUP BY t
+)
+SELECT t, CAST(sum(d_events + c_censored)
+               OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk,
+       d_events, c_censored
+FROM cell
+""",
+)
+def q_churn_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival life table (operators/survival.py — Kaplan-Meier 1958;
+    the reference has no survival surface): per-user activity lifetime in
+    whole days, churn observed when the user's last event ends more than
+    7 days before the corpus edge (otherwise right-censored). One
+    aggregation collapses users to the (duration, event) contingency —
+    bounded by the day domain, not users — and the at-risk counts are a
+    reverse prefix over that tiny table. Pure exact integers; the KM
+    float product stays in the operator, pinned by a pytest differential,
+    never in the oracle (the libm discipline)."""
+    from datapipeline_spark.operators.survival import life_table
+
+    ev = load_table(spark, sf_dir, "events")
+    edge = ev.agg(F.max("ts").alias("tmax"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(edge))
+        .select(
+            F.datediff(F.col("t1"), F.col("t0")).cast("long").alias("t"),
+            F.when(
+                F.col("t1") < F.col("tmax") - F.expr("INTERVAL 7 DAYS"), 1
+            )
+            .otherwise(0)
+            .alias("ev"),
+        )
+    )
+    return life_table(u, "t", "ev")

@@ -1418,3 +1418,23 @@ def test_greedy_max_coverage_picks(spark):
            for r in greedy_max_coverage(spark, df, "src", "item", k=4).collect()]
     # round1 tie a(3) vs c(3) -> 'a'; round2 c adds {4,5,6}=3; round3 b adds 0 -> stop
     assert got == [(1, "a", 3, 3), (2, "c", 3, 6)]
+
+
+def test_kaplan_meier_matches_hand_rolled(spark):
+    from datapipeline_spark.operators.survival import kaplan_meier, life_table
+
+    # durations with events (1) and censoring (0): classic toy example
+    obs = [(6, 1), (6, 1), (6, 0), (7, 1), (10, 0), (13, 1), (16, 0)]
+    df = spark.createDataFrame(obs, "t long, ev int")
+    lt = {r.t: (r.n_risk, r.d_events, r.c_censored)
+          for r in life_table(df, "t", "ev").collect()}
+    assert lt[6] == (7, 2, 1)   # all 7 at risk at t=6
+    assert lt[7] == (4, 1, 0)
+    assert lt[13] == (2, 1, 0)
+    km = {r.t: r.survival for r in kaplan_meier(df, "t", "ev").collect()}
+    # hand-rolled: S(6)=5/7, S(7)=5/7*3/4, S(13)=...*1/2
+    import math
+    assert math.isclose(km[6], 5 / 7, rel_tol=1e-12)
+    assert math.isclose(km[7], 5 / 7 * 3 / 4, rel_tol=1e-12)
+    assert math.isclose(km[10], km[7], rel_tol=0)   # censoring-only step: flat
+    assert math.isclose(km[13], 5 / 7 * 3 / 4 * 0.5, rel_tol=1e-12)
