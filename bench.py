@@ -191,6 +191,7 @@ HEADLINE = [
     "did_building_1995",
     "embedding_gram_matrix",
     "entity_resolution_pipeline",
+    "churn_life_table",
 ]
 
 
