@@ -87,3 +87,44 @@ def reservoir_per_key(
     rank = out or "__rsv__"
     res = df.withColumn(rank, F.row_number().over(w)).filter(F.col(rank) <= n)
     return res if out else res.drop(rank)
+
+
+def bucketed_value_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak: Sequence[str],
+    out: str = "pos",
+    buckets: int = 256,
+) -> DataFrame:
+    """1-based global rank by ``(value_col, *tiebreak)`` for an arbitrary
+    exact-integer value column — the VALUE-ordered sibling of
+    bucketed_global_rank (whose buckets are hash high bits). Monotone
+    value-range buckets come from the broadcast min/max (the skyline_2d
+    bucketing): ``(v - lo) * B DIV (hi - lo + 1)`` is a monotone prefix of
+    the total order, so per-bucket counts → exclusive offsets over the
+    ≤B-row aggregate → within-bucket window reproduce the single-window
+    rank exactly without ever sorting the whole input in one task.
+    Value skew lands whole duplicate runs in one bucket — same caveat as
+    any equi-width decomposition; ranks stay exact regardless."""
+    rng = df.agg(
+        F.min(F.col(value_col).cast("long")).alias("__lo__"),
+        F.max(F.col(value_col).cast("long")).alias("__hi__"),
+    )
+    b = df.crossJoin(F.broadcast(rng)).withColumn(
+        "__bucket__",
+        F.expr(
+            f"CAST(((CAST({value_col} AS BIGINT) - __lo__) * {int(buckets)})"
+            " DIV (__hi__ - __lo__ + 1) AS INT)"
+        ),
+    )
+    counts = b.groupBy("__bucket__").agg(F.count(F.lit(1)).alias("__c__"))
+    w_off = Window.orderBy("__bucket__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off__", F.coalesce(F.sum("__c__").over(w_off), F.lit(0))
+    ).select("__bucket__", "__off__")
+    w_in = Window.partitionBy("__bucket__").orderBy(value_col, *tiebreak)
+    return (
+        b.join(F.broadcast(offsets), "__bucket__")
+        .withColumn(out, (F.col("__off__") + F.row_number().over(w_in)).cast("long"))
+        .drop("__bucket__", "__off__", "__lo__", "__hi__")
+    )

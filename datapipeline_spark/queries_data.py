@@ -4406,3 +4406,80 @@ def q_churn_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return life_table(u, "t", "ev")
+
+
+@query(
+    "rfm_segmentation",
+    """
+WITH edge AS (SELECT max(o_orderdate) AS dmax FROM orders),
+m AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), (SELECT dmax FROM edge))::BIGINT AS recency_days,
+         count(*)::BIGINT AS frequency,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS monetary_cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY recency_days, o_custkey) AS pr,
+         row_number() OVER (ORDER BY frequency, o_custkey) AS pf,
+         row_number() OVER (ORDER BY monetary_cents, o_custkey) AS pm,
+         count(*) OVER () AS n
+  FROM m
+)
+SELECT o_custkey, recency_days, frequency, monetary_cents,
+       (((pr - 1) * 5) // n + 1)::INT AS recency_band,
+       (((pf - 1) * 5) // n + 1)::INT AS frequency_band,
+       (((pm - 1) * 5) // n + 1)::INT AS monetary_band
+FROM r
+""",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/rank.bucketed_value_rank —
+    the retail-analytics classic; no reference analogue): recency /
+    frequency / monetary per customer, each banded into equal-count
+    quintiles by the VALUE-ordered two-phase rank (monotone value-range
+    buckets from the broadcast min/max → exclusive bucket offsets →
+    within-bucket window) — three global ranks with NO single-task sort
+    anywhere, where the oracle's three row_number windows are the
+    single-node equivalent of the same (value, custkey) total orders.
+    Band arithmetic is pure integer ((pos−1)·5 DIV n + 1)."""
+    from datapipeline_spark.operators.rank import bucketed_value_rank
+
+    od = load_table(spark, sf_dir, "orders")
+    edge = od.agg(F.max("o_orderdate").alias("dmax"))
+    m = (
+        od.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("dlast"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(edge))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("dmax"), F.col("dlast")).cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    ranked = bucketed_value_rank(m, "recency_days", ["o_custkey"], out="pr")
+    ranked = bucketed_value_rank(ranked, "frequency", ["o_custkey"], out="pf")
+    ranked = bucketed_value_rank(ranked, "monetary_cents", ["o_custkey"], out="pm")
+    n = m.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            F.expr("CAST(((pr - 1) * 5) DIV n + 1 AS INT)").alias("recency_band"),
+            F.expr("CAST(((pf - 1) * 5) DIV n + 1 AS INT)").alias("frequency_band"),
+            F.expr("CAST(((pm - 1) * 5) DIV n + 1 AS INT)").alias("monetary_band"),
+        )
+    )

@@ -1438,3 +1438,21 @@ def test_kaplan_meier_matches_hand_rolled(spark):
     assert math.isclose(km[7], 5 / 7 * 3 / 4, rel_tol=1e-12)
     assert math.isclose(km[10], km[7], rel_tol=0)   # censoring-only step: flat
     assert math.isclose(km[13], 5 / 7 * 3 / 4 * 0.5, rel_tol=1e-12)
+
+
+def test_bucketed_value_rank_equals_global_window(spark):
+    from pyspark.sql import Window
+    from datapipeline_spark.operators.rank import bucketed_value_rank
+
+    import random
+    rng = random.Random(11)
+    rows = [(rng.randrange(-50, 50), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "v long, id long")
+    got = {r.id: r.pos for r in bucketed_value_rank(df, "v", ["id"], buckets=8).collect()}
+    w = Window.orderBy("v", "id")
+    want = {r.id: r.pos for r in df.withColumn("pos", F.row_number().over(w)).collect()}
+    assert got == want
+    # constant column: everything lands in bucket 0, ranks still exact
+    cdf = spark.createDataFrame([(7, i) for i in range(20)], "v long, id long")
+    cg = {r.id: r.pos for r in bucketed_value_rank(cdf, "v", ["id"]).collect()}
+    assert sorted(cg.values()) == list(range(1, 21))
