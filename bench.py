@@ -192,6 +192,9 @@ HEADLINE = [
     "embedding_gram_matrix",
     "entity_resolution_pipeline",
     "churn_life_table",
+    "rfm_segmentation",
+    "top_user_journeys",
+    "funnel_three_step",
 ]
 
 

@@ -4483,3 +4483,138 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(((pm - 1) * 5) DIV n + 1 AS INT)").alias("monetary_band"),
         )
     )
+
+
+@query(
+    "top_user_journeys",
+    """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, count(*)::BIGINT AS n_users
+FROM paths GROUP BY 1 HAVING count(*) >= 2
+""",
+)
+def q_top_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining (product analytics' entry-path report; no
+    reference analogue): each user's first three event types in exact
+    (ts, event_id) order concatenated into a path, then counted across
+    users. The per-user prefix is a WindowGroupLimit candidate (≤3 rows
+    per user per map task cross the one keyed exchange, never whole
+    histories); the path build is an in-row array_sort over (rank, type)
+    structs — deterministic because the order is total. Supports the
+    funnel queries' design question: which entry sequences actually
+    occur."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    paths = first3.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .filter(F.col("n_users") >= 2)
+    )
+
+
+@query(
+    "funnel_three_step",
+    """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT v.user_id, v.t1, min(e.ts) AS t2
+      FROM v JOIN events e ON e.user_id = v.user_id
+       AND e.event_type = 'click' AND e.ts > v.t1
+       AND e.ts <= v.t1 + INTERVAL 72 HOUR
+      GROUP BY 1, 2),
+p AS (SELECT c.user_id, c.t2, min(e.ts) AS t3
+      FROM c JOIN events e ON e.user_id = c.user_id
+       AND e.event_type = 'purchase' AND e.ts > c.t2
+       AND e.ts <= c.t2 + INTERVAL 72 HOUR
+      GROUP BY 1, 2)
+SELECT (SELECT count(*) FROM v)::BIGINT AS n_step1,
+       (SELECT count(*) FROM c)::BIGINT AS n_step2,
+       (SELECT count(*) FROM p)::BIGINT AS n_step3,
+       ((SELECT count(*) FROM c) * 1000000 // (SELECT count(*) FROM v))::BIGINT
+         AS conv12_ppm,
+       ((SELECT count(*) FROM p) * 1000000 // (SELECT count(*) FROM c))::BIGINT
+         AS conv23_ppm
+""",
+)
+def q_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ordered funnel with a per-step 72-hour window (extends
+    the two-step funnel_conversion to the k-step chained-as-of shape):
+    first view → first subsequent click within 72 h → first subsequent
+    purchase within 72 h of the click. Each step is a user-keyed join
+    bounded to one row per user on the build side (min-aggregate before
+    the next join), so the chain is k user-keyed joins, never a
+    per-event explosion; conversion rates are exact integer ppm."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        v.join(
+            ev.filter(F.col("event_type") == "click").select(
+                "user_id", F.col("ts").alias("tc")
+            ),
+            "user_id",
+        )
+        .filter(
+            (F.col("tc") > F.col("t1"))
+            & (F.col("tc") <= F.col("t1") + F.expr("INTERVAL 72 HOURS"))
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("tc").alias("t2"))
+    )
+    p = (
+        c.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("tp")
+            ),
+            "user_id",
+        )
+        .filter(
+            (F.col("tp") > F.col("t2"))
+            & (F.col("tp") <= F.col("t2") + F.expr("INTERVAL 72 HOURS"))
+        )
+        .groupBy("user_id", "t2")
+        .agg(F.min("tp").alias("t3"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).cast("long").alias("n_step1"))
+    n2 = c.agg(F.count(F.lit(1)).cast("long").alias("n_step2"))
+    n3 = p.agg(F.count(F.lit(1)).cast("long").alias("n_step3"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            "n_step1",
+            "n_step2",
+            "n_step3",
+            F.expr("CAST(n_step2 * 1000000 DIV n_step1 AS BIGINT)").alias(
+                "conv12_ppm"
+            ),
+            F.expr("CAST(n_step3 * 1000000 DIV n_step2 AS BIGINT)").alias(
+                "conv23_ppm"
+            ),
+        )
+    )
