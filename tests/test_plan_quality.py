@@ -801,3 +801,32 @@ def test_interval_concurrency_aggregated_before_window(spark):
     # sits ABOVE the aggregation (plans print root-first), never over raw rows
     assert plan.index("Window") < plan.index("HashAggregate")
     assert "Generate" not in plan  # boundary projection is a plain union
+
+
+def test_rfm_rank_windows_bucketed(spark):
+    from datapipeline_spark.queries_data import q_rfm_segmentation
+
+    plan = _plan(q_rfm_segmentation(spark, SF))
+    # every per-row rank window partitions by the value bucket — no
+    # partitionless window over per-customer rows anywhere
+    import re as _re
+
+    wins = _re.findall(r"Window \[[^\n]*row_number[^\n]*", plan)
+    assert wins and all("__bucket__" in w for w in wins), wins
+
+
+def test_journeys_window_group_limit(spark):
+    from datapipeline_spark.queries_data import q_top_user_journeys
+
+    plan = _plan(q_top_user_journeys(spark, SF))
+    # the rn<=3 prefix must plan as WindowGroupLimit (partial per map task)
+    assert "WindowGroupLimit" in plan
+
+
+def test_gram_matrix_broadcast_pairs(spark):
+    from datapipeline_spark.queries_data import q_embedding_gram_matrix
+
+    plan = _plan(q_embedding_gram_matrix(spark, SF))
+    # pair indices arrive broadcast; one aggregation exchange total
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _shuffles(plan) == 1
