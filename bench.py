@@ -195,6 +195,7 @@ HEADLINE = [
     "rfm_segmentation",
     "top_user_journeys",
     "funnel_three_step",
+    "recsys_eval_popularity",
 ]
 
 

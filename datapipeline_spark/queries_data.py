@@ -4618,3 +4618,99 @@ def q_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "recsys_eval_popularity",
+    """
+WITH train AS (
+  SELECT o_custkey AS u, l_partkey AS it
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderdate < TIMESTAMP '2000-01-01'
+),
+top5 AS (
+  SELECT it, row_number() OVER (ORDER BY count(*) DESC, it ASC) AS rec_rank
+  FROM train GROUP BY it
+  QUALIFY rec_rank <= 5
+),
+test AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS it
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+),
+hits AS (
+  SELECT t.u, min(r.rec_rank) AS first_hit
+  FROM test t LEFT JOIN top5 r ON r.it = t.it
+  GROUP BY t.u
+)
+SELECT count(*)::BIGINT AS n_eval_users,
+       sum(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+       (sum(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        // count(*))::BIGINT AS hit_rate_ppm,
+       sum(coalesce(1000000 // first_hit, 0))::BIGINT AS mrr_sum_micro,
+       (sum(coalesce(1000000 // first_hit, 0)) // count(*))::BIGINT
+         AS mrr_mean_micro
+FROM hits
+""",
+)
+def q_recsys_eval_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation (the recsys-metrics family; no
+    reference analogue): a popularity@5 baseline trained on pre-2000
+    purchases, scored on each customer's post-2000 held-out items —
+    hit-rate@5 and MRR@5 as EXACT integers (reciprocal rank is
+    1000000 DIV rank — no floats, so the metrics hash-match). Plan:
+    the 5-item model is a tiny aggregate ranked once; evaluation is one
+    broadcast join of the model onto the distinct test pairs + per-user
+    min + one final aggregate. Time-based split, not random — the only
+    leak-free protocol for temporal interaction data."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cut = F.lit("2000-01-01").cast("timestamp")
+    pairs = od.join(li, od.o_orderkey == li.l_orderkey).select(
+        "o_custkey", "l_partkey", "o_orderdate"
+    )
+    train = pairs.filter(F.col("o_orderdate") < cut)
+    from pyspark.sql import Window
+
+    counts = train.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("l_partkey"))
+    # rank window runs on the aggregated part table (bounded by the part
+    # domain); only 5 rows survive to broadcast
+    top5 = (
+        counts.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= 5)
+        .select("l_partkey", "rec_rank")
+    )
+    test = (
+        pairs.filter(F.col("o_orderdate") >= cut)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    hits = (
+        test.join(F.broadcast(top5), "l_partkey", "left")
+        .groupBy("o_custkey")
+        .agg(F.min("rec_rank").alias("first_hit"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_users"),
+        F.sum(F.when(F.col("first_hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        F.sum(
+            F.coalesce(F.expr("CAST(1000000 DIV first_hit AS BIGINT)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("mrr_sum_micro"),
+    ).select(
+        "n_eval_users",
+        "n_hits",
+        F.expr("CAST(n_hits * 1000000 DIV n_eval_users AS BIGINT)").alias(
+            "hit_rate_ppm"
+        ),
+        "mrr_sum_micro",
+        F.expr("CAST(mrr_sum_micro DIV n_eval_users AS BIGINT)").alias(
+            "mrr_mean_micro"
+        ),
+    )
