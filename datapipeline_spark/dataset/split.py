@@ -115,6 +115,8 @@ def stratified_exact_split(
     total = sum(p for _, p in fractions_ppm)
     if total != 1_000_000:
         raise ValueError(f"fractions_ppm must sum to 1000000, got {total}")
+    if hash_bits <= bucket_bits:
+        raise ValueError("hash_bits must exceed bucket_bits")
     h = F.conv(
         F.substring(
             F.sha2(

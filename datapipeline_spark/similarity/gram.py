@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 
 def int_gram_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """Upper-triangle (i ≤ j, 0-based) exact integer second moments of an
-    ``array<int>`` column: returns (i, j, n, s_ij, s_i, s_j, cov_num)
+    ``array<int>`` column (every vector must have EXACTLY ``dim`` elements —
+    ANSI ``element_at`` raises on a short vector rather than silently
+    nulling): returns (i, j, n, s_ij, s_i, s_j, cov_num)
     with ``cov_num = n·s_ij − s_i·s_j`` (DECIMAL(38) exact; divide by
     n·(n−1) downstream for the sample covariance)."""
     d = int(dim)
