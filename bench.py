@@ -196,6 +196,8 @@ HEADLINE = [
     "top_user_journeys",
     "funnel_three_step",
     "recsys_eval_popularity",
+    "revenue_decile_concentration",
+    "weekday_seasonality_anomalies",
 ]
 
 

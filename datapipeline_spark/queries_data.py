@@ -4714,3 +4714,158 @@ def q_recsys_eval_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mrr_mean_micro"
         ),
     )
+
+
+@query(
+    "revenue_decile_concentration",
+    """
+WITH m AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS pos,
+         count(*) OVER () AS n
+  FROM m
+),
+d AS (
+  SELECT (((pos - 1) * 10) // n)::INT AS decile,
+         count(*)::BIGINT AS n_customers,
+         sum(cents)::BIGINT AS cents
+  FROM r GROUP BY 1
+),
+t AS (SELECT sum(cents) AS total FROM d)
+SELECT decile, n_customers, cents,
+       ((cents::HUGEINT * 1000000) // total)::BIGINT AS share_ppm,
+       CAST((sum(cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)::HUGEINT
+             * 1000000) // total AS BIGINT) AS cum_share_ppm
+FROM d, t
+""",
+)
+def q_revenue_decile_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration report (the 80/20 readout — the empirical
+    companion to gini_revenue_by_nation's coefficient): customers ranked
+    by lifetime revenue, cut into population deciles, each decile's exact
+    revenue share and the cumulative share in integer ppm. The
+    top-revenue rank rides bucketed_value_rank on NEGATED cents (the
+    value-ordered two-phase rank — monotone bucket prefix, no single-task
+    sort); decile math, shares, and the cumulative window (10-row table)
+    are pure integer arithmetic."""
+    from datapipeline_spark.operators.rank import bucketed_value_rank
+
+    od = load_table(spark, sf_dir, "orders")
+    m = od.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    # rank descending by revenue: negate the exact integer
+    ranked = bucketed_value_rank(
+        m.withColumn("neg", -F.col("cents")), "neg", ["o_custkey"], out="pos"
+    )
+    n = m.agg(F.count(F.lit(1)).alias("n"))
+    d = (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("decile", F.expr("CAST(((pos - 1) * 10) DIV n AS INT)"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    t = d.agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.crossJoin(F.broadcast(t))
+        .withColumn(
+            "share_ppm",
+            F.expr(
+                "CAST((CAST(cents AS DECIMAL(38,0)) * 1000000) DIV total AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "cum_share_ppm",
+            F.expr(
+                "CAST((CAST(SUM(cents) OVER (ORDER BY decile ROWS BETWEEN"
+                " UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0))"
+                " * 1000000) DIV total AS BIGINT)"
+            ),
+        )
+        .select("decile", "n_customers", "cents", "share_ppm", "cum_share_ppm")
+    )
+
+
+@query(
+    "weekday_seasonality_anomalies",
+    """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         (dayofweek(o_orderdate) + 1)::INT AS wd,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1, 2
+),
+wd AS (
+  SELECT wd, count(*)::BIGINT AS n,
+         sum(cents)::BIGINT AS s,
+         sum(cents::HUGEINT * cents)::DOUBLE AS q
+  FROM daily GROUP BY 1
+)
+SELECT d.day, d.wd, d.cents,
+       s::DOUBLE / n::DOUBLE AS wd_mean,
+       d.cents::DOUBLE - s::DOUBLE / n::DOUBLE AS residual,
+       CASE WHEN n >= 2 AND
+                 abs(d.cents::DOUBLE - s::DOUBLE / n::DOUBLE)
+                 > 2 * sqrt((n::DOUBLE * q - (s::DOUBLE * s::DOUBLE))
+                            / (n::DOUBLE * (n::DOUBLE - 1)))
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM daily d JOIN wd USING (wd)
+""",
+)
+def q_weekday_seasonality_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-seasonal decomposition with anomaly flags (STL-lite — the
+    additive seasonal baseline; complements cusum/robust_anomaly which
+    are trend-side): daily revenue in exact cents, per-weekday mean as
+    ONE IEEE division of exact integer sums, residual as an IEEE
+    subtraction, and a 2-sigma flag whose variance comes from exact
+    integer Σx/Σx² (the sqrt and divides are the IEEE-correctly-rounded
+    chain the repo's stats suite standardizes on — bit-stable
+    cross-engine). Two aggregations + one broadcast join of the 7-row
+    weekday profile; no windows over raw rows."""
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        F.dayofweek("o_orderdate").cast("int").alias("wd"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wd = daily.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("double")
+        .alias("q"),
+    )
+    j = daily.join(F.broadcast(wd), "wd")
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    resid = F.col("cents").cast("double") - mean
+    nd = F.col("n").cast("double")
+    sd = F.sqrt(
+        (nd * F.col("q") - F.col("s").cast("double") * F.col("s").cast("double"))
+        / (nd * (nd - F.lit(1.0)))
+    )
+    return j.select(
+        "day",
+        "wd",
+        "cents",
+        mean.alias("wd_mean"),
+        resid.alias("residual"),
+        F.when((F.col("n") >= 2) & (F.abs(resid) > 2 * sd), 1)
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )
