@@ -705,3 +705,80 @@ def test_frequent_pairs_matches_pure_python(spark, rows):
         for a, c in combinations(sorted(items), 2):
             want[(a, c)] = want.get((a, c), 0) + 1
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                 # entity
+            st.integers(0, 50),                # priority (may tie across entities, not within after dedup)
+            st.one_of(st.none(), st.text(alphabet="abc", max_size=2)),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_golden_record_matches_pure_python(spark, rows):
+    """Per-field latest-non-null survivorship vs a dict model. Priorities
+    are de-duplicated per entity to keep the order total (the operator's
+    documented contract)."""
+    from datapipeline_spark.operators.survivorship import golden_record
+
+    seen = set()
+    uniq = []
+    for e, p, a, b in rows:
+        if (e, p) not in seen:
+            seen.add((e, p))
+            uniq.append((e, p, a, b))
+    df = spark.createDataFrame(uniq, "e long, p long, fa string, fb long")
+    got = {r.e: (r.fa, r.fb, r.n_records)
+           for r in golden_record(df, ["e"], ["p"], ["fa", "fb"]).collect()}
+    want = {}
+    for e in {r[0] for r in uniq}:
+        recs = sorted((r for r in uniq if r[0] == e), key=lambda r: r[1])
+        fa = next((r[2] for r in reversed(recs) if r[2] is not None), None)
+        fb = next((r[3] for r in reversed(recs) if r[3] is not None), None)
+        want[e] = (fa, fb, len(recs))
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_fd_profile_matches_pure_python(spark, rows):
+    from datapipeline_spark.operators.fd import fd_profile
+
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = {(r.det, r.dep): (r.det_groups, r.n_rows, r.violating_rows, r.holds)
+           for r in fd_profile(df, ["a", "b"]).collect()}
+    for det, dep in ((0, 1), (1, 0)):
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(r[det], []).append(r[dep])
+        viol = sum(len(v) for v in groups.values() if len(set(v)) > 1)
+        key = ("a", "b") if det == 0 else ("b", "a")
+        assert got[key] == (len(groups), len(rows), viol, int(viol == 0))
+
+
+@given(
+    durs=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 1)), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_life_table_matches_pure_python(spark, durs):
+    from datapipeline_spark.operators.survival import life_table
+
+    df = spark.createDataFrame(durs, "t long, ev int")
+    got = {r.t: (r.n_risk, r.d_events, r.c_censored)
+           for r in life_table(df, "t", "ev").collect()}
+    for t in {d for d, _ in durs}:
+        n_risk = sum(1 for d, _ in durs if d >= t)
+        d_ev = sum(1 for d, e in durs if d == t and e == 1)
+        c_ce = sum(1 for d, e in durs if d == t and e == 0)
+        assert got[t] == (n_risk, d_ev, c_ce)
