@@ -830,3 +830,43 @@ def test_gram_matrix_broadcast_pairs(spark):
     # pair indices arrive broadcast; one aggregation exchange total
     assert "BroadcastNestedLoopJoin" in plan
     assert _shuffles(plan) == 1
+
+
+def test_er_pipeline_blocked_not_cartesian(spark):
+    from datapipeline_spark.queries_data import q_entity_resolution_pipeline
+
+    plan = _plan(q_entity_resolution_pipeline(spark, SF))
+    # the pair scoring + CC run at construction (checkpointed); the returned
+    # plan is the profile join over the component table — never cartesian,
+    # and the checkpoint materialization feeds it (no recomputed pair join)
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "levenshtein" not in plan  # scoring never re-runs in the out plan
+
+
+def test_recsys_model_broadcast(spark):
+    from datapipeline_spark.queries_data import q_recsys_eval_popularity
+
+    plan = _plan(q_recsys_eval_popularity(spark, SF))
+    # the 5-row model reaches the evaluation join as a broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "rec_rank" in plan
+
+
+def test_pareto_rank_bucketed(spark):
+    from datapipeline_spark.queries_data import q_revenue_decile_concentration
+
+    plan = _plan(q_revenue_decile_concentration(spark, SF))
+    import re as _re
+
+    row_wins = [w for w in _re.findall(r"Window \[[^\n]*row_number[^\n]*", plan)]
+    assert row_wins and all("__bucket__" in w for w in row_wins), row_wins
+
+
+def test_weekday_profile_broadcast(spark):
+    from datapipeline_spark.queries_data import q_weekday_seasonality_anomalies
+
+    plan = _plan(q_weekday_seasonality_anomalies(spark, SF))
+    # the 7-row weekday profile broadcasts back onto the daily table
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan  # two aggregations + join, no window at all
