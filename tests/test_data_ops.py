@@ -1456,3 +1456,28 @@ def test_bucketed_value_rank_equals_global_window(spark):
     cdf = spark.createDataFrame([(7, i) for i in range(20)], "v long, id long")
     cg = {r.id: r.pos for r in bucketed_value_rank(cdf, "v", ["id"]).collect()}
     assert sorted(cg.values()) == list(range(1, 21))
+
+
+def test_apportion_zero_total_fails_loudly(spark):
+    """All-zero weights have no proportional answer: the ANSI division
+    surfaces as an error at action time rather than silent nulls."""
+    from datapipeline_spark.operators.apportion import apportion
+
+    df = spark.createDataFrame([("a", 0), ("b", 0)], "g string, w long")
+    with pytest.raises(Exception):
+        apportion(df, ["g"], "w", 10).collect()
+
+
+def test_skyline_all_equal_points(spark):
+    """Degenerate input: identical points are all mutually non-dominating."""
+    from datapipeline_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame([(5, 5)] * 4, "x long, y long")
+    assert skyline_2d(df, "x", "y").count() == 4
+
+
+def test_reservoir_n_larger_than_group(spark):
+    from datapipeline_spark.operators.rank import reservoir_per_key
+
+    df = spark.createDataFrame([(1, 1), (1, 2)], "k long, id long")
+    assert reservoir_per_key(df, ["k"], ["id"], n=10).count() == 2
