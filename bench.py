@@ -198,6 +198,8 @@ HEADLINE = [
     "recsys_eval_popularity",
     "revenue_decile_concentration",
     "weekday_seasonality_anomalies",
+    "longest_activity_streak",
+    "cohort_ltv_curve",
 ]
 
 

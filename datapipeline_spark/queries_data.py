@@ -4869,3 +4869,136 @@ def q_weekday_seasonality_anomalies(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise(0)
         .alias("is_anomaly"),
     )
+
+
+@query(
+    "longest_activity_streak",
+    """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         date_trunc('day', d) - to_days(
+           row_number() OVER (PARTITION BY user_id ORDER BY d)::INT
+         ) AS anchor
+  FROM days
+),
+runs AS (
+  SELECT user_id, anchor, count(*)::BIGINT AS len,
+         min(d) AS streak_start
+  FROM isl GROUP BY 1, 2
+),
+best AS (
+  SELECT user_id, len, streak_start,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, streak_start ASC) AS rn
+  FROM runs
+)
+SELECT user_id, len AS streak_days, streak_start
+FROM best WHERE rn = 1
+""",
+)
+def q_longest_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands rank-difference trick (day minus its per-user day
+    ordinal is constant exactly along a consecutive run): one distinct
+    projection bounded by (user × active days), two user-keyed windows
+    over that bounded table, deterministic earliest-start tie-break.
+    The SCD2 machinery's island identity applied to engagement
+    analytics; exact integers and timestamps only."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor",
+        F.expr("d - make_interval(0, 0, 0, CAST(row_number() OVER "
+               "(PARTITION BY user_id ORDER BY d) AS INT), 0, 0, 0)"),
+    )
+    runs = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("streak_start")
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("len").alias("streak_days"), "streak_start")
+    )
+
+
+@query(
+    "cohort_ltv_curve",
+    """
+WITH first_m AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS m0
+  FROM orders GROUP BY 1
+),
+sz AS (SELECT m0, count(*)::BIGINT AS cohort_users FROM first_m GROUP BY 1),
+rev AS (
+  SELECT f.m0,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.m0 AS age_months,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+)
+SELECT r.m0 AS cohort_month, r.age_months, s.cohort_users,
+       CAST(sum(r.cents) OVER (PARTITION BY r.m0 ORDER BY r.age_months
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+       CAST(sum(r.cents) OVER (PARTITION BY r.m0 ORDER BY r.age_months
+                               ROWS UNBOUNDED PRECEDING) // s.cohort_users
+            AS BIGINT) AS ltv_cents_per_user
+FROM rev r JOIN sz s ON s.m0 = r.m0
+""",
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve (the revenue companion to
+    cohort_retention_grid / weekly_retention): customers cohorted by
+    first-order month (exact integer year*12+month — no fractional
+    months_between), revenue accumulated by cohort age, cumulative LTV
+    per user in exact integer cents. The cumulative window runs on the
+    aggregated (cohort × age) table — bounded by the calendar, not
+    customers; cohort sizes broadcast back."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    mth = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first_m = od.groupBy("o_custkey").agg(F.min(mth).alias("m0"))
+    sz = first_m.groupBy("m0").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    rev = (
+        od.join(first_m, "o_custkey")
+        .groupBy(
+            F.col("m0"),
+            (mth - F.col("m0")).alias("age_months"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("m0").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.join(F.broadcast(sz), "m0")
+        .withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+        .select(
+            F.col("m0").alias("cohort_month"),
+            "age_months",
+            "cohort_users",
+            "cum_cents",
+            F.expr("CAST(cum_cents DIV cohort_users AS BIGINT)").alias(
+                "ltv_cents_per_user"
+            ),
+        )
+    )
