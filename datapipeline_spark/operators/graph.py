@@ -321,3 +321,63 @@ def bfs_distances(
             dist = dist.localCheckpoint(eager=True)
         frontier = nxt
     return dist
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 200,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph: for every
+    UNCONNECTED node pair sharing at least one neighbor, the number of
+    common neighbors and the Resource-Allocation index (Zhou, Lü & Zhang
+    2009: Σ_z 1/deg(z) over common neighbors z — the field-standard local
+    predictor that, unlike Adamic-Adar's 1/ln deg, needs no libm call, so
+    the score is exact cross-engine as Σ 1000000 DIV deg(z) micro-units).
+
+    Scale posture: wedge generation is the whole cost, and it is bounded
+    two ways — (a) hub centers with deg > ``max_degree`` are excluded from
+    CENTERING wedges (a node of degree d generates d² pairs; RA weights
+    them 1/d each, so high-degree hubs contribute near-zero score at
+    quadratic cost — the standard cut, disclosed in the output semantics),
+    and (b) each wedge is emitted once (u < v). One neighbor-keyed
+    self-join, one anti-join against the existing edge set, one aggregate.
+    Never materializes candidate pairs beyond Σ_z min(deg_z, cap)².
+
+    Edges may be given in either or both directions; deduped internally.
+    Integer-exact and order-independent — SQL-transcribable oracle.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    if checkpoint:
+        # four consumers (degrees, both wedge legs, the existing-edge
+        # anti-join side) read this subtree — materialize it once instead
+        # of trusting AQE exchange reuse across differently-filtered
+        # branches (same treatment as pagerank/connected_components)
+        und = und.localCheckpoint(eager=True)
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    centers = deg.filter(F.col("d") <= F.lit(max_degree))
+    # neighbors of an eligible center z, carrying deg(z) for the RA term
+    nz = und.join(centers, "a").select(
+        F.col("a").alias("z"), F.col("b").alias("n"), "d"
+    )
+    w1 = nz.select("z", F.col("n").alias("u"), "d")
+    w2 = nz.select("z", F.col("n").alias("v"))
+    wedges = w1.join(w2, "z").filter(F.col("u") < F.col("v"))
+    existing = und.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    return (
+        wedges.join(existing, ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.expr("1000000 DIV d")).cast("long").alias("ra_micros"),
+        )
+    )

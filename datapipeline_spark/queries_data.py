@@ -5002,3 +5002,196 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "inclusion_deps",
+    """
+WITH prof AS (
+  SELECT 'lineitem.l_orderkey' AS dependent, 'orders.o_orderkey' AS referenced,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(count(r.k) AS BIGINT) AS n_contained
+  FROM (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+        WHERE l_orderkey IS NOT NULL) d
+  LEFT JOIN (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+             WHERE o_orderkey IS NOT NULL) r USING (k)
+  UNION ALL
+  SELECT 'orders.o_custkey', 'customer.c_custkey',
+         CAST(count(*) AS BIGINT), CAST(count(r.k) AS BIGINT)
+  FROM (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+        WHERE o_custkey IS NOT NULL) d
+  LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+             WHERE c_custkey IS NOT NULL) r USING (k)
+  UNION ALL
+  SELECT 'lineitem.l_partkey', 'part.p_partkey',
+         CAST(count(*) AS BIGINT), CAST(count(r.k) AS BIGINT)
+  FROM (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+        WHERE l_partkey IS NOT NULL) d
+  LEFT JOIN (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS k FROM part
+             WHERE p_partkey IS NOT NULL) r USING (k)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
+         CAST(count(*) AS BIGINT), CAST(count(r.k) AS BIGINT)
+  FROM (SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS k FROM lineitem
+        WHERE l_suppkey IS NOT NULL) d
+  LEFT JOIN (SELECT DISTINCT CAST(s_suppkey AS VARCHAR) AS k FROM supplier
+             WHERE s_suppkey IS NOT NULL) r USING (k)
+  UNION ALL
+  SELECT 'customer.c_custkey', 'orders.o_custkey',
+         CAST(count(*) AS BIGINT), CAST(count(r.k) AS BIGINT)
+  FROM (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+        WHERE c_custkey IS NOT NULL) d
+  LEFT JOIN (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+             WHERE o_custkey IS NOT NULL) r USING (k)
+  UNION ALL
+  SELECT 'supplier.s_nationkey', 'nation.n_nationkey',
+         CAST(count(*) AS BIGINT), CAST(count(r.k) AS BIGINT)
+  FROM (SELECT DISTINCT CAST(s_nationkey AS VARCHAR) AS k FROM supplier
+        WHERE s_nationkey IS NOT NULL) d
+  LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS VARCHAR) AS k FROM nation
+             WHERE n_nationkey IS NOT NULL) r USING (k)
+)
+SELECT dependent, referenced, n_distinct, n_contained,
+       CAST(CASE WHEN n_distinct = n_contained THEN 1 ELSE 0 END AS INT)
+         AS holds,
+       CASE WHEN n_distinct > 0
+            THEN (n_contained * 1000000) // n_distinct END AS contained_ppm
+FROM prof
+""",
+)
+def q_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (FK-candidate) profile over six TPC-H column
+    pairs — four true foreign keys, one reverse direction that TPC-H
+    breaks by construction (customers without orders), one dimension
+    lookup (operators/ind.ind_profile). Each side collapses to its
+    distinct value set before any join, so shuffle mass is distinct
+    values, never rows; the result is six exact-integer rows. The FD half
+    of this profiling family is fd_discovery_orders."""
+    from datapipeline_spark.operators.ind import ind_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    pa = load_table(spark, sf_dir, "part")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    return ind_profile(
+        [
+            ("lineitem", li, "l_orderkey", "orders", od, "o_orderkey"),
+            ("orders", od, "o_custkey", "customer", cu, "c_custkey"),
+            ("lineitem", li, "l_partkey", "part", pa, "p_partkey"),
+            ("lineitem", li, "l_suppkey", "supplier", su, "s_suppkey"),
+            ("customer", cu, "c_custkey", "orders", od, "o_custkey"),
+            ("supplier", su, "s_nationkey", "nation", na, "n_nationkey"),
+        ]
+    )
+
+
+@query(
+    "target_encode_priority",
+    """
+WITH per_fold AS (
+  SELECT o_orderpriority AS cat, o_orderkey % 5 AS fold,
+         CAST(count(*) AS BIGINT) AS f_cnt,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS f_sum
+  FROM orders GROUP BY 1, 2
+),
+totals AS (
+  SELECT cat, CAST(sum(f_cnt) AS BIGINT) AS t_cnt,
+         CAST(sum(f_sum) AS BIGINT) AS t_sum
+  FROM per_fold GROUP BY 1
+)
+SELECT p.cat, p.fold,
+       t.t_cnt - p.f_cnt AS oof_cnt,
+       t.t_sum - p.f_sum AS oof_sum,
+       CASE WHEN t.t_cnt - p.f_cnt > 0
+            THEN (t.t_sum - p.f_sum) // (t.t_cnt - p.f_cnt) END AS enc
+FROM per_fold p JOIN totals t USING (cat)
+""",
+)
+def q_target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof K-fold target encoding of order priority against
+    order value in exact integer cents (dataset/encode.target_encode_oof):
+    the encoding fold f sees is the mean over every OTHER fold, by the
+    subtraction trick — ONE (cat, fold) aggregate plus a broadcast totals
+    join, never K passes. Folds are the deterministic o_orderkey % 5 (the
+    split_hash_label machinery is the production fold source)."""
+    from datapipeline_spark.dataset.encode import target_encode_oof
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+    )
+    return target_encode_oof(
+        od, cat_col="o_orderpriority", target_col="cents", fold_col="fold"
+    )
+
+
+@query(
+    "link_prediction_parts",
+    """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 29 = 0
+),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+und AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e0 UNION SELECT dst, src FROM e0
+),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a),
+nz AS MATERIALIZED (
+  SELECT u.a AS z, u.b AS n, dg.d
+  FROM und u JOIN deg dg ON u.a = dg.a WHERE dg.d <= 200
+),
+wedges AS (
+  SELECT w1.n AS u, w2.n AS v, w1.d
+  FROM nz w1 JOIN nz w2 ON w1.z = w2.z AND w1.n < w2.n
+),
+unlinked AS (
+  SELECT w.u, w.v, w.d FROM wedges w
+  ANTI JOIN (SELECT a AS u, b AS v FROM und WHERE a < b) e USING (u, v)
+)
+SELECT u AS part_u, v AS part_v,
+       CAST(count(*) AS BIGINT) AS common_neighbors,
+       CAST(sum(1000000 // d) AS BIGINT) AS ra_micros
+FROM unlinked GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+)
+def q_link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction on the part co-purchase graph
+    (operators/graph.link_prediction): unconnected part pairs scored by
+    Σ 1000000 DIV deg(z) over common neighbors z — RA instead of
+    Adamic-Adar exactly so no libm log enters the oracle (integer-exact
+    cross-engine). Wedge volume is the only cost and is double-bounded:
+    hub centers above deg 200 never center wedges (their RA terms are
+    ~0 at quadratic cost), and each wedge emits once. Registered output
+    keeps the standard ≥2-common-neighbor confidence floor (single-wedge
+    pairs are noise and dominate row count). Demo scope: 1-in-29 orders —
+    the operator shape is identical at any subset."""
+    from datapipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        link_prediction,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 29 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
+    return (
+        link_prediction(edges, max_degree=200)
+        .filter(F.col("common_neighbors") >= 2)
+        .select(
+            F.col("u").alias("part_u"),
+            F.col("v").alias("part_v"),
+            "common_neighbors",
+            "ra_micros",
+        )
+    )

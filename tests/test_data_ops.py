@@ -1481,3 +1481,122 @@ def test_reservoir_n_larger_than_group(spark):
 
     df = spark.createDataFrame([(1, 1), (1, 2)], "k long, id long")
     assert reservoir_per_key(df, ["k"], ["id"], n=10).count() == 2
+
+
+def test_ind_profile_containment_and_violation(spark):
+    from datapipeline_spark.operators.ind import ind_profile
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,), (None,)], "fk: int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (4,)], "pk: int")
+    rows = {
+        (r["dependent"], r["referenced"]): r
+        for r in ind_profile(
+            [
+                ("child", child, "fk", "parent", parent, "pk"),
+                ("parent", parent, "pk", "child", child, "fk"),
+            ]
+        ).collect()
+    }
+    fwd = rows[("child.fk", "parent.pk")]
+    # distinct non-null fks {1,2,3}; {1,2} contained -> 2/3
+    assert fwd["n_distinct"] == 3
+    assert fwd["n_contained"] == 2
+    assert fwd["holds"] == 0
+    assert fwd["contained_ppm"] == (2 * 1_000_000) // 3
+    rev = rows[("parent.pk", "child.fk")]
+    assert (rev["n_distinct"], rev["n_contained"], rev["holds"]) == (3, 2, 0)
+
+
+def test_ind_profile_exact_inclusion_holds(spark):
+    from datapipeline_spark.operators.ind import ind_profile
+
+    child = spark.createDataFrame([(1,), (1,), (2,)], "fk: int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk: int")
+    r = ind_profile([("c", child, "fk", "p", parent, "pk")]).collect()[0]
+    assert (r["holds"], r["contained_ppm"]) == (1, 1_000_000)
+
+
+def test_target_encode_oof_subtraction_identity(spark):
+    from datapipeline_spark.dataset.encode import target_encode_oof
+
+    # cat 'a': fold0 -> targets (10, 20), fold1 -> (40,). cat 'b': fold0 only.
+    df = spark.createDataFrame(
+        [("a", 10, 0), ("a", 20, 0), ("a", 40, 1), ("b", 7, 0)],
+        "cat: string, t: long, fold: int",
+    )
+    enc = {
+        (r["cat"], r["fold"]): r
+        for r in target_encode_oof(df, "cat", "t", "fold").collect()
+    }
+    # a/fold0 sees only fold1: mean 40; a/fold1 sees fold0: (10+20) DIV 2
+    assert enc[("a", 0)]["enc"] == 40
+    assert enc[("a", 0)]["oof_cnt"] == 1
+    assert enc[("a", 1)]["enc"] == 15
+    # b has all rows in fold0 -> no out-of-fold evidence -> NULL
+    assert enc[("b", 0)]["enc"] is None
+    assert enc[("b", 0)]["oof_cnt"] == 0
+
+
+def test_target_encode_oof_never_sees_own_fold(spark):
+    """Leakage property: perturbing every target in fold f must leave
+    fold f's own encoding unchanged."""
+    from datapipeline_spark.dataset.encode import target_encode_oof
+
+    base = [("a", 10, 0), ("a", 20, 0), ("a", 30, 1), ("a", 50, 2)]
+    bumped = [
+        (c, t + 1000 if f == 1 else t, f) for (c, t, f) in base
+    ]
+    schema = "cat: string, t: long, fold: int"
+    e1 = {
+        (r["cat"], r["fold"]): r["enc"]
+        for r in target_encode_oof(
+            spark.createDataFrame(base, schema), "cat", "t", "fold"
+        ).collect()
+    }
+    e2 = {
+        (r["cat"], r["fold"]): r["enc"]
+        for r in target_encode_oof(
+            spark.createDataFrame(bumped, schema), "cat", "t", "fold"
+        ).collect()
+    }
+    assert e1[("a", 1)] == e2[("a", 1)]  # own-fold bump invisible to itself
+    assert e1[("a", 0)] != e2[("a", 0)]  # but visible to the other folds
+
+
+def test_link_prediction_ra_scores(spark):
+    from datapipeline_spark.operators.graph import link_prediction
+
+    # path graph 1-2-3 plus 3-4: unconnected pairs sharing a neighbor:
+    # (1,3) via 2 [deg 2], (2,4) via 3 [deg 2], (1,4) none shared directly
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src: long, dst: long"
+    )
+    rows = {
+        (r["u"], r["v"]): r for r in link_prediction(edges).collect()
+    }
+    assert set(rows) == {(1, 3), (2, 4)}
+    assert rows[(1, 3)]["common_neighbors"] == 1
+    assert rows[(1, 3)]["ra_micros"] == 1_000_000 // 2
+    assert rows[(2, 4)]["ra_micros"] == 1_000_000 // 2
+
+
+def test_link_prediction_excludes_existing_and_caps_hubs(spark):
+    from datapipeline_spark.operators.graph import link_prediction
+
+    # triangle 1-2-3: every pair already linked -> no predictions;
+    # star center 9 with leaves 10..13 exceeds cap 3 -> no wedges centered
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (9, 10), (9, 11), (9, 12), (9, 13)],
+        "src: long, dst: long",
+    )
+    out = link_prediction(edges, max_degree=3).collect()
+    assert out == []
+    # raising the cap admits the star's leaf pairs (deg(9) = 4)
+    out2 = {
+        (r["u"], r["v"]): r["ra_micros"]
+        for r in link_prediction(edges, max_degree=4).collect()
+    }
+    assert len(out2) == 6  # C(4,2) leaf pairs
+    assert all(v == 1_000_000 // 4 for v in out2.values())
