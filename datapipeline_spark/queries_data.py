@@ -5195,3 +5195,139 @@ def q_link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ra_micros",
         )
     )
+
+
+@query(
+    "skew_profile_lineitem",
+    """
+WITH keys(key) AS (VALUES ('l_orderkey'), ('l_partkey'), ('l_returnflag')),
+freq AS MATERIALIZED (
+  SELECT 'l_orderkey' AS key, CAST(count(*) AS BIGINT) AS f
+  FROM lineitem GROUP BY l_orderkey
+  UNION ALL
+  SELECT 'l_partkey', CAST(count(*) AS BIGINT) FROM lineitem GROUP BY l_partkey
+  UNION ALL
+  SELECT 'l_returnflag', CAST(count(*) AS BIGINT)
+  FROM lineitem GROUP BY l_returnflag
+),
+fof AS MATERIALIZED (
+  SELECT key, f, CAST(count(*) AS BIGINT) AS nk FROM freq GROUP BY key, f
+),
+cum AS (
+  SELECT key, f, nk,
+         CAST(sum(nk) OVER (PARTITION BY key ORDER BY f
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ck
+  FROM fof
+),
+tot AS (
+  SELECT key, CAST(sum(f * nk) AS BIGINT) AS n_rows,
+         CAST(sum(nk) AS BIGINT) AS n_keys,
+         CAST(max(f) AS BIGINT) AS max_freq
+  FROM fof GROUP BY key
+)
+SELECT c.key, t.n_rows, t.n_keys,
+       t.n_rows // t.n_keys AS avg_freq,
+       CAST(min(CASE WHEN c.ck >= (t.n_keys * 50 + 99) // 100 THEN c.f END)
+            AS BIGINT) AS p50_freq,
+       CAST(min(CASE WHEN c.ck >= (t.n_keys * 95 + 99) // 100 THEN c.f END)
+            AS BIGINT) AS p95_freq,
+       CAST(min(CASE WHEN c.ck >= (t.n_keys * 99 + 99) // 100 THEN c.f END)
+            AS BIGINT) AS p99_freq,
+       t.max_freq,
+       (t.max_freq * 1000000) // t.n_rows AS hot_key_ppm,
+       greatest(CAST(1 AS BIGINT),
+                (t.max_freq * 32 + t.n_rows - 1) // t.n_rows)
+         AS suggested_salt
+FROM cum c JOIN tot t USING (key)
+GROUP BY c.key, t.n_rows, t.n_keys, t.max_freq
+""",
+)
+def q_skew_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew advisor over three lineitem key candidates
+    (operators/skewprof.skew_profile): exact p50/p95/p99/max key
+    frequencies from the frequency-of-frequency profile (cumulative
+    threshold lookups on a table bounded by DISTINCT frequency values —
+    never a percentile sort over keys), hottest-key ppm, and the salt
+    factor that levels the hot key across 32 partitions. l_returnflag's
+    3-value domain is the deliberate pathological case (suggested_salt
+    ≈ 10) against the two well-spread keys (salt 1); the salted
+    execution path it recommends is operators/skew.py (skew_salted_agg)."""
+    from datapipeline_spark.operators.skewprof import skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_profile(
+        li, ["l_orderkey", "l_partkey", "l_returnflag"], target_partitions=32
+    )
+
+
+@query(
+    "incremental_join_delta",
+    """
+WITH base_o AS (SELECT * FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+delta_o AS (
+  SELECT * FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-02-01'
+),
+base_l AS (SELECT * FROM lineitem WHERE l_shipdate < DATE '1997-01-01'),
+delta_l AS (
+  SELECT * FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-02-01'
+),
+old_v AS (
+  SELECT o_orderpriority, l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM base_o JOIN base_l ON o_orderkey = l_orderkey
+),
+new_v AS (
+  SELECT o_orderpriority, l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM (SELECT * FROM base_o UNION ALL SELECT * FROM delta_o) o
+  JOIN (SELECT * FROM base_l UNION ALL SELECT * FROM delta_l) l
+    ON o_orderkey = l_orderkey
+),
+delta_v AS (SELECT * FROM new_v EXCEPT ALL SELECT * FROM old_v)
+SELECT o_orderpriority, l_returnflag,
+       CAST(count(*) AS BIGINT) AS delta_rows,
+       CAST(sum(cents) AS BIGINT) AS delta_cents
+FROM delta_v GROUP BY 1, 2
+""",
+)
+def q_incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an orders⋈lineitem join view under one
+    month of appends (operators/incremental.incremental_join_delta): the
+    differential-dataflow decomposition ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — delta
+    sides broadcast, base relations scanned once with no shuffle — then
+    the view's group-by folds the delta rows. The oracle is the
+    INDEPENDENT formulation (full new join EXCEPT ALL old join), so the
+    equivalence of the decomposition itself is what's checked. Append-only
+    multiset semantics; the keyed-upsert path is operators/cdc.py."""
+    from datapipeline_spark.operators.incremental import incremental_join_delta
+
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    jan = (F.col("o_orderdate") >= "1997-01-01") & (
+        F.col("o_orderdate") < "1997-02-01"
+    )
+    jan_l = (F.col("l_shipdate") >= "1997-01-01") & (
+        F.col("l_shipdate") < "1997-02-01"
+    )
+    # column names differ across sides; align the join key explicitly
+    base_a = od.filter(F.col("o_orderdate") < "1997-01-01").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    delta_a = od.filter(jan).select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    base_b = li.filter(F.col("l_shipdate") < "1997-01-01").select(
+        F.col("l_orderkey").alias("k"), "l_returnflag", "l_extendedprice"
+    )
+    delta_b = li.filter(jan_l).select(
+        F.col("l_orderkey").alias("k"), "l_returnflag", "l_extendedprice"
+    )
+    dv = incremental_join_delta(base_a, delta_a, base_b, delta_b, on=["k"])
+    return dv.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("delta_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("delta_cents"),
+    )

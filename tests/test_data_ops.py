@@ -1600,3 +1600,68 @@ def test_link_prediction_excludes_existing_and_caps_hubs(spark):
     }
     assert len(out2) == 6  # C(4,2) leaf pairs
     assert all(v == 1_000_000 // 4 for v in out2.values())
+
+
+def test_skew_profile_exact_order_stats(spark):
+    from datapipeline_spark.operators.skewprof import skew_profile
+
+    # key 'a': freqs {x:1, y:1, z:8} -> n_rows 10, n_keys 3,
+    # p50 = min f with cum >= ceil(1.5)=2 -> 1; p99 -> ceil(2.97)=3 -> 8
+    rows = [("x",), ("y",)] + [("z",)] * 8
+    df = spark.createDataFrame(rows, "a: string")
+    r = skew_profile(df, ["a"], target_partitions=10).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_freq"]) == (10, 3, 8)
+    assert (r["p50_freq"], r["p95_freq"], r["p99_freq"]) == (1, 8, 8)
+    assert r["avg_freq"] == 3
+    assert r["hot_key_ppm"] == 800_000
+    # hottest key holds 8 of 10 rows; balanced share at P=10 is 1 row
+    # -> salt ceil(8*10/10) = 8
+    assert r["suggested_salt"] == 8
+
+
+def test_skew_profile_uniform_key_needs_no_salt(spark):
+    from datapipeline_spark.operators.skewprof import skew_profile
+
+    df = spark.createDataFrame([(i % 50,) for i in range(100)], "k: int")
+    r = skew_profile(df, ["k"], target_partitions=8).collect()[0]
+    assert (r["max_freq"], r["suggested_salt"]) == (2, 1)
+    assert r["p50_freq"] == 2
+
+
+def test_incremental_join_delta_matches_except_all(spark):
+    from datapipeline_spark.operators.incremental import incremental_join_delta
+
+    base_a = spark.createDataFrame([(1, "a1"), (2, "a2")], "k: int, av: string")
+    delta_a = spark.createDataFrame([(2, "a3"), (3, "a4")], "k: int, av: string")
+    base_b = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (3, "b3"), (2, "b4")], "k: int, bv: string"
+    )
+    delta_b = spark.createDataFrame([(1, "b5"), (9, "b6")], "k: int, bv: string")
+    got = sorted(
+        (r["k"], r["av"], r["bv"])
+        for r in incremental_join_delta(
+            base_a, delta_a, base_b, delta_b, on=["k"]
+        ).collect()
+    )
+    want = sorted(
+        (r["k"], r["av"], r["bv"])
+        for r in base_a.unionByName(delta_a)
+        .join(base_b.unionByName(delta_b), "k")
+        .exceptAll(base_a.join(base_b, "k"))
+        .collect()
+    )
+    # multiset equality incl. duplicate join rows (k=2 matches b2 AND b4)
+    assert got == want
+    assert len(got) == 4  # (2,a3,b2),(2,a3,b4),(3,a4,b3),(1,a1,b5)
+
+
+def test_incremental_join_delta_empty_deltas(spark):
+    from datapipeline_spark.operators.incremental import incremental_join_delta
+
+    a = spark.createDataFrame([(1, "x")], "k: int, av: string")
+    b = spark.createDataFrame([(1, "y")], "k: int, bv: string")
+    empty_a = a.filter(F.lit(False))
+    empty_b = b.filter(F.lit(False))
+    assert (
+        incremental_join_delta(a, empty_a, b, empty_b, on=["k"]).count() == 0
+    )
