@@ -5331,3 +5331,50 @@ def q_incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("delta_cents"),
     )
+
+
+@query(
+    "holt_forecast_users",
+    """
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS i,
+         CAST(value AS DOUBLE) AS y
+  FROM events
+),
+ncnt AS (SELECT user_id, CAST(max(i) AS BIGINT) AS n_obs FROM seq GROUP BY 1),
+rec AS (
+  SELECT user_id, i, y AS l, 0.0::DOUBLE AS b FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.i,
+         0.5 * s.y + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+)
+SELECT r.user_id, n.n_obs, r.l AS level, r.b AS trend,
+       r.l + 3.0 * r.b AS forecast_3
+FROM rec r JOIN ncnt n ON n.user_id = r.user_id AND r.i = n.n_obs
+""",
+)
+def q_holt_forecast_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of each user's event-value series
+    (operators/holt.holt_linear, α=β=½): per-series level/trend fold as a
+    JVM array aggregate — one row per user out, state two doubles — and
+    the 3-step linear forecast. Bit-exact vs the step-for-step recursive-
+    CTE oracle because every multiply at ½ is exact scaling and the fold
+    order is pinned by (ts, event_id). The windowed-stat families
+    (rolling/ewma/cusum) cover the identity-expressible recurrences;
+    this is the honest sequential one."""
+    from datapipeline_spark.operators.holt import holt_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    return holt_linear(
+        ev,
+        key_cols=["user_id"],
+        y_col="value",
+        order_cols=["ts", "event_id"],
+        alpha=0.5,
+        beta=0.5,
+        horizon=3,
+    )

@@ -782,3 +782,49 @@ def test_life_table_matches_pure_python(spark, durs):
         d_ev = sum(1 for d, e in durs if d == t and e == 1)
         c_ce = sum(1 for d, e in durs if d == t and e == 0)
         assert got[t] == (n_risk, d_ev, c_ce)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_holt_linear_matches_pure_python_fold(spark, ys):
+    """holt_linear at alpha=beta=0.5 must be BIT-identical to the naive
+    sequential fold (all multiplies are exact power-of-two scalings; the
+    adds follow the identical evaluation order)."""
+    from datapipeline_spark.operators.holt import holt_linear
+
+    l = ys[0]
+    b = 0.0
+    for y in ys[1:]:
+        l_new = 0.5 * y + 0.5 * (l + b)
+        b = 0.5 * (l_new - l) + 0.5 * b
+        l = l_new
+    rows = [("k", i, float(y)) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "k: string, i: long, y: double")
+    got = holt_linear(
+        df, key_cols=["k"], y_col="y", order_cols=["i"], horizon=3
+    ).collect()[0]
+    assert got["n_obs"] == len(ys)
+    assert got["level"] == l  # bit-exact
+    assert got["trend"] == b
+    assert got["forecast_3"] == l + 3.0 * b
+
+
+def test_holt_linear_partition_invariant(spark):
+    """The fold must not depend on input partitioning (sort_array pins
+    the order inside the aggregate)."""
+    from datapipeline_spark.operators.holt import holt_linear
+
+    rows = [("k", i, float((i * 37) % 11) - 5.0) for i in range(30)]
+    df1 = spark.createDataFrame(rows, "k: string, i: long, y: double")
+    df8 = df1.repartition(8)
+    r1 = holt_linear(df1, ["k"], "y", ["i"]).collect()[0]
+    r8 = holt_linear(df8, ["k"], "y", ["i"]).collect()[0]
+    assert (r1["level"], r1["trend"]) == (r8["level"], r8["trend"])
