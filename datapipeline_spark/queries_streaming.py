@@ -831,3 +831,51 @@ def streaming_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).cast("long").alias("arm"), "conv"
     )
     return proportion_ztest(u, "arm", "conv")
+
+
+@query(
+    "streaming_holt",
+    """
+WITH RECURSIVE {base},
+seq AS MATERIALIZED (
+  SELECT event_id, user_id, time, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY time, event_id)
+           AS i,
+         CAST(value AS DOUBLE) AS y
+  FROM base
+),
+rec AS (
+  SELECT user_id, i, y AS l, 0.0::DOUBLE AS b FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.i,
+         0.5 * s.y + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+)
+SELECT s.event_id, s.user_id, s.time, s.value,
+       r.l AS level, r.b AS trend
+FROM seq s JOIN rec r ON r.user_id = s.user_id AND r.i = s.i
+""".format(base=EVENTS_BASE),
+)
+def streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt linear-trend fold (streaming/ops.holt_stream,
+    applyInPandasWithState): per-user (level, trend) state — O(1) doubles
+    per key, never a buffer — emitting the updated state per event. The
+    Python fold runs the identical IEEE operations as the batch JVM array
+    fold (operators/holt.holt_linear), so at α=β=½ the streamed rows are
+    bit-identical to the batch recursion and the step-for-step recursive
+    CTE is an exact oracle of the STREAMING computation."""
+    from datapipeline_spark.streaming.ops import holt_stream
+
+    staging = _staged_events(spark, sf_dir)
+    sdf = _stream_of(spark, staging).select(
+        "event_id", "user_id", "time", "value"
+    )
+    out = holt_stream(
+        sdf, "value", entity_keys=["user_id"], order_cols=["time", "event_id"]
+    )
+    name = "stream_holt_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
+    _run_to_memory(out, name, "append")
+    return spark.table(name).select(
+        "event_id", "user_id", "time", "value", "level", "trend"
+    )

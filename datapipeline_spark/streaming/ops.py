@@ -770,3 +770,62 @@ def cusum_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def holt_stream(
+    sdf: DataFrame,
+    field: str,
+    entity_keys: Sequence[str],
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    time_field: str = "time",
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-key Holt linear-trend fold over event-time order — the streaming
+    form of operators/holt.holt_linear, via `applyInPandasWithState`. State
+    is O(1) per key (level, trend, count — never a buffer: the recurrence
+    is fully summarized by its two-double state, the property that makes
+    Holt the canonical streaming forecaster). The Python fold performs the
+    identical IEEE double operations as the batch JVM array fold, so with
+    α=β=½ (exact power-of-two scalings) streaming == batch bit-for-bit."""
+    payload = [c for c in sdf.columns]
+    sort_cols = list(order_cols) if order_cols else [time_field]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
+    ) + ", `level` double, `trend` double"
+    state_schema = "l double, b double, n bigint"
+
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            l, b, n = state.get
+        else:
+            l, b, n = 0.0, 0.0, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(sort_cols)
+            levels, trends = [], []
+            for v in pdf[field]:
+                y = float(v)
+                if n == 0:
+                    l, b = y, 0.0
+                else:
+                    l_new = alpha * y + (1.0 - alpha) * (l + b)
+                    b = beta * (l_new - l) + (1.0 - beta) * b
+                    l = l_new
+                n += 1
+                levels.append(l)
+                trends.append(b)
+            pdf = pdf.copy()
+            pdf["level"] = pd.Series(levels, index=pdf.index, dtype="float64")
+            pdf["trend"] = pd.Series(trends, index=pdf.index, dtype="float64")
+            yield pdf[payload + ["level", "trend"]]
+        state.update((l, b, n))
+
+    return sdf.groupBy(*entity_keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -646,3 +646,55 @@ def test_streaming_hll_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.table("t_stream_hll").collect()))
     want = sorted(map(tuple, hll_registers(batch, "user_id", ["event_type"], p=10).collect()))
     assert got == want
+
+
+def test_holt_stream_matches_batch_bit_exact(spark, tmp_path):
+    """Streaming Holt (O(1) two-double state, multi-micro-batch) equals the
+    batch array fold bit-for-bit at alpha=beta=0.5: the final streamed
+    (level, trend) per key is the batch holt_linear state."""
+    from datapipeline_spark.operators.holt import holt_linear
+    from datapipeline_spark.streaming.ops import holt_stream
+
+    src = str(tmp_path / "src")
+    rows = [
+        (u, float(h), ((h * 29 + u * 13) % 97) / 7.0 - 5.0)
+        for u in range(4)
+        for h in range(35)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, t double, v double"
+    ).selectExpr(
+        "user_id",
+        "CAST(timestamp '2024-01-01' + t * INTERVAL 1 HOUR AS TIMESTAMP)"
+        " AS time",
+        "v",
+    )
+    df.orderBy("time").coalesce(1).write.parquet(src)
+
+    want = {
+        r.user_id: (r.level, r.trend)
+        for r in holt_linear(
+            df, key_cols=["user_id"], y_col="v", order_cols=["time"]
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("user_id long, time timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = holt_stream(stream, "v", entity_keys=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("holt_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    rows_out = spark.table("holt_stream_t").collect()
+    assert len(rows_out) == len(rows)
+    last = {}
+    for r in sorted(rows_out, key=lambda r: (r.user_id, r.time)):
+        last[r.user_id] = (r.level, r.trend)
+    assert last == want  # bit-exact, no tolerance
