@@ -200,6 +200,12 @@ HEADLINE = [
     "weekday_seasonality_anomalies",
     "longest_activity_streak",
     "cohort_ltv_curve",
+    "inclusion_deps",
+    "target_encode_priority",
+    "link_prediction_parts",
+    "skew_profile_lineitem",
+    "incremental_join_delta",
+    "holt_forecast_users",
 ]
 
 

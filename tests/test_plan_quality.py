@@ -870,3 +870,55 @@ def test_weekday_profile_broadcast(spark):
     # the 7-row weekday profile broadcasts back onto the daily table
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan  # two aggregations + join, no window at all
+
+
+def test_incremental_join_delta_all_legs_broadcast(spark):
+    """Delta propagation must broadcast the delta sides: the base
+    relations are probe-only (no shuffle of 100 TB bases), so the plan
+    carries ONLY BroadcastHashJoins and the single delta-fold aggregate
+    exchange."""
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["incremental_join_delta"][0](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 3  # dA*B, A*dB, dA*dB
+    assert "SortMergeJoin" not in plan
+    assert _shuffles(plan) <= 1  # only the group-by exchange
+
+
+def test_inclusion_deps_scans_prune_to_key_columns(spark):
+    """Each containment check must scan exactly one column per side —
+    a ReadSchema wider than the key means the distinct-first reduction
+    isn't reaching the scan."""
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["inclusion_deps"][0](spark, SF))
+    for rs in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert rs.count(":") == 1, f"unpruned scan: {rs}"
+
+
+def test_link_prediction_reads_checkpointed_edges_once(spark):
+    """The symmetric edge set feeds four consumers; after the eager
+    localCheckpoint the final plan must read the materialized RDD, never
+    re-derive the co-occurrence join from the lineitem scan."""
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["link_prediction_parts"][0](spark, SF))
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan parquet" not in plan  # lineitem never rescanned
+
+
+def test_skew_profile_windows_only_over_fof(spark):
+    """The cumulative window must run over the frequency-of-frequency
+    table (bounded by distinct frequencies), never over the key-frequency
+    table: each Window's input must sit above BOTH aggregate levels."""
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["skew_profile_lineitem"][0](spark, SF))
+    # one single-column scan per profiled key, pruned
+    for rs in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert rs.count(":") == 1, f"unpruned scan: {rs}"
+    # windows exist and none consumes a raw FileScan directly
+    assert "Window" in plan
+    for seg in plan.split("Window")[1:]:
+        head = seg[:400]
+        assert "FileScan" not in head.split("HashAggregate")[0]
