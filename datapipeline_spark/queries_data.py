@@ -5378,3 +5378,147 @@ def q_holt_forecast_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         beta=0.5,
         horizon=3,
     )
+
+
+@query(
+    "t5_span_corruption",
+    """
+WITH raw AS MATERIALIZED (
+  SELECT id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+  FROM (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS arr
+        FROM documents)
+),
+toks AS MATERIALIZED (
+  SELECT id, pos, tok,
+         CASE WHEN (('0x' || substr(md5(id::VARCHAR || '|' || pos::VARCHAR),
+                     1, 12))::UBIGINT)::BIGINT % 100 < 15
+              THEN 1 ELSE 0 END AS m
+  FROM raw WHERE tok <> ''
+),
+wm AS MATERIALIZED (
+  SELECT id, pos, tok, m,
+         sum(m) OVER (PARTITION BY id ORDER BY pos) AS mrank,
+         lag(m, 1, 0) OVER (PARTITION BY id ORDER BY pos) AS prevm
+  FROM toks
+),
+sp AS (
+  SELECT id, pos,
+         dense_rank() OVER (PARTITION BY id ORDER BY (pos - mrank)) - 1
+           AS span
+  FROM wm WHERE m = 1
+),
+t AS MATERIALIZED (
+  SELECT w.id, w.pos, w.tok, w.m, s.span,
+         (w.m = 1 AND w.prevm = 0) AS fos
+  FROM wm w LEFT JOIN sp s ON s.id = w.id AND s.pos = w.pos
+),
+agg AS (
+  SELECT id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(m) AS BIGINT) AS n_masked,
+         CAST(count(DISTINCT span) AS BIGINT) AS n_spans,
+         string_agg(CASE WHEN m = 0 THEN tok
+                         WHEN fos THEN '<extra_id_' || span::VARCHAR || '>'
+                    END, ' ' ORDER BY pos) AS input_text,
+         string_agg(CASE WHEN m = 1 THEN
+                      CASE WHEN fos
+                           THEN '<extra_id_' || span::VARCHAR || '> ' || tok
+                           ELSE tok END
+                    END, ' ' ORDER BY pos) AS tgt_body
+  FROM t GROUP BY id
+)
+SELECT id AS doc_id, n_tokens, n_masked, n_spans, input_text,
+       CASE WHEN n_spans = 0 THEN '<extra_id_0>'
+            ELSE tgt_body || ' <extra_id_' || n_spans::VARCHAR || '>'
+       END AS target_text
+FROM agg
+""",
+)
+def q_t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 denoising-pair generation over the corpus
+    (text/corrupt.span_corrupt, 15% corruption): deterministic md5 coin
+    per (doc, position), consecutive masks merged to numbered sentinels
+    by the gaps-and-islands identity, input/target rebuilt with ordered
+    string aggregation — all JVM expressions, all windows doc-keyed. The
+    oracle replays the identical hash coin and island arithmetic, so the
+    generated training pairs are verified STRING-EXACT."""
+    from datapipeline_spark.text.corrupt import span_corrupt
+
+    d = load_table(spark, sf_dir, "documents")
+    return span_corrupt(d, id_col="doc_id", text_col="text", rate_pct=15)
+
+
+@query(
+    "bootstrap_revenue_ci",
+    """
+WITH hashed AS MATERIALIZED (
+  SELECT (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::UBIGINT)::BIGINT
+           % 2147483647 AS h,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+rows_b AS (
+  SELECT h, v, g.b
+  FROM hashed, LATERAL (SELECT unnest(range(0, 100)) AS b) g
+),
+weighted AS (
+  SELECT b, v,
+         CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1 WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5 WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7 WHEN u < 999998 THEN 8 ELSE 9 END AS w
+  FROM (
+    SELECT b, v, (h * (b * 2 + 1)) % 2147483647 % 1000000 AS u
+    FROM rows_b
+  )
+),
+reps AS (
+  SELECT b,
+         CASE WHEN sum(w) > 0
+              THEN CAST(sum(w * v) // sum(w) AS BIGINT) END AS mean_b
+  FROM weighted GROUP BY b
+),
+ranked AS (
+  SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rnk,
+         count(*) OVER () AS nb
+  FROM reps
+),
+ci AS (
+  SELECT CAST(min(CASE WHEN rnk >= (2 * nb + 99) // 100 THEN mean_b END)
+              AS BIGINT) AS ci_lo,
+         CAST(min(CASE WHEN rnk >= (97 * nb + 99) // 100 THEN mean_b END)
+              AS BIGINT) AS ci_hi,
+         CAST(count(*) AS BIGINT) AS n_replicates
+  FROM ranked
+),
+pt AS (
+  SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              // count(*) AS BIGINT) AS mean_point,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders
+)
+SELECT pt.mean_point, pt.n, ci.ci_lo, ci.ci_hi, ci.n_replicates
+FROM pt, ci
+""",
+)
+def q_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for mean order value in exact
+    integer cents (operators/bootstrap.bootstrap_mean_ci, B=100): each
+    order hashes ONCE (md5-48bit); each replicate scrambles that row
+    entropy multiplicatively mod 2^31-1 into its uniform, inverted
+    through Poisson CDF thresholds embedded as integer literals in both
+    engines
+    (generated once from math.exp - libm never runs in-query, the
+    minhash-constants convention). Replicate means fold map-side into a
+    B-row table; the percentile bounds are exact ceil-rank order
+    statistics over it. The scale story is the point: no RNG state, no
+    coordination - every row decides its own resample weights."""
+    from datapipeline_spark.operators.bootstrap import bootstrap_mean_ci
+
+    od = spread(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return bootstrap_mean_ci(
+        od, key_col="o_orderkey", value_col="cents", n_replicates=100,
+        lo_pct=2, hi_pct=97,
+    )

@@ -1665,3 +1665,96 @@ def test_incremental_join_delta_empty_deltas(spark):
     assert (
         incremental_join_delta(a, empty_a, b, empty_b, on=["k"]).count() == 0
     )
+
+
+def test_span_corrupt_structure_and_roundtrip(spark):
+    from datapipeline_spark.text.corrupt import span_corrupt
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(20)],
+        "doc_id: long, text: string",
+    )
+    out = span_corrupt(docs, rate_pct=30).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["n_tokens"] == 30
+        assert 0 <= r["n_masked"] <= 30
+        assert r["n_spans"] <= r["n_masked"]
+        # input sentinels are exactly 0..n_spans-1, target closes with n_spans
+        import re as _re
+
+        in_ids = [int(m) for m in _re.findall(r"<extra_id_(\d+)>", r["input_text"])]
+        assert in_ids == list(range(r["n_spans"]))
+        tgt_ids = [int(m) for m in _re.findall(r"<extra_id_(\d+)>", r["target_text"])]
+        assert tgt_ids == list(range(r["n_spans"] + 1))
+        # every original token appears exactly once across input+target
+        toks = (r["input_text"] + " " + r["target_text"]).split()
+        kept = [t for t in toks if not t.startswith("<extra_id_")]
+        assert sorted(kept) == sorted(f"w{r['doc_id']}_{j}" for j in range(30))
+
+
+def test_span_corrupt_zero_rate_identity(spark):
+    from datapipeline_spark.text.corrupt import span_corrupt
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id: long, text: string"
+    )
+    r = span_corrupt(docs, rate_pct=0).collect()[0]
+    assert r["n_masked"] == 0 and r["n_spans"] == 0
+    assert r["input_text"] == "alpha beta gamma"
+    assert r["target_text"] == "<extra_id_0>"
+
+
+def test_span_corrupt_partition_invariant(spark):
+    from datapipeline_spark.text.corrupt import span_corrupt
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(50))) for i in range(10)],
+        "doc_id: long, text: string",
+    )
+    a = {r["doc_id"]: r["input_text"] for r in span_corrupt(docs).collect()}
+    b = {
+        r["doc_id"]: r["input_text"]
+        for r in span_corrupt(docs.repartition(7)).collect()
+    }
+    assert a == b
+
+
+def test_poisson_weight_distribution_and_determinism(spark):
+    from datapipeline_spark.operators.bootstrap import (
+        poisson_cdf_micros,
+        poisson_weight,
+    )
+
+    th = poisson_cdf_micros()
+    # thresholds are the floor-micro Poisson(1) CDF: known first values
+    assert th[0] == 367879 and th[1] == 735758
+    df = spark.range(1_000_000).select(F.col("id").cast("long").alias("u"))
+    got = {
+        r["w"]: r["c"]
+        for r in df.select(poisson_weight(F.col("u"), th).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    # the full uniform grid hits each CDF bucket EXACTLY threshold-diff times
+    assert got[0] == th[0]
+    assert got[1] == th[1] - th[0]
+    assert got[2] == th[2] - th[1]
+    assert got[len(th)] == 1_000_000 - th[-1]  # the truncation tail
+
+
+def test_bootstrap_ci_brackets_point_and_is_deterministic(spark):
+    from datapipeline_spark.operators.bootstrap import bootstrap_mean_ci
+
+    rows = [(i, 100 + (i * 37) % 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "k: long, v: long")
+    r1 = bootstrap_mean_ci(df, "k", "v", n_replicates=60).collect()[0]
+    r2 = bootstrap_mean_ci(
+        df.repartition(11), "k", "v", n_replicates=60
+    ).collect()[0]
+    assert r1.asDict() == r2.asDict()  # hash-driven: partitioning-blind
+    assert r1["ci_lo"] <= r1["mean_point"] <= r1["ci_hi"]
+    assert r1["n_replicates"] == 60
+    # CI is tight around the true mean for a well-behaved value column
+    assert r1["ci_hi"] - r1["ci_lo"] < 20
