@@ -206,6 +206,10 @@ HEADLINE = [
     "skew_profile_lineitem",
     "incremental_join_delta",
     "holt_forecast_users",
+    "t5_span_corruption",
+    "bootstrap_revenue_ci",
+    "pretraining_pipeline",
+    "clustering_coefficient_parts",
 ]
 
 

@@ -5522,3 +5522,205 @@ def q_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         od, key_col="o_orderkey", value_col="cents", n_replicates=100,
         lo_pct=2, hi_pct=97,
     )
+
+
+_PIPE_QUALITY = """round(0.3 * least(len(w) / 100.0, 1.0)
+             + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
+             + 0.4 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      * 1.0 / length(text)), 6)"""
+
+_PIPE_8GRAM = " || ' ' || ".join(f"w8[g.i + {j}]" for j in range(8))
+
+
+@query(
+    "pretraining_pipeline",
+    """
+WITH {lsh},
+q AS (
+  SELECT doc_id, source, len(w) AS n_tokens, {quality} AS quality
+  FROM (SELECT doc_id, source, text, {words} AS w FROM documents)
+),
+kept AS (SELECT * FROM q WHERE quality >= 0.55),
+ded AS (
+  SELECT doc_id, source, n_tokens, quality FROM (
+    SELECT k.*, row_number() OVER (PARTITION BY md5(dd.text)
+                                   ORDER BY k.doc_id) AS rn
+    FROM kept k JOIN documents dd USING (doc_id)
+  ) WHERE rn = 1
+),
+drops AS (
+  SELECT DISTINCT v.id_b FROM vpairs v
+  JOIN ded a ON a.doc_id = v.id_a
+  JOIN ded b ON b.doc_id = v.id_b
+),
+nd AS (SELECT s.* FROM ded s ANTI JOIN drops dr ON s.doc_id = dr.id_b),
+d8 AS (SELECT doc_id, {words} AS w8 FROM documents),
+sh8 AS (
+  SELECT DISTINCT doc_id, {gram} AS s
+  FROM d8, unnest(generate_series(1, len(w8) - 7)) g(i)
+),
+h8 AS (SELECT doc_id, {h48} AS h FROM sh8),
+bench AS (SELECT DISTINCT h FROM h8 WHERE {split} % 100 < 10),
+contam AS (
+  SELECT DISTINCT t.doc_id FROM h8 t JOIN bench b ON t.h = b.h
+  WHERE {tsplit} % 100 >= 10
+),
+fin AS (
+  SELECT n.* FROM (SELECT * FROM nd WHERE {nsplit} % 100 >= 10) n
+  ANTI JOIN contam c ON n.doc_id = c.doc_id
+)
+SELECT row_number() OVER (ORDER BY {order_h}, doc_id) AS pos,
+       doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, quality
+FROM fin
+""".format(
+        lsh=_lsh_pairs_ctes(),
+        quality=_PIPE_QUALITY,
+        words=WORDS,
+        gram=_PIPE_8GRAM,
+        h48=H48.format(col="s"),
+        split=_SHA_SQL.format(prefix="21|", col="doc_id"),
+        tsplit=_SHA_SQL.format(prefix="21|", col="t.doc_id"),
+        nsplit=_SHA_SQL.format(prefix="21|", col="doc_id"),
+        order_h=_SHA_SQL.format(prefix="11|", col="doc_id"),
+    ),
+)
+def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining-corpus preparation pipeline as one lazy
+    plan — the composition a user of this engine actually runs:
+
+      quality gate (JVM heuristics) → exact dedup (first doc per content
+      md5) → NEAR-dup removal (shingle → minhash → banded LSH → exact
+      jaccard verify ≥ 0.5, drop the higher id of each surviving pair) →
+      benchmark decontamination (verbatim 8-gram hash overlap vs the 10%
+      held-out split, bench docs themselves excluded) → stable global
+      training order (two-phase bucketed rank, no single-task sort).
+
+    Every stage is the scale-safe registered form (LSH candidates are
+    bucket-capped, the jaccard verify is candidate-bounded, the 8-gram
+    join collapses to 48-bit ints); the oracle replays all five stages —
+    minhash constants, CDF hash splits and all — so the composed output
+    is verified exactly, not just stagewise (419 of 500 docs
+    survive at sf0.01; 4257 of 5000 at sf0.1)."""
+    from pyspark.sql import Window
+
+    from datapipeline_spark.dedup import minhash_dedup_pairs
+    from datapipeline_spark.dedup.minhash import hash48
+    from datapipeline_spark.operators.rank import bucketed_global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    scored = quality_score(d).select(
+        "doc_id", "source", "text", n_tokens.alias("n_tokens"), "quality"
+    )
+    kept = scored.filter(F.col("quality") >= 0.55)
+    wd = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    ded = (
+        kept.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens", "quality")
+    )
+    pairs = minhash_dedup_pairs(d, params=PARAMS, bands=4, threshold=0.5)
+    ids = ded.select("doc_id")
+    drops = (
+        pairs.join(ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        .select("id_b")
+        .distinct()
+    )
+    nd = ded.join(
+        drops.withColumnRenamed("id_b", "doc_id"), "doc_id", "left_anti"
+    )
+    sh8 = word_shingles(d, "doc_id", "text", n=8).select(
+        "doc_id", hash48(F.col("shingle")).alias("h")
+    )
+    is_bench = _sha_long("21|", F.col("doc_id")) % 100 < 10
+    bench_h = sh8.filter(is_bench).select("h").distinct()
+    contam = (
+        sh8.filter(~is_bench)
+        .join(bench_h, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    fin = (
+        nd.filter(~is_bench)
+        .join(contam, "doc_id", "left_anti")
+        .withColumn("hs", _sha_long("11|", F.col("doc_id")))
+    )
+    return bucketed_global_rank(fin, "hs", ["doc_id"]).select(
+        "pos", "doc_id", "source", "n_tokens", "quality"
+    )
+
+
+@query(
+    "clustering_coefficient_parts",
+    """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0 UNION SELECT dst, src FROM e0),
+deg AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a),
+ranked AS (
+  SELECT u.a, u.b FROM und u
+  JOIN deg da ON u.a = da.a JOIN deg db ON u.b = db.a
+  WHERE (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+),
+wedges AS (
+  SELECT w1.a AS w, w1.b AS u, w2.b AS v
+  FROM ranked w1 JOIN ranked w2 ON w1.a = w2.a AND w1.b < w2.b
+),
+closing AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM ranked),
+tris AS (SELECT w, u, v FROM wedges JOIN closing USING (u, v)),
+cr AS (
+  SELECT w AS node FROM tris
+  UNION ALL SELECT u FROM tris
+  UNION ALL SELECT v FROM tris
+),
+tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM cr GROUP BY node)
+SELECT d.a AS p_partkey, d.d AS degree,
+       CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.d >= 2
+            THEN (coalesce(tc.n_triangles, 0) * 2000000) // (d.d * (d.d - 1))
+            ELSE NULL END AS clustering_ppm
+FROM deg d LEFT JOIN tc ON tc.node = d.a
+""",
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part in the co-purchase graph:
+    cc(v) = 2·T(v) / (d(v)·(d(v)−1)) in exact integer ppm, composing the
+    degree-oriented triangle counter (operators/graph.triangle_counts —
+    wedge volume bounded at the low-degree vertex) with the degree table;
+    degree-1 nodes report NULL (undefined denominator, ANSI-guarded).
+    The transitivity profile behind 'is this co-purchase neighborhood
+    cliquish or hub-like' — same demo scope as triangle_counts_parts."""
+    from datapipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
+    und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    tc = triangle_counts(edges)
+    j = deg.join(tc, deg["a"] == tc["node"], "left")
+    nt = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    return j.select(
+        F.col("a").alias("p_partkey"),
+        F.col("d").alias("degree"),
+        nt.alias("n_triangles"),
+        F.when(
+            F.col("d") >= 2,
+            F.expr(
+                "(coalesce(n_triangles, 0) * 2000000) DIV (d * (d - 1))"
+            ),
+        )
+        .cast("long")
+        .alias("clustering_ppm"),
+    )
