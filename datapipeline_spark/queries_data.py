@@ -5724,3 +5724,70 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("clustering_ppm"),
     )
+
+
+def _hll_sliding_sql(p: int = 10, window_days: int = 7) -> str:
+    from datapipeline_spark.sketch.hll import alpha_numerator
+
+    m = 1 << p
+    rem_bits = 60 - p
+    mask = (1 << rem_bits) - 1
+    rho_max = rem_bits + 1
+    num = repr(alpha_numerator(p))
+    return f"""
+WITH h AS (
+  SELECT date_trunc('day', ts) AS day,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS h
+  FROM events
+),
+r AS MATERIALIZED (
+  SELECT day, h >> {rem_bits} AS reg,
+         max(CASE WHEN (h & {mask}) = 0 THEN {rho_max}
+                  ELSE {rho_max} - length(bin(h & {mask})) END) AS rho
+  FROM h GROUP BY day, reg
+),
+days AS (SELECT DISTINCT day FROM r),
+contrib AS (
+  SELECT r.day + INTERVAL (g.i) DAY AS day, r.reg, r.rho
+  FROM r, generate_series(0, {window_days - 1}) g(i)
+),
+merged AS (
+  SELECT c.day, c.reg, max(c.rho) AS rho
+  FROM contrib c JOIN days d USING (day)
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT day, count(*)::BIGINT AS n_registers,
+         (sum(1::BIGINT << ({rho_max} - rho))
+          + ({m} - count(*)) * (1::BIGINT << {rho_max}))::BIGINT
+           AS scaled_harmonic
+  FROM merged GROUP BY day
+)
+SELECT day, n_registers, scaled_harmonic,
+       {num} / scaled_harmonic::DOUBLE AS est_raw
+FROM s
+"""
+
+
+@query("hll_sliding_distinct", _hll_sliding_sql())
+def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day, computed WITHOUT ever
+    re-scanning a window: one per-day HLL register pass over events, then
+    the sliding max-merge (sketch/hll.hll_sliding_merge — each register
+    row fans out to the 7 days it serves; fan-out is sketch-sized, m×7
+    rows per day, never event-sized). The moving-distinct problem that is
+    non-decomposable exactly becomes one bounded aggregate under the
+    sketch — the canonical 100 TB dashboard query. Register states and
+    the scaled harmonic are bit-identical to the oracle's direct replay."""
+    from datapipeline_spark.sketch.hll import (
+        hll_estimate,
+        hll_registers,
+        hll_sliding_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    partial = hll_registers(ev, "user_id", ["day"], p=10)
+    merged = hll_sliding_merge(partial, "day", window_days=7)
+    return hll_estimate(merged, ["day"], p=10)

@@ -176,3 +176,32 @@ def hll_overlap(
             ),
         )
     )
+
+
+def hll_sliding_merge(
+    registers: DataFrame,
+    day_col: str,
+    window_days: int = 7,
+    groups: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing-window sketch merge: the register state for day d becomes
+    the max-merge of days (d − window_days, d]. Each per-day register row
+    is exploded to the ``window_days`` target days it contributes to (at
+    most m rows per day — sketch-sized, never data-sized — so the explode
+    is bounded by m × window_days per day regardless of input rows), then
+    one max-per-register aggregate; ghost days with no native data are
+    dropped by a semi-join against the observed day set. This is the
+    sliding-distinct trick: COUNT(DISTINCT) over a moving window without
+    ever rescanning or retaining the window's raw keys."""
+    days = registers.select(day_col).distinct()
+    contrib = registers.withColumn(
+        "__i", F.explode(F.sequence(F.lit(0), F.lit(int(window_days) - 1)))
+    ).withColumn(
+        day_col,
+        F.expr(f"{day_col} + make_interval(0, 0, 0, __i, 0, 0, 0)"),
+    )
+    return (
+        contrib.join(days, day_col, "left_semi")
+        .groupBy(*groups, day_col, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -154,3 +154,44 @@ def test_mg_nulls_dropped(spark):
     df = spark.createDataFrame([("a",)] * 10 + [(None,)] * 90, "k string")
     got = {(r.k, r.n, r.total) for r in heavy_hitters(df, "k", k=3).collect()}
     assert got == {("a", 10, 10)}  # N excludes NULLs; 'a' is 100% of non-null
+
+
+def test_hll_sliding_merge_equals_direct_window_pass(spark):
+    """The sliding merge of per-day sketches must equal sketching each
+    trailing window from scratch (register-max associativity)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spark.sketch.hll import (
+        hll_estimate,
+        hll_registers,
+        hll_sliding_merge,
+    )
+
+    rows = [
+        (d, (d * 13 + u) % 200)
+        for d in range(1, 15)
+        for u in range(d * 3)  # growing daily populations
+    ]
+    df = spark.createDataFrame(rows, "dno: int, user_id: long").selectExpr(
+        "CAST(timestamp '2024-03-01' + (dno - 1) * INTERVAL 1 DAY AS TIMESTAMP)"
+        " AS day",
+        "user_id",
+    )
+    partial = hll_registers(df, "user_id", ["day"], p=6)
+    got = {
+        r["day"]: (r["n_registers"], r["scaled_harmonic"])
+        for r in hll_estimate(
+            hll_sliding_merge(partial, "day", window_days=7), ["day"], p=6
+        ).collect()
+    }
+    days = [r["day"] for r in df.select("day").distinct().collect()]
+    assert set(got) == set(days)
+    for d in days:
+        window = df.filter(
+            (F.col("day") <= d)
+            & (F.col("day") > F.expr(f"timestamp'{d}' - INTERVAL 7 DAY"))
+        )
+        direct = hll_estimate(
+            hll_registers(window, "user_id", [], p=6), [], p=6
+        ).collect()[0]
+        assert got[d] == (direct["n_registers"], direct["scaled_harmonic"])
