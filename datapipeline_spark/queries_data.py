@@ -5791,3 +5791,51 @@ def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = hll_registers(ev, "user_id", ["day"], p=10)
     merged = hll_sliding_merge(partial, "day", window_days=7)
     return hll_estimate(merged, ["day"], p=10)
+
+
+@query(
+    "quantile_normalize_events",
+    """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+),
+g AS (
+  SELECT vm AS qnorm,
+         row_number() OVER (ORDER BY vm, event_id) AS gpos
+  FROM v
+),
+r AS (
+  SELECT event_id, event_type, vm,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY vm, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         count(*) OVER () AS nn
+  FROM v
+)
+SELECT r.event_id, r.event_type, r.vm AS value_micros, g.qnorm
+FROM r JOIN g ON g.gpos = (r.r * r.nn + r.n - 1) // r.n
+""",
+)
+def q_quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of event values across event types
+    (dataset/qnorm.quantile_normalize): each row's value is replaced by
+    the GLOBAL order statistic at its within-type relative rank
+    (ceil(r·N/n) — exact integer rank arithmetic, no interpolation). The
+    global lookup table rides the two-phase bucketed VALUE rank, so the
+    plan never global-sorts in one task; the within-type windows are
+    group-bounded. The oracle's plain global window is the semantic spec
+    the bucketed decomposition must (and does) reproduce exactly."""
+    from datapipeline_spark.dataset.qnorm import quantile_normalize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("vm"),
+    )
+    return quantile_normalize(
+        ev, group_col="event_type", value_col="vm", tiebreak=["event_id"]
+    ).select(
+        "event_id", "event_type", F.col("vm").alias("value_micros"), "qnorm"
+    )

@@ -223,3 +223,43 @@ def test_assemble_samples_discovery_bound(spark):
         df.filter("id < 3"), "1d", ["ent"], series_ids=None, max_discovered_ids=10
     )
     assert {"sid_0", "sid_1", "sid_2"}.issubset(set(wide.columns))
+
+
+def test_quantile_normalize_exact_rank_mapping(spark):
+    """Each group's sorted values must map onto the global order stats at
+    ceil(r*N/n); identical distributions across groups normalize to the
+    same targets."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spark.dataset.qnorm import quantile_normalize
+
+    # group a: values 10,20,30,40 ; group b: 15,25  (N=6)
+    rows = [("a", 10, 1), ("a", 20, 2), ("a", 30, 3), ("a", 40, 4),
+            ("b", 15, 5), ("b", 25, 6)]
+    df = spark.createDataFrame(rows, "g: string, v: long, id: long")
+    out = {
+        (r["g"], r["v"]): r["qnorm"]
+        for r in quantile_normalize(df, "g", "v", ["id"]).collect()
+    }
+    # global sorted: [10,15,20,25,30,40]
+    # a (n=4): ranks 1..4 -> gpos ceil(r*6/4) = 2,3,5,6 -> 15,20,30,40
+    assert out[("a", 10)] == 15
+    assert out[("a", 20)] == 20
+    assert out[("a", 30)] == 30
+    assert out[("a", 40)] == 40
+    # b (n=2): ranks 1,2 -> gpos 3,6 -> 20,40
+    assert out[("b", 15)] == 20
+    assert out[("b", 25)] == 40
+
+
+def test_quantile_normalize_partition_invariant(spark):
+    from datapipeline_spark.dataset.qnorm import quantile_normalize
+
+    rows = [("g" + str(i % 3), (i * 37) % 101, i) for i in range(300)]
+    df = spark.createDataFrame(rows, "g: string, v: long, id: long")
+    a = {r["id"]: r["qnorm"] for r in quantile_normalize(df, "g", "v", ["id"]).collect()}
+    b = {
+        r["id"]: r["qnorm"]
+        for r in quantile_normalize(df.repartition(13), "g", "v", ["id"]).collect()
+    }
+    assert a == b
