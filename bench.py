@@ -210,6 +210,8 @@ HEADLINE = [
     "bootstrap_revenue_ci",
     "pretraining_pipeline",
     "clustering_coefficient_parts",
+    "hll_sliding_distinct",
+    "quantile_normalize_events",
 ]
 
 
