@@ -81,3 +81,73 @@ def holt_linear(
             f"forecast_{horizon}"
         ),
     )
+
+
+def holt_running(
+    df: DataFrame,
+    field: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[str] = ("time",),
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    level_out: str = "holt_level",
+    trend_out: str = "holt_trend",
+) -> DataFrame:
+    """Per-ROW Holt state: every row gains the (level, trend) the fold has
+    reached at that row — the batch twin of streaming holt_stream's
+    per-event emission (identical IEEE operation order, so the two are
+    bit-equal at α=β=½). One aggregate collects each series (the per-key
+    sequence contract that bounds `sequence`/ewma also bounds this), the
+    fold carries growing level/trend arrays, one explode restores rows.
+    Array append is a copy per step — O(n²) per key in the series length,
+    the same cost class as the rolling collect_list frames; series length
+    is bounded by the sequence contract, not corpus size."""
+    a = F.lit(float(alpha))
+    b = F.lit(float(beta))
+    row = F.struct(*[F.col(c) for c in df.columns])
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_by)],
+                row.alias("r"),
+            )
+        )
+    )
+    g = df.groupBy(*partition_by).agg(arr.alias("__arr__"))
+    init = F.struct(
+        F.lit(None).cast("double").alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array().cast("array<double>").alias("ls"),
+        F.array().cast("array<double>").alias("bs"),
+    )
+
+    def step(acc, x):
+        y = x["r"][field].cast("double")
+        l_new = F.when(acc["l"].isNull(), y).otherwise(
+            a * y + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        )
+        b_new = F.when(acc["l"].isNull(), F.lit(0.0)).otherwise(
+            b * (l_new - acc["l"]) + (F.lit(1.0) - b) * acc["b"]
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.array_append(acc["ls"], l_new).alias("ls"),
+            F.array_append(acc["bs"], b_new).alias("bs"),
+        )
+
+    st = F.aggregate(F.col("__arr__"), init, step)
+    z = g.select(
+        F.explode(
+            F.arrays_zip(
+                F.transform(F.col("__arr__"), lambda x: x["r"]).alias("r"),
+                st["ls"].alias("lv"),
+                st["bs"].alias("tr"),
+            )
+        ).alias("z")
+    )
+    return z.select(
+        *[F.col(f"z.r.{c}").alias(c) for c in df.columns],
+        F.col("z.lv").alias(level_out),
+        F.col("z.tr").alias(trend_out),
+    )

@@ -201,6 +201,20 @@ def apply_transform(
         from datapipeline_spark.operators.impute import impute_mode
 
         return impute_mode(df, partition_by, spec.field, out=spec.to)
+    if op == "holt":
+        from datapipeline_spark.operators.holt import holt_running
+
+        sm = spec.decay if spec.decay is not None else 0.5
+        pre = (spec.to + "_") if spec.to else "holt_"
+        return holt_running(
+            df,
+            spec.field,
+            partition_by,
+            alpha=sm,
+            beta=sm,
+            level_out=pre + "level",
+            trend_out=pre + "trend",
+        )
     if op == "ensure_ticks":
         # grid_by == partition_by (reference ensure_ticks.py:42-92); the grid
         # spans each partition's observed bounds at the given cadence — the

@@ -152,6 +152,7 @@ class TransformSpec(_Strict):
         "rolling_corr",
         "cusum",
         "impute_mode",
+        "holt",
     ]
     # where
     operator: str | None = None
@@ -263,6 +264,11 @@ class TransformSpec(_Strict):
         elif op == "impute_mode":
             if not self.field:
                 raise ValueError("impute_mode requires 'field'")
+        elif op == "holt":
+            if not self.field:
+                raise ValueError("holt requires 'field'")
+            if self.decay is not None and not (0.0 < self.decay <= 1.0):
+                raise ValueError("holt decay (smoothing) must be in (0, 1]")
         return self
 
 

@@ -436,3 +436,30 @@ def test_impute_mode_via_yaml_grammar(spark):
 
     with pytest.raises(ValueError, match="impute_mode requires"):
         TransformSpec(operation="impute_mode")
+
+
+def test_holt_via_yaml_grammar(spark):
+    """holt is reachable from the declarative grammar: per-stream-key
+    running level/trend columns, bit-exact at the default smoothing 0.5."""
+    import pytest
+
+    from datapipeline_spark.plans.compiler import apply_transform
+    from datapipeline_spark.plans.config import TransformSpec
+
+    df = spark.createDataFrame(
+        [(1, 0, 4.0), (1, 1, 8.0), (1, 2, 2.0)],
+        "user_id long, time long, value double",
+    )
+    spec = TransformSpec(operation="holt", field="value")
+    got = {r.time: (r.holt_level, r.holt_trend)
+           for r in apply_transform(df, spec, ["user_id"]).collect()}
+    assert got[0] == (4.0, 0.0)
+    # l1 = .5*8 + .5*4 = 6 ; b1 = .5*(6-4) = 1
+    assert got[1] == (6.0, 1.0)
+    # l2 = .5*2 + .5*7 = 4.5 ; b2 = .5*(4.5-6) + .5*1 = -0.25
+    assert got[2] == (4.5, -0.25)
+
+    with pytest.raises(ValueError, match="holt requires"):
+        TransformSpec(operation="holt")
+    with pytest.raises(ValueError, match="holt decay"):
+        TransformSpec(operation="holt", field="value", decay=1.5)

@@ -828,3 +828,25 @@ def test_holt_linear_partition_invariant(spark):
     r1 = holt_linear(df1, ["k"], "y", ["i"]).collect()[0]
     r8 = holt_linear(df8, ["k"], "y", ["i"]).collect()[0]
     assert (r1["level"], r1["trend"]) == (r8["level"], r8["trend"])
+
+
+def test_holt_running_matches_final_state_and_stream_semantics(spark):
+    """holt_running's last row per key must equal holt_linear's final
+    state (same fold, per-row emission) — ties batch, running, and
+    streaming forms together."""
+    from datapipeline_spark.operators.holt import holt_linear, holt_running
+
+    rows = [(u, i, float(((i * 31 + u * 7) % 23)) - 11.0)
+            for u in range(3) for i in range(25)]
+    df = spark.createDataFrame(rows, "k: long, t: long, v: double")
+    run = holt_running(df, "v", ["k"], order_by=["t"])
+    last = {
+        r["k"]: (r["holt_level"], r["holt_trend"])
+        for r in run.orderBy("t").collect()
+        if r["t"] == 24
+    }
+    fin = {
+        r["k"]: (r["level"], r["trend"])
+        for r in holt_linear(df, ["k"], "v", ["t"]).collect()
+    }
+    assert last == fin  # bit-exact
