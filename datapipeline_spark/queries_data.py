@@ -5839,3 +5839,61 @@ def q_quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id", "event_type", F.col("vm").alias("value_micros"), "qnorm"
     )
+
+
+@query(
+    "contrastive_pairs",
+    """
+WITH d AS (SELECT doc_id, {words} AS w FROM documents),
+ck AS (
+  SELECT doc_id, ((start - 1) // 64)::BIGINT AS chunk_idx
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w), 1), 64)) AS start
+        FROM d)
+),
+hc AS (
+  SELECT doc_id, chunk_idx,
+         {h48} AS h
+  FROM ck
+),
+hb AS (SELECT *, h % 64 AS b FROM hc),
+wp AS (
+  SELECT *,
+         lead(chunk_idx) OVER (PARTITION BY doc_id ORDER BY chunk_idx)
+           AS pos_chunk_idx,
+         lead(doc_id, 1) OVER wb AS nd1,
+         lead(chunk_idx, 1) OVER wb AS ni1,
+         lead(doc_id, 2) OVER wb AS nd2,
+         lead(chunk_idx, 2) OVER wb AS ni2
+  FROM hb
+  WINDOW wb AS (PARTITION BY b ORDER BY h, doc_id, chunk_idx)
+)
+SELECT doc_id, chunk_idx, pos_chunk_idx,
+       CASE WHEN nd1 <> doc_id THEN nd1
+            WHEN nd2 <> doc_id THEN nd2 END AS neg_doc_id,
+       CASE WHEN nd1 <> doc_id THEN ni1
+            WHEN nd2 <> doc_id THEN ni2 END AS neg_chunk_idx
+FROM wp
+WHERE pos_chunk_idx IS NOT NULL
+  AND (CASE WHEN nd1 <> doc_id THEN nd1
+            WHEN nd2 <> doc_id THEN nd2 END) IS NOT NULL
+""".format(
+        words=WORDS,
+        h48="(('0x' || substr(md5(doc_id::VARCHAR || ':' || "
+        "chunk_idx::VARCHAR), 1, 12))::UBIGINT)::BIGINT",
+    ),
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets over the corpus
+    (text/contrastive.contrastive_pairs): anchor chunk, next-chunk
+    positive (inverse-cloze signal, non-overlapping 64-token chunks so
+    the positive never leaks anchor tokens), and a deterministic
+    different-doc negative from the anchor's md5-hash-order neighbor
+    within its hash bucket — negative assignment is a bucketed window,
+    never a global sort or an RNG; bucket-tail anchors drop
+    deterministically. All ids integer-exact against the oracle's
+    identical window replay."""
+    from datapipeline_spark.text.contrastive import contrastive_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return contrastive_pairs(d, chunk_size=64, buckets=64)

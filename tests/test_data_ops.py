@@ -1758,3 +1758,34 @@ def test_bootstrap_ci_brackets_point_and_is_deterministic(spark):
     assert r1["n_replicates"] == 60
     # CI is tight around the true mean for a well-behaved value column
     assert r1["ci_hi"] - r1["ci_lo"] < 20
+
+
+def test_contrastive_pairs_semantics(spark):
+    from datapipeline_spark.text.contrastive import contrastive_pairs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(40))) for i in range(30)],
+        "doc_id: long, text: string",
+    )
+    out = contrastive_pairs(docs, chunk_size=8, buckets=4).collect()
+    assert len(out) > 0
+    for r in out:
+        # positive is the NEXT chunk of the same doc
+        assert r["pos_chunk_idx"] == r["chunk_idx"] + 1
+        # negative comes from a different document
+        assert r["neg_doc_id"] != r["doc_id"]
+
+
+def test_contrastive_pairs_deterministic_across_partitions(spark):
+    from datapipeline_spark.text.contrastive import contrastive_pairs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(30))) for i in range(20)],
+        "doc_id: long, text: string",
+    )
+    key = lambda r: (r["doc_id"], r["chunk_idx"])  # noqa: E731
+    a = {key(r): (r["neg_doc_id"], r["neg_chunk_idx"])
+         for r in contrastive_pairs(docs, chunk_size=8).collect()}
+    b = {key(r): (r["neg_doc_id"], r["neg_chunk_idx"])
+         for r in contrastive_pairs(docs.repartition(9), chunk_size=8).collect()}
+    assert a == b
