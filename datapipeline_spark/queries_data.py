@@ -5897,3 +5897,46 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return contrastive_pairs(d, chunk_size=64, buckets=64)
+
+
+@query(
+    "resharding_report_orders",
+    """
+WITH asg AS (
+  SELECT list_position(s17[1:16], list_max(s17[1:16])) - 1 AS s_before,
+         list_position(s17, list_max(s17)) - 1 AS s_after
+  FROM (
+    SELECT list_transform(range(0, 17), s ->
+             (('0x' || substr(md5(o_orderkey::VARCHAR || '#' || s::VARCHAR),
+                        1, 12))::UBIGINT)::BIGINT) AS s17
+    FROM orders
+  )
+),
+pb AS (SELECT s_before AS shard, CAST(count(*) AS BIGINT) AS n_before
+       FROM asg GROUP BY 1),
+pa AS (
+  SELECT s_after AS shard, CAST(count(*) AS BIGINT) AS n_after,
+         CAST(sum(CASE WHEN s_before <> s_after THEN 1 ELSE 0 END) AS BIGINT)
+           AS moved_in
+  FROM asg GROUP BY 1
+)
+SELECT coalesce(pb.shard, pa.shard)::BIGINT AS shard,
+       CAST(coalesce(pb.n_before, 0) AS BIGINT) AS n_before,
+       CAST(coalesce(pa.n_after, 0) AS BIGINT) AS n_after,
+       CAST(coalesce(pa.moved_in, 0) AS BIGINT) AS moved_in
+FROM pb FULL JOIN pa ON pb.shard = pa.shard
+""",
+)
+def q_resharding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash placement audit for scaling orders from 16 to 17
+    shards (operators/shard.resharding_report): per-shard row counts
+    under both layouts and rows moved in. The minimal-movement law —
+    surviving shards receive ZERO moved rows, the new shard receives
+    ≈ N/17 — is checked row-exactly by the oracle and pinned as a pytest
+    invariant; scores are true per-(key, shard) md5 hashes (joint
+    independence is what balance requires — a one-hash scramble family
+    measured 1.8x off-uniform), argmax'd in-row with no explode."""
+    from datapipeline_spark.operators.shard import resharding_report
+
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return resharding_report(od, "o_orderkey", n_before=16, n_after=17)

@@ -1789,3 +1789,42 @@ def test_contrastive_pairs_deterministic_across_partitions(spark):
     b = {key(r): (r["neg_doc_id"], r["neg_chunk_idx"])
          for r in contrastive_pairs(docs.repartition(9), chunk_size=8).collect()}
     assert a == b
+
+
+def test_rendezvous_minimal_movement_law(spark):
+    """Scaling S -> S+1 must move rows ONLY into the new shard (~N/(S+1));
+    every surviving shard's moved_in is exactly zero — the rendezvous
+    property the resharding plan is costed on."""
+    from datapipeline_spark.operators.shard import resharding_report
+
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    rows = {r["shard"]: r for r in resharding_report(df, "k", 8, 9).collect()}
+    assert set(rows) == set(range(9))
+    for s in range(8):
+        assert rows[s]["moved_in"] == 0
+    new = rows[8]
+    assert new["n_before"] == 0
+    assert new["moved_in"] == new["n_after"] > 0
+    # expected ~ N/9 with generous tolerance
+    assert abs(new["n_after"] - 5000 / 9) < 5000 / 9 * 0.5
+    # conservation
+    assert sum(r["n_after"] for r in rows.values()) == 5000
+    assert sum(r["n_before"] for r in rows.values()) == 5000
+
+
+def test_rendezvous_assign_balanced_and_deterministic(spark):
+    from datapipeline_spark.operators.shard import rendezvous_assign
+
+    df = spark.range(8000).select(F.col("id").alias("k"))
+    counts = {
+        r["shard"]: r["c"]
+        for r in rendezvous_assign(df, "k", 10)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert set(counts) == set(range(10))
+    assert max(counts.values()) < 2.0 * min(counts.values())  # roughly uniform
+    a = rendezvous_assign(df, "k", 10).collect()
+    b = rendezvous_assign(df.repartition(7), "k", 10).collect()
+    assert {r["k"]: r["shard"] for r in a} == {r["k"]: r["shard"] for r in b}
