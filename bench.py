@@ -212,6 +212,8 @@ HEADLINE = [
     "clustering_coefficient_parts",
     "hll_sliding_distinct",
     "quantile_normalize_events",
+    "contrastive_pairs",
+    "resharding_report_orders",
 ]
 
 
