@@ -610,3 +610,100 @@ def diff_in_diff(
             (mean["t1"] - mean["t0"]) - (mean["c1"] - mean["c0"])
         ).alias("did"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose
+    cumulative weight reaches half the group total (lower weighted
+    median — a total, integer-exact definition; no interpolation).
+    ``value_col`` and ``weight_col`` must be integral. One group-keyed
+    window over the group's rows plus one aggregate — the same cost
+    class as any per-group rank; at corpus scale the window is bounded
+    by group size, never table size."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("v"))  # post-rename name: the window runs on `cum`
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy(*group_cols)
+    cum = df.select(
+        *group_cols,
+        F.col(value_col).cast("long").alias("v"),
+        F.col(weight_col).cast("long").alias("wt"),
+    ).withColumn("cw", F.sum("wt").over(w)).withColumn(
+        "tw", F.sum("wt").over(wg)
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend statistic per series: S = Σ_{i<j} sign(x_j −
+    x_i) over time order, with the exact tie-corrected variance NUMERATOR
+    var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (the classic Var(S)·18 — kept
+    as an exact integer; the normal-approximation z needs a sqrt that
+    consumers apply downstream). The pair enumeration is a per-series
+    self-join bounded by series length squared — the per-key sequence
+    contract (cf. Kendall 1975; the nonparametric 'is this drifting'
+    monitor that pairs with cusum's changepoint view)."""
+    base = df.select(
+        *group_cols,
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    a = base
+    b = base.withColumnsRenamed({"o": "o2", "v": "v2"})
+    pairs = a.join(b, list(group_cols)).filter(F.col("o") < F.col("o2"))
+    s = pairs.groupBy(*group_cols).agg(
+        F.sum(F.signum(F.col("v2") - F.col("v")).cast("long"))
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    n = base.groupBy(*group_cols).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        base.groupBy(*group_cols, "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    return (
+        s.join(n, list(group_cols))
+        .join(ties, list(group_cols), "left")
+        .select(
+            *group_cols,
+            "n",
+            "s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+    )

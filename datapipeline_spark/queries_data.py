@@ -5940,3 +5940,105 @@ def q_resharding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     od = load_table(spark, sf_dir, "orders").select("o_orderkey")
     return resharding_report(od, "o_orderkey", n_before=16, n_after=17)
+
+
+@query(
+    "weighted_median_price",
+    """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, v, wt,
+         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM v
+)
+SELECT l_returnflag,
+       CAST(min(v) AS BIGINT) AS weighted_median,
+       CAST(max(tw) AS BIGINT) AS total_weight
+FROM cum WHERE cw * 2 >= tw
+GROUP BY l_returnflag
+""",
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag
+    (operators/stats.weighted_median): the smallest price cents whose
+    cumulative quantity reaches half the flag's total — lower weighted
+    median, integer-exact, no interpolation. The group-keyed cumulative
+    window is the only cost; prices stay exact cents end to end.
+
+    Caveat pinned by the oracle: ties on v at the crossing point resolve
+    by min(v) identically in both engines because the cumulative sum is
+    over the SAME total order (v alone — duplicate v rows are
+    interchangeable under sum)."""
+    from datapipeline_spark.operators.stats import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_median(li, ["l_returnflag"], "cents", "qty")
+
+
+@query(
+    "mann_kendall_daily_revenue",
+    """
+WITH d AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         date_trunc('day', o_orderdate) AS o,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.m, sign(b.v - a.v) AS sg
+  FROM d a JOIN d b ON a.m = b.m AND a.o < b.o
+),
+s AS (
+  SELECT m, CAST(sum(sg) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY m
+),
+n AS (SELECT m, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY m),
+ties AS (
+  SELECT m, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT m, v, count(*)::BIGINT AS t FROM d GROUP BY m, v
+        HAVING count(*) > 1)
+  GROUP BY m
+)
+SELECT s.m AS month, n.n, s.s,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+            - coalesce(ties.tie_term, 0) AS BIGINT) AS var18
+FROM s JOIN n ON s.m = n.m LEFT JOIN ties ON ties.m = s.m
+""",
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend statistic on daily revenue, one series
+    per month of 1997+ (operators/stats.mann_kendall): S = Σ sign
+    differences over all day pairs (self-join bounded by ≤31 days per
+    series — the per-key sequence contract), exact tie-corrected Var·18
+    as an integer. The nonparametric is-it-drifting monitor beside
+    cusum's changepoint view; consumers take z = S/sqrt(var18/18)
+    downstream (sqrt stays out of the oracle)."""
+    from datapipeline_spark.operators.stats import mann_kendall
+
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1997-01-01"
+    )
+    daily = od.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("o"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    return mann_kendall(daily, ["m"], "v", "o").select(
+        F.col("m").alias("month"), "n", "s", "var18"
+    )

@@ -850,3 +850,56 @@ def test_holt_running_matches_final_state_and_stream_semantics(spark):
         for r in holt_linear(df, ["k"], "v", ["t"]).collect()
     }
     assert last == fin  # bit-exact
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_weighted_median_matches_pure_python(spark, vw):
+    from datapipeline_spark.operators.stats import weighted_median
+
+    rows = [("g", v, w) for v, w in vw]
+    df = spark.createDataFrame(rows, "g: string, v: long, w: long")
+    got = weighted_median(df, ["g"], "v", "w").collect()[0]
+    # pure python lower weighted median
+    total = sum(w for _, w in vw)
+    cum = 0
+    exp = None
+    for v, w in sorted(vw):
+        cum += w
+        if cum * 2 >= total:
+            exp = v
+            break
+    assert got["weighted_median"] == exp
+    assert got["total_weight"] == total
+
+
+@given(
+    st.lists(st.integers(-20, 20), min_size=2, max_size=25)
+)
+@settings(max_examples=25, deadline=None)
+def test_mann_kendall_matches_pure_python(spark, xs):
+    from datapipeline_spark.operators.stats import mann_kendall
+
+    rows = [("g", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g: string, o: long, v: long")
+    got = mann_kendall(df, ["g"], "v", "o").collect()[0]
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(xs).values() if t > 1
+    )
+    assert got["s"] == s
+    assert got["n"] == n
+    assert got["var18"] == n * (n - 1) * (2 * n + 5) - tie
