@@ -214,6 +214,8 @@ HEADLINE = [
     "quantile_normalize_events",
     "contrastive_pairs",
     "resharding_report_orders",
+    "weighted_median_price",
+    "mann_kendall_daily_revenue",
 ]
 
 
