@@ -922,3 +922,81 @@ def test_skew_profile_windows_only_over_fof(spark):
     for seg in plan.split("Window")[1:]:
         head = seg[:400]
         assert "FileScan" not in head.split("HashAggregate")[0]
+
+
+def test_bootstrap_hashes_before_explode(spark):
+    """The md5 must run once per ROW (pre-explode): the Project containing
+    the conv(md5(...)) expression must sit BELOW the Generate (explode)
+    node in the plan tree, never above it."""
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["bootstrap_revenue_ci"][0](spark, SF))
+    gen = plan.find("Generate explode")
+    md5 = plan.find("md5(")
+    assert gen != -1 and md5 != -1
+    assert md5 > gen  # deeper in the printed tree = computed first
+
+
+def test_t5_span_corruption_single_scan_no_python(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["t5_span_corruption"][0](spark, SF))
+    # two scans: the token subtree feeds both the span-id branch and the
+    # piece assembly — Catalyst re-reads the PRUNED 2-col scan instead of
+    # materializing the token explode, the right trade for a narrow map
+    assert plan.count("FileScan parquet") <= 2
+    assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
+    import re as _re
+
+    for rs in _re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert rs.count(":") <= 2, rs  # every scan pruned to id+text
+
+
+def test_quantile_normalize_no_single_task_global_sort(spark):
+    """The global ranked lookup must come from the bucketed value rank —
+    no unpartitioned Sort over the full input (rangepartitioning would
+    betray a global sort)."""
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["quantile_normalize_events"][0](spark, SF))
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_hll_sliding_merge_is_register_sized(spark):
+    """The fan-out explode must run on the aggregated register table (reg
+    column present), above the per-day register HashAggregate — never on
+    raw events."""
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["hll_sliding_distinct"][0](spark, SF))
+    gen = plan.find("Generate explode")
+    agg_below = plan[gen:].find("HashAggregate")
+    assert gen != -1 and agg_below != -1  # aggregate feeds the explode
+    # second scan is the observed-days semi-join side, pruned to ts ONLY
+    import re as _re
+
+    schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) <= 2
+    assert any(s2.count(":") == 1 for s2 in schemas) or len(schemas) == 1
+
+
+def test_contrastive_windows_are_bucketed(spark):
+    """Negative assignment must window by hash bucket, not globally."""
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["contrastive_pairs"][0](spark, SF))
+    import re as _re
+
+    # every Sort feeding a Window is preceded by a hashpartitioning
+    # exchange on either the doc key or the bucket — no global sort
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_holt_forecast_one_aggregate_no_python(spark):
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["holt_forecast_users"][0](spark, SF))
+    assert "PythonUDF" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan  # collect_list fold
