@@ -236,6 +236,16 @@ def cmd_stats(args) -> int:
         if not _need_int(args.value):
             return 2
         out = S.diff_in_diff(df, args.x, args.y, args.value)
+    elif args.test == "wmedian":
+        # weighted median: --value cents, -x weight column, --by groups
+        if not _need_int(args.value, args.x):
+            return 2
+        out = S.weighted_median(df, groups, args.value, args.x)
+    elif args.test == "mk":
+        # Mann-Kendall trend: --value cents, -x time-order column, --by series
+        if not _need_int(args.value):
+            return 2
+        out = S.mann_kendall(df, groups, args.value, args.x)
     else:  # pragma: no cover - argparse choices guard
         raise ValueError(args.test)
     rows = out.collect()
@@ -283,12 +293,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     stt.add_argument(
         "test",
-        choices=["ks", "mw", "welch", "ztest", "chi2", "pearson", "spearman", "benford", "did"],
+        choices=["ks", "mw", "welch", "ztest", "chi2", "pearson", "spearman", "benford", "did", "wmedian", "mk"],
     )
     stt.add_argument("path", help="parquet file/dir")
     stt.add_argument("--value", default=None, help="value column (ks/mw/benford/did cents) or success 0-1 column (ztest)")
     stt.add_argument("--side", default=None, help="0/1 sample/arm column (ks/mw/ztest)")
-    stt.add_argument("-x", default=None, help="first column (chi2/pearson/spearman) / treat flag (did)")
+    stt.add_argument("-x", default=None, help="first column (chi2/pearson/spearman) / treat flag (did) / weight (wmedian) / order (mk)")
     stt.add_argument("-y", default=None, help="second column (chi2/pearson/spearman) / post flag (did)")
     stt.add_argument("--by", default=None, help="comma-separated group columns")
     stt.set_defaults(fn=cmd_stats)

@@ -295,3 +295,30 @@ def test_cli_stats_did(spark, tmp_path, capsys):
     assert rc == 0
     header = out.splitlines()[0].split("\t")
     assert header[:4] == ["n_t1", "n_t0", "n_c1", "n_c0"] and "did" in header
+
+
+def test_cli_stats_wmedian_and_mk(spark, tmp_path, capsys):
+    from datapipeline_spark import cli
+
+    p = str(tmp_path / "wm.parquet")
+    spark.range(60).selectExpr(
+        "cast(id % 2 as bigint) AS g",
+        "cast(id as bigint) AS o",
+        "cast((id * 13) % 50 as bigint) AS v",
+        "cast(id % 4 + 1 as bigint) AS w",
+        "cast(id as double) AS f",
+    ).write.parquet(p)
+
+    rc = cli.main(["stats", "wmedian", p, "--value", "v", "-x", "w", "--by", "g"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.splitlines()[0].split("\t") == ["g", "weighted_median", "total_weight"]
+
+    rc = cli.main(["stats", "mk", p, "--value", "v", "-x", "o", "--by", "g"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.splitlines()[0].split("\t") == ["g", "n", "s", "var18"]
+
+    # integer discipline: float value rejected
+    rc = cli.main(["stats", "wmedian", p, "--value", "f", "-x", "w", "--by", "g"])
+    assert rc == 2
