@@ -6042,3 +6042,42 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(daily, ["m"], "v", "o").select(
         F.col("m").alias("month"), "n", "s", "var18"
     )
+
+
+@query(
+    "bitmap_sliding_distinct",
+    """
+WITH bm AS MATERIALIZED (
+  SELECT date_trunc('day', ts) AS day,
+         user_id // 63 AS word,
+         bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS bits
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM bm),
+contrib AS (
+  SELECT bm.day + INTERVAL (g.i) DAY AS day, bm.word, bm.bits
+  FROM bm, generate_series(0, 6) g(i)
+),
+merged AS (
+  SELECT c.day, c.word, bit_or(c.bits) AS bits
+  FROM contrib c JOIN days d USING (day)
+  GROUP BY 1, 2
+)
+SELECT day, CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct_exact
+FROM merged GROUP BY day
+""",
+)
+def q_bitmap_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct active users per day via presence
+    bitmaps (sketch/bitmap.sliding_distinct_exact): ids pack into 63-bit
+    words, per-day bitmaps fan out to the days they serve (bitmap-sized
+    state — domain/63 longs per day), bit_or merges, one popcount sum.
+    The exact twin of hll_sliding_distinct — together they bracket the
+    standard trade: bitmap-exact while the id domain fits, sketch
+    beyond. All integer bit arithmetic, engine-exact."""
+    from datapipeline_spark.sketch.bitmap import sliding_distinct_exact
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    return sliding_distinct_exact(ev, "day", "user_id", window_days=7)

@@ -195,3 +195,37 @@ def test_hll_sliding_merge_equals_direct_window_pass(spark):
             hll_registers(window, "user_id", [], p=6), [], p=6
         ).collect()[0]
         assert got[d] == (direct["n_registers"], direct["scaled_harmonic"])
+
+
+def test_bitmap_sliding_distinct_equals_exact_count(spark):
+    """The bitmap fan-out must equal COUNT(DISTINCT) over each trailing
+    window computed directly — exactness is the whole contract."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spark.sketch.bitmap import sliding_distinct_exact
+
+    rows = [
+        (d, (d * 17 + u * u) % 300)
+        for d in range(1, 13)
+        for u in range(d * 5)
+    ]
+    df = spark.createDataFrame(rows, "dno: int, user_id: long").selectExpr(
+        "CAST(timestamp '2024-05-01' + (dno - 1) * INTERVAL 1 DAY AS TIMESTAMP)"
+        " AS day",
+        "user_id",
+    )
+    got = {
+        r["day"]: r["n_distinct_exact"]
+        for r in sliding_distinct_exact(df, "day", "user_id", 7).collect()
+    }
+    for d in [r["day"] for r in df.select("day").distinct().collect()]:
+        want = (
+            df.filter(
+                (F.col("day") <= d)
+                & (F.col("day") > F.expr(f"timestamp'{d}' - INTERVAL 7 DAY"))
+            )
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert got[d] == want
