@@ -707,3 +707,54 @@ def mann_kendall(
             .alias("var18"),
         )
     )
+
+
+def best_split(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Changepoint LOCALIZATION per series: the split position maximizing
+    the between-segment mean shift — one step of binary segmentation
+    (Scott & Knott 1974 lineage; cusum FLAGS drift, mann_kendall tests
+    monotonicity, this says WHERE the level changed).
+
+    Exactness: mean_left − mean_right at split i has denominator
+    i·(n−i), so the cross-split comparison uses the integer score
+    |P_i·(n−i) − (P_n−P_i)·i| · 1e6 DIV (i·(n−i)) — scaled-rational
+    arithmetic with a single deterministic DIV, identical in any engine;
+    ties break to the earliest split. One prefix-sum window per series
+    plus one argmax aggregate (max_by over a struct order) — bounded by
+    series length, no self-join."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy(*group_cols)
+    base = df.select(
+        *group_cols,
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    pre = (
+        base.withColumn("p", F.sum("v").over(w))
+        .withColumn("i", F.row_number().over(w.orderBy("o")))
+        .withColumn("n", F.count(F.lit(1)).over(wg))
+        .withColumn("pn", F.sum("v").over(wg))
+        .filter(F.col("i") < F.col("n"))
+    )
+    score = F.expr(
+        "(abs(p * (n - i) - (pn - p) * i) * 1000000) DIV (i * (n - i))"
+    )
+    scored = pre.withColumn("score", score)
+    return scored.groupBy(*group_cols).agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.struct(F.col("score"), -F.col("i"), F.col("o")))["o"].alias(
+            "split_at"
+        ),
+        F.max("score").cast("long").alias("shift_score_micros"),
+    )

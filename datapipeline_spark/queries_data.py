@@ -6081,3 +6081,60 @@ def q_bitmap_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
     )
     return sliding_distinct_exact(ev, "day", "user_id", window_days=7)
+
+
+@query(
+    "best_split_daily_revenue",
+    """
+WITH d AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         date_trunc('day', o_orderdate) AS o,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+  GROUP BY 1, 2
+),
+pre AS (
+  SELECT m, o, v,
+         sum(v) OVER (PARTITION BY m ORDER BY o
+                      ROWS UNBOUNDED PRECEDING) AS p,
+         row_number() OVER (PARTITION BY m ORDER BY o) AS i,
+         count(*) OVER (PARTITION BY m) AS n,
+         sum(v) OVER (PARTITION BY m) AS pn
+  FROM d
+),
+scored AS (
+  SELECT m, o, i, n,
+         CAST((abs(p * (n - i) - (pn - p) * i) * 1000000)
+              // (i * (n - i)) AS BIGINT) AS score
+  FROM pre WHERE i < n
+)
+SELECT m AS month, CAST(max(n) AS BIGINT) AS n,
+       max_by(o, score * 1000 - i) AS split_at,
+       CAST(max(score) AS BIGINT) AS shift_score_micros
+FROM scored GROUP BY m
+""",
+)
+def q_best_split_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint localization on daily revenue per month
+    (operators/stats.best_split): the split maximizing the between-
+    segment mean shift — one binary-segmentation step, completing the
+    drift toolkit (cusum flags, mann_kendall tests monotonicity, this
+    says WHERE). Cross-split comparison is scaled-rational integer
+    arithmetic (|P_i·(n−i) − (P_n−P_i)·i|·1e6 DIV i(n−i)); earliest-split
+    tie-break via max_by struct order — replayed exactly by the oracle."""
+    from datapipeline_spark.operators.stats import best_split
+
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1997-01-01"
+    )
+    daily = od.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("o"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    return best_split(daily, ["m"], "v", "o").select(
+        F.col("m").alias("month"), "n", "split_at", "shift_score_micros"
+    )

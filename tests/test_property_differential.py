@@ -903,3 +903,28 @@ def test_mann_kendall_matches_pure_python(spark, xs):
     assert got["s"] == s
     assert got["n"] == n
     assert got["var18"] == n * (n - 1) * (2 * n + 5) - tie
+
+
+@given(
+    st.lists(st.integers(-100, 100), min_size=2, max_size=20)
+)
+@settings(max_examples=25, deadline=None)
+def test_best_split_matches_pure_python(spark, xs):
+    from datapipeline_spark.operators.stats import best_split
+
+    rows = [("g", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g: string, o: long, v: long")
+    got = best_split(df, ["g"], "v", "o").collect()[0]
+    n = len(xs)
+    pn = sum(xs)
+    best = None  # (score, -i, o)
+    p = 0
+    for i in range(1, n):
+        p += xs[i - 1]
+        score = abs(p * (n - i) - (pn - p) * i) * 1_000_000 // (i * (n - i))
+        cand = (score, -i, i - 1)  # o of split row = index i-1
+        if best is None or cand[:2] > best[:2]:
+            best = cand
+    assert got["split_at"] == best[2]
+    assert got["shift_score_micros"] == best[0]
+    assert got["n"] == n
