@@ -758,3 +758,39 @@ def best_split(
         ),
         F.max("score").cast("long").alias("shift_score_micros"),
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    order_col: str,
+    x: str,
+    y: str,
+    max_lag: int,
+) -> DataFrame:
+    """Sample cross-correlation function between two integer series on a
+    shared time grid: for each lag k ∈ [−max_lag, max_lag], the Pearson
+    correlation of x_t against y_{t+k} over the overlap rows — the
+    lead-lag detector (does x move before y?). Autocorr's two-series
+    generalization: one lag-exploded self-join on the (tiny, aggregated)
+    series grid, then the exact-integer pearson_corr per lag. Overlap
+    length shrinks by |k| — reported as n so consumers weigh the tails."""
+    base = df.select(
+        F.col(order_col).alias("o"),
+        F.col(x).cast("long").alias("xv"),
+        F.col(y).cast("long").alias("yv"),
+    )
+    lags = base.select(
+        "o",
+        "xv",
+        F.explode(
+            F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))
+        ).alias("lag"),
+    )
+    shifted = base.select(
+        F.col("o").alias("o2"), F.col("yv").alias("yl")
+    )
+    pairs = lags.join(
+        shifted,
+        lags["o"] + lags["lag"] == shifted["o2"],
+    ).select("lag", "xv", "yl")
+    return pearson_corr(pairs, "xv", "yl", ["lag"], out="xcorr")

@@ -6138,3 +6138,64 @@ def q_best_split_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_split(daily, ["m"], "v", "o").select(
         F.col("m").alias("month"), "n", "split_at", "shift_score_micros"
     )
+
+
+@query(
+    "xcorr_value_volume",
+    """
+WITH d AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+              date_trunc('day', ts)) AS BIGINT) AS o,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xv,
+         CAST(count(*) AS BIGINT) AS yv
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT g.lag, a.xv, b.yv AS yl
+  FROM d a
+  CROSS JOIN (SELECT unnest(range(-7, 8)) AS lag) g
+  JOIN d b ON a.o + g.lag = b.o
+),
+agg AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         sum(xv::HUGEINT) AS sx, sum(yl::HUGEINT) AS sy,
+         sum(xv::HUGEINT * xv::HUGEINT) AS sxx,
+         sum(yl::HUGEINT * yl::HUGEINT) AS syy,
+         sum(xv::HUGEINT * yl::HUGEINT) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n,
+       CASE WHEN (n::HUGEINT * sxx - sx * sx) = 0
+              OR (n::HUGEINT * syy - sy * sy) = 0 THEN NULL
+            ELSE round((n::HUGEINT * sxy - sx * sy)::DOUBLE
+                 / (sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE)
+                    * sqrt((n::HUGEINT * syy - sy * sy)::DOUBLE)), 6)
+       END AS xcorr
+FROM agg
+""",
+)
+def q_xcorr_value_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily event value (cents) and
+    daily event volume at lags −7..+7 (operators/stats.cross_correlation):
+    does value lead volume? The exact-integer Pearson chain per lag
+    (decimal(38,0) sums ≡ HUGEINT, IEEE-correctly-rounded sqrt/divide,
+    round 6dp) over a lag-exploded join of the ALREADY-AGGREGATED daily
+    grid — series rows, never event rows, hit the 15-way fan-out. Day
+    index is an integer day-diff so the oracle's join arithmetic is
+    identical."""
+    from datapipeline_spark.operators.stats import cross_correlation
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("xv"),
+        F.count(F.lit(1)).cast("long").alias("yv"),
+    ).select(
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("o"),
+        "xv",
+        "yv",
+    )
+    return cross_correlation(daily, "o", "xv", "yv", max_lag=7)

@@ -928,3 +928,23 @@ def test_best_split_matches_pure_python(spark, xs):
     assert got["split_at"] == best[2]
     assert got["shift_score_micros"] == best[0]
     assert got["n"] == n
+
+
+def test_cross_correlation_lag_zero_is_pearson_and_symmetry(spark):
+    """xcorr at lag 0 equals plain Pearson on the paired series; xcorr of
+    (x vs y) at +k equals (y vs x) at -k over the same overlap."""
+    from datapipeline_spark.operators.stats import (
+        cross_correlation,
+        pearson_corr,
+    )
+
+    rows = [(i, (i * 7) % 23, ((i + 3) * 5) % 19) for i in range(40)]
+    df = spark.createDataFrame(rows, "o: long, x: long, y: long")
+    xc = {r["lag"]: r["xcorr"]
+          for r in cross_correlation(df, "o", "x", "y", 5).collect()}
+    p0 = pearson_corr(df, "x", "y").collect()[0]["pearson"]
+    assert xc[0] == p0
+    yx = {r["lag"]: r["xcorr"]
+          for r in cross_correlation(df, "o", "y", "x", 5).collect()}
+    for k in range(-5, 6):
+        assert xc[k] == yx[-k]
