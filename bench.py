@@ -216,6 +216,9 @@ HEADLINE = [
     "resharding_report_orders",
     "weighted_median_price",
     "mann_kendall_daily_revenue",
+    "bitmap_sliding_distinct",
+    "best_split_daily_revenue",
+    "xcorr_value_volume",
 ]
 
 
