@@ -414,3 +414,48 @@ def interpolate_linear(
             F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
         ),
     )
+
+
+def hampel(
+    df: DataFrame,
+    field: str,
+    window: int,
+    k: int = 3,
+    min_samples: int = 3,
+    partition_by: Sequence[str] = (),
+    out: str = "hampel",
+    order_by: Sequence[str] = (TIME,),
+) -> DataFrame:
+    """Hampel filter over a trailing window — the robust outlier repair
+    for sensor/metric streams (replace a point that sits more than
+    ``k`` MADs from the window median WITH that median; median/MAD shrug
+    off the very outliers that poison mean/stddev cleaning).
+
+    Exact-integer discipline: ``field`` must be integral; the window
+    median is the LOWER median of the sorted frame (index (n+1) DIV 2,
+    1-based — total, no interpolation) and MAD is the lower median of
+    absolute deviations, so the replace decision ``|v − med| > k·MAD``
+    is pure integer comparison — engine-exact, no distributional
+    assumptions. A zero-MAD frame (majority constant) replaces ANY
+    deviating point — the standard, disclosed Hampel degeneracy — and
+    frames shorter than ``min_samples`` pass values through unchanged
+    (the rolling-family min_samples gate: a 2-row frame has MAD 0 by
+    construction and would repair every inlier). Frame materialization
+    is the rolling-median collect_list cost class."""
+    w = canonical_window(partition_by, order_by).rowsBetween(-(window - 1), 0)
+    arr = F.sort_array(F.collect_list(F.col(field).cast("long")).over(w))
+    n = F.size(arr)
+    med = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    devs = F.sort_array(
+        F.transform(arr, lambda x: F.abs(x - med))
+    )
+    mad = F.element_at(devs, ((n + 1) / 2).cast("int"))
+    v = F.col(field).cast("long")
+    return df.withColumn(
+        out,
+        F.when(
+            (n >= F.lit(int(min_samples)))
+            & (F.abs(v - med) > F.lit(int(k)) * mad),
+            med,
+        ).otherwise(v),
+    )

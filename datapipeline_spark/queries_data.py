@@ -6199,3 +6199,63 @@ def q_xcorr_value_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yv",
     )
     return cross_correlation(daily, "o", "xv", "yv", max_lag=7)
+
+
+@query(
+    "hampel_filter_values",
+    """
+WITH v AS (
+  SELECT event_id, user_id, ts AS time,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+fr AS (
+  SELECT event_id, user_id, time, cents,
+         list_sort(list(cents) OVER (PARTITION BY user_id
+                                     ORDER BY time, event_id
+                                     ROWS BETWEEN 6 PRECEDING
+                                     AND CURRENT ROW)) AS a
+  FROM v
+),
+m AS (
+  SELECT event_id, user_id, time, cents, a,
+         a[(len(a) + 1) // 2] AS med
+  FROM fr
+),
+d AS (
+  SELECT *,
+         list_sort(list_transform(a, x -> abs(x - med)))
+           [(len(a) + 1) // 2] AS mad
+  FROM m
+)
+SELECT event_id, user_id, time, cents,
+       CASE WHEN len(a) >= 3 AND abs(cents - med) > 3 * mad
+            THEN med ELSE cents END AS hampel
+FROM d
+""",
+)
+def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier repair on each user's event-value stream
+    (operators/window.hampel, trailing 7-row frame, k=3): points more
+    than 3 window-MADs from the window median are replaced with that
+    median — the robust cleaner whose breakdown point survives the very
+    outliers that poison mean/stddev imputation (fill/rolling); frames
+    below min_samples=3 pass through (zero-MAD degeneracy gate). Lower
+    medians by integer index — the whole decision chain is integer
+    comparison, hash-exact against the oracle's identical frame replay."""
+    from datapipeline_spark.operators.window import hampel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("time"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return hampel(
+        ev,
+        "cents",
+        window=7,
+        k=3,
+        partition_by=["user_id"],
+        order_by=["time", "event_id"],
+    )

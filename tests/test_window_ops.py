@@ -292,3 +292,35 @@ def test_interpolate_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert len(re.findall(r"(?<!Broadcast)Exchange", plan)) == 1
+
+
+def test_hampel_replaces_spike_keeps_inliers(spark):
+    from pyspark.sql import functions as F
+
+    from datapipeline_spark.operators.window import hampel
+
+    # steady 100s with one 10000 spike at t=5
+    rows = [("u", t, 10000 if t == 5 else 100 + (t % 3)) for t in range(12)]
+    df = spark.createDataFrame(rows, "user_id string, time long, v long")
+    out = {r["time"]: r["hampel"]
+           for r in hampel(df, "v", window=5, k=3,
+                           partition_by=["user_id"],
+                           order_by=["time"]).collect()}
+    assert out[5] in (100, 101, 102)   # spike replaced by window median
+    for t in (0, 1, 2, 3, 4, 6, 7, 8, 9, 10, 11):
+        assert out[t] == 100 + (t % 3)  # inliers untouched
+
+
+def test_hampel_partition_invariant(spark):
+    from datapipeline_spark.operators.window import hampel
+
+    rows = [("u", t, (t * 37) % 50) for t in range(40)]
+    df = spark.createDataFrame(rows, "user_id string, time long, v long")
+    a = {r["time"]: r["hampel"]
+         for r in hampel(df, "v", 7, 3, partition_by=["user_id"],
+                         order_by=["time"]).collect()}
+    b = {r["time"]: r["hampel"]
+         for r in hampel(df.repartition(8), "v", 7, 3,
+                         partition_by=["user_id"],
+                         order_by=["time"]).collect()}
+    assert a == b
