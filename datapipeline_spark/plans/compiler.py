@@ -215,6 +215,17 @@ def apply_transform(
             level_out=pre + "level",
             trend_out=pre + "trend",
         )
+    if op == "hampel":
+        from datapipeline_spark.operators.window import hampel
+
+        return hampel(
+            df,
+            spec.field,
+            window=spec.window,
+            min_samples=spec.min_samples or 3,
+            partition_by=partition_by,
+            out=spec.to or "hampel",
+        )
     if op == "ensure_ticks":
         # grid_by == partition_by (reference ensure_ticks.py:42-92); the grid
         # spans each partition's observed bounds at the given cadence — the

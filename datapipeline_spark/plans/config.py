@@ -153,6 +153,7 @@ class TransformSpec(_Strict):
         "cusum",
         "impute_mode",
         "holt",
+        "hampel",
     ]
     # where
     operator: str | None = None
@@ -269,6 +270,9 @@ class TransformSpec(_Strict):
                 raise ValueError("holt requires 'field'")
             if self.decay is not None and not (0.0 < self.decay <= 1.0):
                 raise ValueError("holt decay (smoothing) must be in (0, 1]")
+        elif op == "hampel":
+            if not self.field or not self.window or self.window < 2:
+                raise ValueError("hampel requires 'field' and window >= 2")
         return self
 
 

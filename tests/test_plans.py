@@ -463,3 +463,23 @@ def test_holt_via_yaml_grammar(spark):
         TransformSpec(operation="holt")
     with pytest.raises(ValueError, match="holt decay"):
         TransformSpec(operation="holt", field="value", decay=1.5)
+
+
+def test_hampel_via_yaml_grammar(spark):
+    import pytest
+
+    from datapipeline_spark.plans.compiler import apply_transform
+    from datapipeline_spark.plans.config import TransformSpec
+
+    df = spark.createDataFrame(
+        [(1, t, 9000 if t == 4 else 100) for t in range(8)],
+        "user_id long, time long, value long",
+    )
+    spec = TransformSpec(operation="hampel", field="value", window=5)
+    got = {r.time: r.hampel
+           for r in apply_transform(df, spec, ["user_id"]).collect()}
+    assert got[4] == 100      # spike repaired
+    assert got[6] == 100      # inlier untouched
+
+    with pytest.raises(ValueError, match="hampel requires"):
+        TransformSpec(operation="hampel", field="value", window=1)
