@@ -6259,3 +6259,59 @@ def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["user_id"],
         order_by=["time", "event_id"],
     )
+
+
+@query(
+    "theil_sen_daily_revenue",
+    """
+WITH d AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(date_diff('day', TIMESTAMP '1997-01-01',
+              date_trunc('day', o_orderdate)) AS BIGINT) AS o,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+  GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.m, ((b.v - a.v) * 1000000) // (b.o - a.o) AS sl
+  FROM d a JOIN d b ON a.m = b.m AND a.o < b.o
+),
+ranked AS (
+  SELECT m, sl,
+         row_number() OVER (PARTITION BY m ORDER BY sl) AS i,
+         count(*) OVER (PARTITION BY m) AS np
+  FROM slopes
+)
+SELECT m AS month, CAST(np AS BIGINT) AS n_pairs,
+       CAST(sl AS BIGINT) AS ts_slope_micros
+FROM ranked WHERE i = (np + 1) // 2
+""",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope of daily revenue per month
+    (operators/stats.theil_sen): lower median of pairwise
+    micro-quantized slopes — the estimator companion to mann_kendall's
+    test over the same bounded pair enumeration (≤31-day series). Day
+    index is an integer day-diff so Δo arithmetic is identical in both
+    engines."""
+    from datapipeline_spark.operators.stats import theil_sen
+
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1997-01-01"
+    )
+    daily = od.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        F.datediff(
+            F.date_trunc("day", F.col("o_orderdate")),
+            F.lit("1997-01-01").cast("timestamp"),
+        )
+        .cast("long")
+        .alias("o"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    return theil_sen(daily, ["m"], "v", "o").select(
+        F.col("m").alias("month"), "n_pairs", "ts_slope_micros"
+    )

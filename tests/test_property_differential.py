@@ -948,3 +948,47 @@ def test_cross_correlation_lag_zero_is_pearson_and_symmetry(spark):
           for r in cross_correlation(df, "o", "y", "x", 5).collect()}
     for k in range(-5, 6):
         assert xc[k] == yx[-k]
+
+
+@given(
+    st.lists(st.integers(-50, 50), min_size=2, max_size=15)
+)
+@settings(max_examples=25, deadline=None)
+def test_theil_sen_matches_pure_python(spark, xs):
+    from datapipeline_spark.operators.stats import theil_sen
+
+    rows = [("g", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g: string, o: long, v: long")
+    got = theil_sen(df, ["g"], "v", "o").collect()[0]
+    n = len(xs)
+
+    def idiv(a, b):  # truncate toward zero — Spark DIV == DuckDB // semantics
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    slopes = sorted(
+        idiv((xs[j] - xs[i]) * 1_000_000, j - i)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    assert got["n_pairs"] == len(slopes)
+    assert got["ts_slope_micros"] == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+def test_theil_sen_robust_to_one_outlier(spark):
+    """A single wild point must not move the slope (the point of the
+    estimator): slope of a clean 1-per-step line stays ~1e6 micros."""
+    from datapipeline_spark.operators.stats import theil_sen
+
+    clean = [("g", i, i) for i in range(20)]
+    dirty = [("g", i, 100000 if i == 10 else i) for i in range(20)]
+    sc = theil_sen(
+        spark.createDataFrame(clean, "g: string, o: long, v: long"),
+        ["g"], "v", "o",
+    ).collect()[0]["ts_slope_micros"]
+    sd = theil_sen(
+        spark.createDataFrame(dirty, "g: string, o: long, v: long"),
+        ["g"], "v", "o",
+    ).collect()[0]["ts_slope_micros"]
+    assert sc == 1_000_000
+    assert sd == 1_000_000  # outlier absorbed by the median
