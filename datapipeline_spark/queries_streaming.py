@@ -879,3 +879,67 @@ def streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "event_id", "user_id", "time", "value", "level", "trend"
     )
+
+
+@query(
+    "streaming_hampel",
+    """
+WITH {base},
+v AS (
+  SELECT event_id, user_id, time,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM base
+),
+fr AS (
+  SELECT event_id, user_id, time, cents,
+         list_sort(list(cents) OVER (PARTITION BY user_id
+                                     ORDER BY time, event_id
+                                     ROWS BETWEEN 6 PRECEDING
+                                     AND CURRENT ROW)) AS a
+  FROM v
+),
+m AS (
+  SELECT event_id, user_id, time, cents, a,
+         a[(len(a) + 1) // 2] AS med
+  FROM fr
+),
+d AS (
+  SELECT *,
+         list_sort(list_transform(a, x -> abs(x - med)))
+           [(len(a) + 1) // 2] AS mad
+  FROM m
+)
+SELECT event_id, user_id, time, cents,
+       CASE WHEN len(a) >= 3 AND abs(cents - med) > 3 * mad
+            THEN med ELSE cents END AS hampel
+FROM d
+""".format(base=EVENTS_BASE),
+)
+def streaming_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Hampel repair (streaming/ops.hampel_stream): per-user
+    bounded integer buffer, lower median/MAD selections per event —
+    pure integer arithmetic so the streamed repair EQUALS the batch
+    operator row for row, and the batch SQL is an exact oracle of the
+    STREAMING computation (the integer sibling of streaming_ewma's
+    bit-exact float contract)."""
+    from datapipeline_spark.streaming.ops import hampel_stream
+
+    staging = _staged_events(spark, sf_dir)
+    sdf = (
+        _stream_of(spark, staging)
+        .select(
+            "event_id",
+            "user_id",
+            "time",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    out = hampel_stream(
+        sdf, "cents", window=7, entity_keys=["user_id"],
+        order_cols=["time", "event_id"],
+    )
+    name = "stream_hampel_" + hashlib.sha256(staging.encode()).hexdigest()[:8]
+    _run_to_memory(out, name, "append")
+    return spark.table(name).select(
+        "event_id", "user_id", "time", "cents", "hampel"
+    )

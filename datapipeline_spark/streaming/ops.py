@@ -829,3 +829,59 @@ def holt_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def hampel_stream(
+    sdf: DataFrame,
+    field: str,
+    window: int,
+    entity_keys: Sequence[str],
+    k: int = 3,
+    min_samples: int = 3,
+    time_field: str = "time",
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-key streaming Hampel repair — the streaming form of
+    operators/window.hampel via `applyInPandasWithState`: state is the
+    last ``window − 1`` integer values (bounded buffer, like
+    ewma_stream). Lower median / lower MAD over the trailing frame are
+    pure integer selections, so streaming output EQUALS the batch
+    operator row for row — no float folds at all."""
+    payload = [c for c in sdf.columns]
+    sort_cols = list(order_cols) if order_cols else [time_field]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
+    ) + ", `hampel` bigint"
+    state_schema = "values array<long>"
+
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        buf = list(state.get[0]) if state.exists else []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(sort_cols)
+            res = []
+            for v in pdf[field]:
+                v = int(v)
+                buf.append(v)
+                if len(buf) > window:
+                    buf.pop(0)
+                frame = sorted(buf)
+                n = len(frame)
+                med = frame[(n + 1) // 2 - 1]
+                mad = sorted(abs(x - med) for x in frame)[(n + 1) // 2 - 1]
+                res.append(
+                    med if n >= min_samples and abs(v - med) > k * mad else v
+                )
+            pdf = pdf.copy()
+            pdf["hampel"] = pd.Series(res, index=pdf.index, dtype="int64")
+            yield pdf[payload + ["hampel"]]
+        state.update((buf,))
+
+    return sdf.groupBy(*entity_keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

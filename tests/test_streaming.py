@@ -698,3 +698,54 @@ def test_holt_stream_matches_batch_bit_exact(spark, tmp_path):
     for r in sorted(rows_out, key=lambda r: (r.user_id, r.time)):
         last[r.user_id] = (r.level, r.trend)
     assert last == want  # bit-exact, no tolerance
+
+
+def test_hampel_stream_matches_batch_exactly(spark, tmp_path):
+    """Streaming Hampel (bounded integer buffer, multi-micro-batch)
+    equals the batch window operator row for row — integer arithmetic,
+    no tolerance."""
+    from datapipeline_spark.operators.window import hampel
+    from datapipeline_spark.streaming.ops import hampel_stream
+
+    src = str(tmp_path / "src")
+    rows = [
+        (u, float(h), 90000 if h % 11 == 7 else 100 + ((h * 13 + u) % 9))
+        for u in range(4)
+        for h in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, t double, v long"
+    ).selectExpr(
+        "user_id",
+        "CAST(timestamp '2024-02-01' + t * INTERVAL 1 HOUR AS TIMESTAMP)"
+        " AS time",
+        "v",
+    )
+    df.orderBy("time").coalesce(1).write.parquet(src)
+
+    want = {
+        (r.user_id, r.time): r.hampel
+        for r in hampel(
+            df, "v", window=7, k=3, partition_by=["user_id"],
+            order_by=["time"],
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema("user_id long, time timestamp, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = hampel_stream(stream, "v", window=7, entity_keys=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hampel_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.user_id, r.time): r.hampel
+        for r in spark.table("hampel_stream_t").collect()
+    }
+    assert got == want
