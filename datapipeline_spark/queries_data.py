@@ -6315,3 +6315,58 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen(daily, ["m"], "v", "o").select(
         F.col("m").alias("month"), "n_pairs", "ts_slope_micros"
     )
+
+
+@query(
+    "conformal_holt_users",
+    """
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS i,
+         CAST(value AS DOUBLE) AS y
+  FROM events
+),
+rec AS (
+  SELECT user_id, i, y AS l, 0.0::DOUBLE AS b FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.i,
+         0.5 * s.y + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+),
+scored AS (
+  SELECT s.user_id, abs(s.y - (r.l + r.b)) AS score
+  FROM seq s JOIN rec r ON r.user_id = s.user_id AND r.i = s.i - 1
+),
+ranked AS (
+  SELECT user_id, score,
+         row_number() OVER (PARTITION BY user_id ORDER BY score) AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM scored
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_cal,
+       max(CASE WHEN i = ((n + 1) * 90 + 99) // 100 THEN score END)
+         AS q_halfwidth
+FROM ranked GROUP BY user_id
+""",
+)
+def q_conformal_holt_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% interval half-width per user's event-value
+    forecast (operators/conformal.conformal_holt_interval): calibration
+    scores are one-step-ahead Holt residuals |y_t − (l_{t−1}+b_{t−1})|
+    (the bit-exact ½-smoothing fold), the half-width is the
+    ceil((n+1)·0.9)-th smallest score — a SELECTED double, so the value
+    hash-matches the oracle's step-for-step recursion despite floats.
+    Distribution-free coverage, no parametric residual assumption; the
+    production companion to holt_forecast_users."""
+    from datapipeline_spark.operators.conformal import conformal_holt_interval
+
+    ev = load_table(spark, sf_dir, "events")
+    return conformal_holt_interval(
+        ev,
+        key_cols=["user_id"],
+        y_col="value",
+        order_cols=["ts", "event_id"],
+        coverage_pct=90,
+    )

@@ -992,3 +992,33 @@ def test_theil_sen_robust_to_one_outlier(spark):
     ).collect()[0]["ts_slope_micros"]
     assert sc == 1_000_000
     assert sd == 1_000_000  # outlier absorbed by the median
+
+
+def test_conformal_holt_coverage_property(spark):
+    """Empirical check of the conformal guarantee's mechanics: the
+    half-width must be the ceil((n+1)*0.9)-th smallest |residual|, and at
+    least 90% of calibration residuals must lie within it."""
+    from datapipeline_spark.operators.conformal import conformal_holt_interval
+    from datapipeline_spark.operators.holt import holt_running
+
+    rows = [("u", i, float(((i * 37) % 29)) + (50.0 if i == 17 else 0.0))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "k: string, t: long, y: double")
+    got = conformal_holt_interval(
+        df, ["k"], "y", ["t"], coverage_pct=90
+    ).collect()[0]
+    run = sorted(
+        (r["t"], r["holt_level"], r["holt_trend"], r["y"])
+        for r in holt_running(df, "y", ["k"], order_by=["t"]).collect()
+    )
+    scores = sorted(
+        abs(y - (run[i - 1][1] + run[i - 1][2]))
+        for i, (_, _, _, y) in enumerate(run)
+        if i >= 1
+    )
+    n = len(scores)
+    assert got["n_cal"] == n
+    want_rank = ((n + 1) * 90 + 99) // 100
+    assert got["q_halfwidth"] == scores[want_rank - 1]
+    covered = sum(s <= got["q_halfwidth"] for s in scores)
+    assert covered / n >= 0.9
