@@ -219,6 +219,9 @@ HEADLINE = [
     "bitmap_sliding_distinct",
     "best_split_daily_revenue",
     "xcorr_value_volume",
+    "hampel_filter_values",
+    "theil_sen_daily_revenue",
+    "conformal_holt_users",
 ]
 
 
