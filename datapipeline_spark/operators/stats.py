@@ -844,3 +844,64 @@ def theil_sen(
             F.col("sl").cast("long").alias("ts_slope_micros"),
         )
     )
+
+
+def ols2(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    groups: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group TWO-regressor OLS (y ~ b1·x1 + b2·x2 + intercept) — the
+    multiple-regression step beyond `ols`, still one aggregation pass.
+
+    All nine sufficient statistics are exact decimal(38,0) sums; the
+    n-scaled centered moments (n·Σab − Σa·Σb, ≈10²⁸ at cents scale — still
+    inside decimal(38)) stay exact, and only the 2×2 Cramer solve
+      b1 = (S11·S22 − S12²)⁻¹ (S22·S1y − S12·S2y), …
+    drops to double — whose determinant would overflow any fixed
+    decimal (≈10⁵⁶). Every double op is correctly rounded and the
+    expression order is pinned identically in the oracle, so rounded
+    coefficients hash-match (the pearson/ols discipline one matrix
+    dimension up). Collinear regressors (det = 0) → NULL."""
+    gx = list(groups)
+    c1, c2, cy = F.col(x1).cast(_D), F.col(x2).cast(_D), F.col(y).cast(_D)
+    a = df.groupBy(*gx).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c1).alias("s1"),
+        F.sum(c2).alias("s2"),
+        F.sum(cy).alias("sy"),
+        F.sum(c1 * c1).alias("s11"),
+        F.sum(c2 * c2).alias("s22"),
+        F.sum(c1 * c2).alias("s12"),
+        F.sum(c1 * cy).alias("s1y"),
+        F.sum(c2 * cy).alias("s2y"),
+    )
+    n = F.col("n").cast(_D)
+    m11 = (n * F.col("s11") - F.col("s1") * F.col("s1")).cast("double")
+    m22 = (n * F.col("s22") - F.col("s2") * F.col("s2")).cast("double")
+    m12 = (n * F.col("s12") - F.col("s1") * F.col("s2")).cast("double")
+    m1y = (n * F.col("s1y") - F.col("s1") * F.col("sy")).cast("double")
+    m2y = (n * F.col("s2y") - F.col("s2") * F.col("sy")).cast("double")
+    det = m11 * m22 - m12 * m12
+    b1 = (m22 * m1y - m12 * m2y) / det
+    b2 = (m11 * m2y - m12 * m1y) / det
+    icept = (
+        F.col("sy").cast("double")
+        - b1 * F.col("s1").cast("double")
+        - b2 * F.col("s2").cast("double")
+    ) / F.col("n").cast("double")
+    return a.select(
+        *gx,
+        F.col("n"),
+        F.when(det == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(b1, 6))
+        .alias("b1"),
+        F.when(det == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(b2, 6))
+        .alias("b2"),
+        F.when(det == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(icept, 2))
+        .alias("intercept"),
+    )

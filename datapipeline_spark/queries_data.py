@@ -6370,3 +6370,62 @@ def q_conformal_holt_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts", "event_id"],
         coverage_pct=90,
     )
+
+
+@query(
+    "ols2_price_model",
+    """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS HUGEINT) AS x1,
+         CAST(round(l_discount * 100) AS HUGEINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+  FROM lineitem
+),
+a AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+         sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+  FROM v GROUP BY 1
+)
+SELECT l_returnflag, n,
+       CASE WHEN det = 0 THEN NULL ELSE round((m22 * m1y - m12 * m2y) / det, 6) END AS b1,
+       CASE WHEN det = 0 THEN NULL ELSE round((m11 * m2y - m12 * m1y) / det, 6) END AS b2,
+       CASE WHEN det = 0 THEN NULL
+            ELSE round((sy::DOUBLE
+                        - ((m22 * m1y - m12 * m2y) / det) * s1::DOUBLE
+                        - ((m11 * m2y - m12 * m1y) / det) * s2::DOUBLE)
+                       / n::DOUBLE, 2) END AS intercept
+FROM (
+  SELECT *,
+         (n::HUGEINT * s11 - s1 * s1)::DOUBLE AS m11,
+         (n::HUGEINT * s22 - s2 * s2)::DOUBLE AS m22,
+         (n::HUGEINT * s12 - s1 * s2)::DOUBLE AS m12,
+         (n::HUGEINT * s1y - s1 * sy)::DOUBLE AS m1y,
+         (n::HUGEINT * s2y - s2 * sy)::DOUBLE AS m2y,
+         ((n::HUGEINT * s11 - s1 * s1)::DOUBLE
+          * (n::HUGEINT * s22 - s2 * s2)::DOUBLE
+          - (n::HUGEINT * s12 - s1 * s2)::DOUBLE
+            * (n::HUGEINT * s12 - s1 * s2)::DOUBLE) AS det
+  FROM a
+)
+""",
+)
+def q_ols2_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS per return flag: extended price (cents) on
+    quantity and discount-pct (operators/stats.ols2) — multiple
+    regression as ONE aggregation pass: nine exact decimal(38,0)
+    sufficient statistics, exact n-scaled centered moments, and a 2×2
+    Cramer solve whose double chain is expression-order-pinned in both
+    engines (det would overflow any fixed decimal — the same
+    exact-until-the-last-division discipline as ols/pearson)."""
+    from datapipeline_spark.operators.stats import ols2
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    return ols2(li, "x1", "x2", "y", ["l_returnflag"])

@@ -1022,3 +1022,41 @@ def test_conformal_holt_coverage_property(spark):
     assert got["q_halfwidth"] == scores[want_rank - 1]
     covered = sum(s <= got["q_halfwidth"] for s in scores)
     assert covered / n >= 0.9
+
+
+def test_ols2_recovers_exact_linear_model(spark):
+    from datapipeline_spark.operators.stats import ols2
+
+    # y = 3*x1 - 2*x2 + 7 exactly, non-collinear regressors
+    rows = [("g", a, b, 3 * a - 2 * b + 7)
+            for a in range(10) for b in range(7)]
+    df = spark.createDataFrame(rows, "g: string, x1: long, x2: long, y: long")
+    r = ols2(df, "x1", "x2", "y", ["g"]).collect()[0]
+    assert r["b1"] == 3.0
+    assert r["b2"] == -2.0
+    assert r["intercept"] == 7.0
+
+
+def test_ols2_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from datapipeline_spark.operators.stats import ols2
+
+    rows = [("g", a, (a * 7) % 13, ((a * 31) % 97) - 40) for a in range(50)]
+    df = spark.createDataFrame(rows, "g: string, x1: long, x2: long, y: long")
+    r = ols2(df, "x1", "x2", "y", ["g"]).collect()[0]
+    X = np.array([[a, b, 1.0] for _, a, b, _ in rows])
+    yv = np.array([y for *_, y in rows], dtype=float)
+    beta = np.linalg.lstsq(X, yv, rcond=None)[0]
+    assert abs(r["b1"] - beta[0]) < 1e-4
+    assert abs(r["b2"] - beta[1]) < 1e-4
+    assert abs(r["intercept"] - beta[2]) < 1e-2
+
+
+def test_ols2_collinear_is_null(spark):
+    from datapipeline_spark.operators.stats import ols2
+
+    rows = [("g", a, 2 * a, a + 1) for a in range(20)]  # x2 = 2*x1
+    df = spark.createDataFrame(rows, "g: string, x1: long, x2: long, y: long")
+    r = ols2(df, "x1", "x2", "y", ["g"]).collect()[0]
+    assert r["b1"] is None and r["b2"] is None and r["intercept"] is None
