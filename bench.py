@@ -222,6 +222,7 @@ HEADLINE = [
     "hampel_filter_values",
     "theil_sen_daily_revenue",
     "conformal_holt_users",
+    "ols2_price_model",
 ]
 
 

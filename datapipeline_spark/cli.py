@@ -246,6 +246,11 @@ def cmd_stats(args) -> int:
         if not _need_int(args.value):
             return 2
         out = S.mann_kendall(df, groups, args.value, args.x)
+    elif args.test == "ols2":
+        # two-regressor OLS: -x x1, -y x2, --value y (all exact integers)
+        if not _need_int(args.value, args.x, args.y):
+            return 2
+        out = S.ols2(df, args.x, args.y, args.value, groups)
     else:  # pragma: no cover - argparse choices guard
         raise ValueError(args.test)
     rows = out.collect()
@@ -293,7 +298,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     stt.add_argument(
         "test",
-        choices=["ks", "mw", "welch", "ztest", "chi2", "pearson", "spearman", "benford", "did", "wmedian", "mk"],
+        choices=["ks", "mw", "welch", "ztest", "chi2", "pearson", "spearman", "benford", "did", "wmedian", "mk", "ols2"],
     )
     stt.add_argument("path", help="parquet file/dir")
     stt.add_argument("--value", default=None, help="value column (ks/mw/benford/did cents) or success 0-1 column (ztest)")

@@ -322,3 +322,21 @@ def test_cli_stats_wmedian_and_mk(spark, tmp_path, capsys):
     # integer discipline: float value rejected
     rc = cli.main(["stats", "wmedian", p, "--value", "f", "-x", "w", "--by", "g"])
     assert rc == 2
+
+
+def test_cli_stats_ols2(spark, tmp_path, capsys):
+    from datapipeline_spark import cli
+
+    p = str(tmp_path / "o2.parquet")
+    spark.range(80).selectExpr(
+        "cast(id % 9 as bigint) AS a",
+        "cast((id * 5) % 7 as bigint) AS b",
+        "cast(4 * (id % 9) - 3 * ((id * 5) % 7) + 11 as bigint) AS y",
+    ).write.parquet(p)
+    rc = cli.main(["stats", "ols2", p, "-x", "a", "-y", "b", "--value", "y"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    head, row = out.splitlines()[:2]
+    assert head.split("\t") == ["n", "b1", "b2", "intercept"]
+    vals = row.split("\t")
+    assert float(vals[1]) == 4.0 and float(vals[2]) == -3.0
