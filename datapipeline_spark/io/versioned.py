@@ -6,21 +6,27 @@ nothing but parquet + the Hadoop FileSystem:
     table/
       data/v00000001-<nonce>/part-*.parquet   (immutable once published)
       _manifests/v00000001.json               (immutable: lists data dirs)
-      _latest.tmp -> rename -> _latest        (single-file pointer swap)
 
-Writers stage data under a fresh nonce directory, write the next manifest
-(children = previous manifest's dirs for append, or just the new dir for
-overwrite/compaction), then publish by RENAMING a pointer file — a
-single-file rename, atomic on HDFS-like stores, so readers NEVER observe a
-half-committed table (the gap `compact_files`' directory swap cannot close
-is closed here: compaction just publishes a manifest pointing at the
-rewritten files while old versions stay readable). Concurrent writers are
-serialized optimistically: publish fails if someone else committed the
-same version number first (manifest create is create-exclusive).
+Writers stage data under a fresh nonce directory, then publish the next
+manifest (children = previous manifest's dirs for append, or just the new
+dir for overwrite/compaction) by writing it to a tmp name and RENAMING it
+into place WITHOUT overwrite — on HDFS-like stores that rename is atomic
+and fails if the destination exists, so the manifest's appearance IS the
+commit point and doubles as the optimistic lock. There is no mutable
+pointer file: readers resolve "latest" by listing `_manifests` and taking
+the max version, so no reader can ever observe a half-committed table or a
+transiently-missing pointer (the gap `compact_files`' directory swap
+cannot close is closed here: compaction just publishes a manifest pointing
+at the rewritten files while old versions stay readable). A concurrent
+committer of the same version number loses the rename race and retries
+with a fresh number; an existing manifest is NEVER deleted or superseded
+in place — a silent lost write is structurally impossible. A crash before
+the rename leaves only an unreferenced data dir / tmp manifest, invisible
+to readers and reclaimed by vacuum.
 
-Readers resolve `_latest` (or an explicit version — time travel) to a
-manifest and read exactly its file list; vacuum removes data dirs no
-retained manifest references.
+Readers resolve the max manifest (or an explicit version — time travel)
+and read exactly its file list; vacuum removes data dirs no retained
+manifest references.
 
 Beyond-reference (the reference has no table format at all); the lakehouse
 counterpart of write_table/compact_files.
@@ -63,13 +69,30 @@ def _write_small(fs, jp, text: str, overwrite: bool) -> None:
         stream.close()
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed the contended version numbers first."""
+
+
 def current_version(spark: SparkSession, path: str) -> int:
-    """Latest committed version (0 if the table does not exist yet)."""
+    """Latest committed version (0 if the table does not exist yet).
+
+    Resolved by listing `_manifests` and taking the max vN — manifests are
+    immutable and appear atomically (rename-into-place), so this read is
+    consistent at every instant: there is no mutable pointer whose
+    delete/rename gap a reader could fall into."""
     jvm, fs = _fs(spark, path)
-    latest = _jpath(jvm, path, "_latest")
-    if not fs.exists(latest):
+    man_root = _jpath(jvm, path, "_manifests")
+    if not fs.exists(man_root):
         return 0
-    return int(_read_small(jvm, fs, latest).strip())
+    best = 0
+    for st in fs.listStatus(man_root):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                best = max(best, int(name[1:-5]))
+            except ValueError:
+                continue
+    return best
 
 
 def _manifest(spark: SparkSession, path: str, version: int) -> dict:
@@ -93,48 +116,46 @@ def write_version(
     Returns the committed version number.
 
     Publish protocol: data dir (nonce-named, so staging never collides) →
-    manifest vN.json via CREATE-EXCLUSIVE (the optimistic lock: a
-    concurrent committer of the same N fails here, nothing corrupts) →
-    `_latest` pointer swapped by single-file rename (atomic visibility).
-    A crash before the pointer swap leaves an unreferenced manifest/data
-    dir — invisible to readers, reclaimed by vacuum; version N is then
-    simply recommitted (the stale vN manifest is superseded in place only
-    after an existence check shows no _latest advanced past it).
+    manifest body written to a nonce tmp name → atomic no-overwrite RENAME
+    to _manifests/vN.json. The rename is the commit point AND the
+    optimistic lock: it fails if vN.json already exists, so two writers
+    contending on N serialize — the loser re-derives the next version
+    number (re-reading the new latest manifest's dirs for append) and
+    retries; after `max_retries` losses it raises CommitConflictError. An
+    existing manifest is never deleted or rewritten, so a slow in-flight
+    commit can't be silently clobbered by a concurrent writer (no lost
+    writes). A crash mid-commit leaves only the staged data dir and/or a
+    tmp manifest — both invisible to readers, reclaimed by vacuum.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append|overwrite")
+    max_retries = 16
     jvm, fs = _fs(spark, path)
-    prev = current_version(spark, path)
-    version = prev + 1
     nonce = uuid.uuid4().hex[:12]
-    data_rel = f"data/v{version:08d}-{nonce}"
+    data_rel = f"data/{nonce}"
     data_dir = f"{path.rstrip('/')}/{data_rel}"
     df.write.mode("errorifexists").option("compression", compression).parquet(data_dir)
 
-    dirs = [data_rel]
-    if mode == "append" and prev > 0:
-        dirs = _manifest(spark, path, prev)["dirs"] + dirs
-    manifest = {"version": version, "mode": mode, "dirs": dirs, **(extra or {})}
-
-    mf = _jpath(jvm, path, "_manifests", f"v{version:08d}.json")
-    if fs.exists(mf):
-        # leftover from a crashed commit of this same version number: safe
-        # to supersede ONLY if no _latest points at or past it
-        if current_version(spark, path) >= version:
-            raise RuntimeError(f"version {version} already committed at {path}")
-        fs.delete(mf, False)
     fs.mkdirs(_jpath(jvm, path, "_manifests"))
-    # create-exclusive: the optimistic concurrency check
-    _write_small(fs, mf, json.dumps(manifest), overwrite=False)
-
-    tmp = _jpath(jvm, path, f"_latest.tmp.{nonce}")
-    _write_small(fs, tmp, str(version), overwrite=True)
-    latest = _jpath(jvm, path, "_latest")
-    if fs.exists(latest):
-        fs.delete(latest, False)
-    if not fs.rename(tmp, latest):
-        raise IOError(f"failed to publish _latest for version {version}")
-    return version
+    for _ in range(max_retries):
+        prev = current_version(spark, path)
+        version = prev + 1
+        dirs = [data_rel]
+        if mode == "append" and prev > 0:
+            dirs = _manifest(spark, path, prev)["dirs"] + dirs
+        manifest = {"version": version, "mode": mode, "dirs": dirs, **(extra or {})}
+        tmp = _jpath(jvm, path, "_manifests", f".tmp-{nonce}.json")
+        _write_small(fs, tmp, json.dumps(manifest), overwrite=True)
+        mf = _jpath(jvm, path, "_manifests", f"v{version:08d}.json")
+        if fs.exists(mf):  # cheap pre-check; the rename below is the real lock
+            continue
+        # atomic no-overwrite rename: the commit point. Returns false (no
+        # partial state) if a concurrent writer published vN first.
+        if fs.rename(tmp, mf):
+            return version
+    raise CommitConflictError(
+        f"lost the commit race {max_retries} times at {path}; retry the write"
+    )
 
 
 def manifest_info(spark: SparkSession, path: str, version: int | None = None) -> dict:
@@ -239,7 +260,10 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> int:
     man_root = _jpath(jvm, path, "_manifests")
     if fs.exists(man_root):
         for st in fs.listStatus(man_root):
-            name = st.getPath().getName()  # v{N}.json
+            name = st.getPath().getName()  # v{N}.json, or .tmp-* from a crash
+            if name.startswith(".tmp-"):
+                fs.delete(st.getPath(), False)
+                continue
             try:
                 v = int(name[1:9])
             except ValueError:

@@ -104,7 +104,16 @@ def bloom_prefilter_join(
 ) -> DataFrame:
     """probe ⋈ build with the probe side Bloom-filtered before the join
     shuffle. Exactly equal to the plain join (no false negatives; the join
-    removes false positives) — which is its oracle."""
+    removes false positives) — which is its oracle.
+
+    Inner joins only: pre-filtering the probe side would silently drop
+    unmatched probe rows under left/outer semantics, so any other `how`
+    is rejected rather than quietly wrong."""
+    if how not in ("inner",):
+        raise ValueError(
+            "bloom_prefilter_join only preserves semantics for how='inner' "
+            f"(got {how!r}): the probe-side pre-filter drops unmatched rows"
+        )
     words = bloom_build(build, build_key, m_bits, k)
     filtered = bloom_filter_keys(probe, probe_key, words, m_bits, k)
     return filtered.join(build, filtered[probe_key] == build[build_key], how)

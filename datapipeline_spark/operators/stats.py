@@ -729,9 +729,12 @@ def best_split(
     series length, no self-join."""
     from pyspark.sql import Window
 
+    # NB: `base` renames order_col to the internal alias 'o' before any
+    # window is applied, so the windows must order by 'o' (ordering by the
+    # caller's name would throw UNRESOLVED_COLUMN whenever order_col != 'o')
     w = (
         Window.partitionBy(*group_cols)
-        .orderBy(order_col)
+        .orderBy("o")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wg = Window.partitionBy(*group_cols)

@@ -698,15 +698,16 @@ def near_dup_filter_stream(
 
     sig = row_minhash(
         sdf, text_col, params or MinHashParams(), shingle_words, out="minhash_sig"
-    )
-    keyed = sig.withColumn(
-        "__dedup_key__",
-        F.coalesce(F.col("minhash_sig"), F.concat(F.lit("∅"), F.col(time_field).cast("string"))),
-    )
-    return (
-        keyed.withWatermark(time_field, watermark)
-        .dropDuplicatesWithinWatermark(["__dedup_key__"])
-        .drop("__dedup_key__")
+    ).withWatermark(time_field, watermark)
+    # Split, don't fabricate a key: routing signature-less rows through the
+    # dedup with any shared fallback key (e.g. '∅'+event-time) would
+    # deduplicate two DISTINCT short documents that share a timestamp.
+    # They bypass the stateful operator entirely — truly untouched, and
+    # the dedup state stays signature-only.
+    with_sig = sig.filter(F.col("minhash_sig").isNotNull())
+    no_sig = sig.filter(F.col("minhash_sig").isNull())
+    return with_sig.dropDuplicatesWithinWatermark(["minhash_sig"]).unionByName(
+        no_sig
     )
 
 

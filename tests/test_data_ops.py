@@ -725,6 +725,11 @@ def test_bloom_prefilter_no_false_negatives_and_join_equivalence(spark):
     a = bloom_prefilter_join(probe, build, "pk", "bk").select("pk")
     b = probe.join(build, probe.pk == build.bk).select("pk")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # non-inner joins would silently drop unmatched probe rows — rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="inner"):
+        bloom_prefilter_join(probe, build, "pk", "bk", how="left")
 
 
 def test_bloom_filter_is_map_side_only(spark):

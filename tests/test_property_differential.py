@@ -930,6 +930,20 @@ def test_best_split_matches_pure_python(spark, xs):
     assert got["n"] == n
 
 
+def test_best_split_accepts_any_order_col_name(spark):
+    """Regression: the prefix-sum windows must order by the internal alias
+    'o', not the caller's order_col name (which `base` renames away) —
+    order_col='day' used to throw UNRESOLVED_COLUMN."""
+    from datapipeline_spark.operators.stats import best_split
+
+    xs = [0, 0, 0, 10, 10, 10]
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], "g: string, day: long, val: long"
+    )
+    got = best_split(df, ["g"], "val", "day").collect()[0]
+    assert got["split_at"] == 2 and got["n"] == 6
+
+
 def test_cross_correlation_lag_zero_is_pearson_and_symmetry(spark):
     """xcorr at lag 0 equals plain Pearson on the paired series; xcorr of
     (x vs y) at +k equals (y vs x) at -k over the same overlap."""

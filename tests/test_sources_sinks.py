@@ -328,13 +328,22 @@ def test_versioned_table_commit_timetravel_compact_vacuum(spark, tmp_path):
     with pytest.raises(Exception):
         read_version(spark, path, 1)  # vacuumed away
 
-    # a torn commit (manifest without pointer) is invisible and recoverable
+    # a crashed commit leaves only a tmp manifest — invisible to readers,
+    # reclaimed by vacuum; a PUBLISHED vN manifest is a committed version
+    # that is never deleted or superseded: the next writer serializes
+    # after it instead of clobbering it (no lost writes)
     man_dir = os.path.join(path, "_manifests")
+    with open(os.path.join(man_dir, ".tmp-deadbeef.json"), "w") as f:
+        f.write('{"version": 99, "mode": "append", "dirs": []}')
+    assert current_version(spark, path) == 4  # tmp is invisible
     with open(os.path.join(man_dir, "v00000005.json"), "w") as f:
         f.write('{"version": 5, "mode": "append", "dirs": []}')
-    assert current_version(spark, path) == 4  # readers unaffected
-    v5 = write_version(spark, spark.range(1).selectExpr("id", "id AS v"), path)
-    assert v5 == 5 and read_version(spark, path).count() == 4
+    assert current_version(spark, path) == 5  # committed the instant it appears
+    v6 = write_version(spark, spark.range(1).selectExpr("id", "id AS v"), path)
+    assert v6 == 6 and read_version(spark, path).count() == 1
+    assert os.path.exists(os.path.join(man_dir, "v00000005.json"))  # untouched
+    vacuum(spark, path, keep_last=2)
+    assert not os.path.exists(os.path.join(man_dir, ".tmp-deadbeef.json"))
 
 
 def test_versioned_table_schema_evolution(spark, tmp_path):

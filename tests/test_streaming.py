@@ -511,6 +511,8 @@ def test_near_dup_filter_stream_keeps_first_and_passes_sigless(spark, tmp_path):
             (3, "totally different words here", "2024-01-01 10:00:02"),
             (4, "solo", "2024-01-01 10:00:03"),  # <2 words: no signature
             (5, "solo", "2024-01-01 10:00:04"),  # also sig-less: NOT deduped
+            (6, "alone", "2024-01-01 10:00:03"),  # sig-less, SAME time as 4:
+            # distinct short docs sharing a timestamp must both survive
         ],
         "doc_id long, text string, t string",
     ).selectExpr("doc_id", "text", "CAST(t AS TIMESTAMP) AS time").coalesce(
@@ -527,9 +529,9 @@ def test_near_dup_filter_stream_keeps_first_and_passes_sigless(spark, tmp_path):
     assert q.awaitTermination(120)
     rows = spark.table("ndup_unit").collect()
     ids = sorted(r.doc_id for r in rows)
-    assert 3 in ids and 4 in ids and 5 in ids          # sig-less passthrough
+    assert {3, 4, 5, 6} <= set(ids)                    # sig-less passthrough
     assert len([i for i in ids if i in (1, 2)]) == 1   # near-dup collapsed
-    sigless = [r for r in rows if r.doc_id in (4, 5)]
+    sigless = [r for r in rows if r.doc_id in (4, 5, 6)]
     assert all(r.minhash_sig is None for r in sigless)
 
 
