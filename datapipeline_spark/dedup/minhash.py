@@ -66,13 +66,27 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
     """Distinct word n-grams per document → (id, shingle)."""
-    joined = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return word_shingles_from_tokens(
+        df.select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("w")),
+        id_col,
+        "w",
+        n,
+    )
+
+
+def word_shingles_from_tokens(
+    df: DataFrame, id_col: str, token_col: str, n: int = 2
+) -> DataFrame:
+    """`word_shingles` over an ALREADY-tokenized column (array<string>) —
+    bit-identical output. Lets a pipeline tokenize once (e.g. into a
+    checkpointed base) and derive shingles of several orders from the same
+    scan instead of re-splitting the raw text per order."""
+    joined = " || ' ' || ".join(f"{token_col}[i + {j}]" for j in range(n))
     grams = F.expr(
-        f"transform(sequence(0, size(w) - {n}), i -> {joined})"
+        f"transform(sequence(0, size({token_col}) - {n}), i -> {joined})"
     )
     return (
-        df.select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
-        .filter(F.size("w") >= n)
+        df.filter(F.size(token_col) >= n)
         .select(id_col, F.explode(grams).alias("shingle"))
         .distinct()
     )

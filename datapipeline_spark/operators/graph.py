@@ -84,32 +84,30 @@ def cooccurrence_edges(
     )
 
 
-def triangle_counts(
+def oriented_edges(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-) -> DataFrame:
-    """Per-node triangle counts over an undirected graph (edges may be
-    given in either or both directions; deduped internally).
-
-    Algorithm: degree orientation + wedge closure (the MapReduce-standard
-    scheme, cf. Suri & Vassilvitskii, "Counting Triangles and the Curse of
-    the Last Reducer"): orient every edge from the (degree, id)-smaller
-    endpoint to the larger, so each wedge is generated at its LOWEST-degree
-    vertex — intermediate wedge volume is bounded by Σ min-degree per edge
-    (O(m^1.5) worst case, tiny on real skewed graphs) instead of Σ deg² of
-    the hub nodes. Two equi-joins + one aggregate; every triangle found
-    exactly once, then credited to its three corners. Integer-exact,
-    order-independent — SQL-transcribable for an exact oracle.
-    """
+    checkpoint: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared degree-orientation prefix of the triangle family:
+    returns (deg, ranked) where `deg` is the undirected degree table
+    (a, d) and `ranked` orients every undirected edge a -> b iff
+    (deg(a), a) < (deg(b), b). Exposed separately so a query needing BOTH
+    degrees and triangles (clustering coefficient) derives them from ONE
+    undirected-edge subtree instead of rebuilding it inside each operator
+    (the multi-consumer-subtree rule). `checkpoint` lazily materializes
+    the deduped undirected edge set — it is consumed by both the degree
+    aggregate and the orientation join."""
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    if checkpoint:
+        und = und.localCheckpoint(eager=False)
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-    # orient a -> b iff (deg(a), a) < (deg(b), b)
     ranked = (
         und.join(deg.withColumnsRenamed({"a": "a", "d": "da"}), "a")
         .join(deg.withColumnsRenamed({"a": "b", "d": "db"}), "b")
@@ -119,6 +117,16 @@ def triangle_counts(
         )
         .select("a", "b")
     )
+    return deg, ranked
+
+
+def triangle_counts_from_oriented(ranked: DataFrame) -> DataFrame:
+    """Wedge-closure triangle counting over an ALREADY degree-oriented
+    edge set (`oriented_edges`' `ranked`): each wedge is generated at its
+    lowest-degree vertex, every triangle found exactly once, credited to
+    its three corners. `ranked` is consumed three times (two wedge arms +
+    the closing-edge probe) — callers composing larger plans should pass
+    a checkpointed frame."""
     # wedges at the low vertex: a -> b1, a -> b2 (b1 < b2 to emit once)
     w1 = ranked.select(F.col("a").alias("w"), F.col("b").alias("u"))
     w2 = ranked.select(F.col("a").alias("w"), F.col("b").alias("v"))
@@ -136,6 +144,33 @@ def triangle_counts(
     return credited.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph (edges may be
+    given in either or both directions; deduped internally).
+
+    Algorithm: degree orientation + wedge closure (the MapReduce-standard
+    scheme, cf. Suri & Vassilvitskii, "Counting Triangles and the Curse of
+    the Last Reducer"): orient every edge from the (degree, id)-smaller
+    endpoint to the larger, so each wedge is generated at its LOWEST-degree
+    vertex — intermediate wedge volume is bounded by Σ min-degree per edge
+    (O(m^1.5) worst case, tiny on real skewed graphs) instead of Σ deg² of
+    the hub nodes. Two equi-joins + one aggregate; every triangle found
+    exactly once, then credited to its three corners. Integer-exact,
+    order-independent — SQL-transcribable for an exact oracle.
+    """
+    # checkpoint only the undirected edge set: materializing `ranked` too
+    # was measured SLOWER (it hides the small build sides from AQE's
+    # broadcast planning for the wedge joins) — A/B at sf0.1: und-only
+    # 1.43 s vs both 1.77 s vs ranked-only 2.91 s vs none 1.65 s
+    _, ranked = oriented_edges(edges, src, dst, checkpoint=checkpoint)
+    return triangle_counts_from_oriented(ranked)
 
 
 def kcore_nodes(

@@ -923,16 +923,29 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_knn_sql(dim: int = 64, planes: int = 16, bands: int = 4, k: int = 3, seed: int = 42) -> str:
+def _lsh_knn_sql(
+    dim: int = 64,
+    planes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> str:
     """Exact oracle for the sign-LSH kNN path (hyperplane literals via
-    _signlsh_banded_sql)."""
+    _signlsh_banded_sql), replaying the corpus-side bucket cap."""
     banded = _signlsh_banded_sql(dim, planes, bands, seed)
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 banded AS ({banded}),
+ok AS (
+  SELECT band, bucket FROM banded GROUP BY band, bucket
+  HAVING count(*) <= {max_bucket}
+),
 pairs AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-  FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+  FROM banded q
+  JOIN ok ON ok.band = q.band AND ok.bucket = q.bucket
+  JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
   WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
 ),
 scored AS (
@@ -2150,7 +2163,7 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
     )
     edges = cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
-    return triangle_counts(edges).select(
+    return triangle_counts(edges, checkpoint=True).select(
         F.col("node").alias("p_partkey"), "n_triangles"
     )
 
@@ -5600,26 +5613,54 @@ def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     join collapses to 48-bit ints); the oracle replays all five stages —
     minhash constants, CDF hash splits and all — so the composed output
     is verified exactly, not just stagewise (419 of 500 docs
-    survive at sf0.01; 4257 of 5000 at sf0.1)."""
+    survive at sf0.01; 4257 of 5000 at sf0.1).
+
+    Plan shape: `documents` is scanned ONCE. The tokenized+scored base
+    (content md5, token array, quality) is a lazy localCheckpoint shared
+    by the quality/exact-dedup subtree, the 2-gram minhash stage, and the
+    8-gram decontamination stage (previously three independent scans —
+    the multi-consumer-subtree rule from PERFORMANCE.md); the 2-gram
+    shingle set is likewise checkpointed once and feeds both the
+    signature aggregation and the jaccard verify."""
     from pyspark.sql import Window
 
-    from datapipeline_spark.dedup import minhash_dedup_pairs
-    from datapipeline_spark.dedup.minhash import hash48
+    from datapipeline_spark.dedup.minhash import (
+        hash48,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles_from_tokens,
+    )
     from datapipeline_spark.operators.rank import bucketed_global_rank
+    from datapipeline_spark.tables import spread
 
     d = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    scored = quality_score(d).select(
-        "doc_id", "source", "text", n_tokens.alias("n_tokens"), "quality"
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    base = (
+        quality_score(spread(d))
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.col("text")).alias("content_md5"),
+            w.alias("w"),
+            "quality",
+        )
+        .withColumn("n_tokens", F.size("w"))
+        .localCheckpoint(eager=False)
     )
-    kept = scored.filter(F.col("quality") >= 0.55)
-    wd = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    kept = base.filter(F.col("quality") >= 0.55)
+    wd = Window.partitionBy("content_md5").orderBy("doc_id")
     ded = (
         kept.withColumn("rn", F.row_number().over(wd))
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "n_tokens", "quality")
     )
-    pairs = minhash_dedup_pairs(d, params=PARAMS, bands=4, threshold=0.5)
+    sh2 = word_shingles_from_tokens(base, "doc_id", "w", 2).localCheckpoint(
+        eager=False
+    )
+    sig = minhash_signatures(sh2, "doc_id", PARAMS)
+    cand = lsh_candidate_pairs(sig, "doc_id", PARAMS, bands=4)
+    pairs = jaccard_pairs(sh2, "doc_id", cand, threshold=0.5)
     ids = ded.select("doc_id")
     drops = (
         pairs.join(ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
@@ -5630,7 +5671,7 @@ def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = ded.join(
         drops.withColumnRenamed("id_b", "doc_id"), "doc_id", "left_anti"
     )
-    sh8 = word_shingles(d, "doc_id", "text", n=8).select(
+    sh8 = word_shingles_from_tokens(base, "doc_id", "w", 8).select(
         "doc_id", hash48(F.col("shingle")).alias("h")
     )
     is_bench = _sha_long("21|", F.col("doc_id")) % 100 < 10
@@ -5697,7 +5738,8 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     cliquish or hub-like' — same demo scope as triangle_counts_parts."""
     from datapipeline_spark.operators.graph import (
         cooccurrence_edges,
-        triangle_counts,
+        oriented_edges,
+        triangle_counts_from_oriented,
     )
 
     li = (
@@ -5706,9 +5748,12 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
     )
     edges = cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
-    und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    tc = triangle_counts(edges)
+    # ONE checkpointed undirected/oriented edge subtree feeds both the
+    # degree table and the wedge counter (triangle_counts would otherwise
+    # re-derive the same co-occurrence self-join + dedup internally)
+    deg0, ranked = oriented_edges(edges, checkpoint=True)
+    deg = deg0.select("a", F.col("d").cast("long").alias("d"))
+    tc = triangle_counts_from_oriented(ranked)
     j = deg.join(tc, deg["a"] == tc["node"], "left")
     nt = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
     return j.select(

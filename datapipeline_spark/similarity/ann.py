@@ -104,17 +104,27 @@ def lsh_knn(
     bands: int = 4,
     k: int = 3,
     seed: int = 42,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one LSH band with the
-    query, then exact cosine re-rank. At corpus scale each band bucket holds
-    ~corpus/2^(planes/bands) vectors — the scan per query is bounded."""
+    query, then exact cosine re-rank.
+
+    Scale shape (the `lsh_similar_pairs` discipline): the bucket join
+    carries (id, band, bucket) rows ONLY — vectors never ride through
+    candidate generation or the distinct (deduping array<double> pairs was
+    the old plan's dominant cost), and rejoin by id afterwards. Corpus
+    buckets larger than `max_bucket` are dropped (degenerate-region guard;
+    without it a band holds ~n/2^(planes/bands) of the corpus and the join
+    approaches a quarter-cartesian as n grows). Size `planes` so
+    n / 2^(planes/bands) stays under `max_bucket`: planes ≈
+    bands · log2(n / max_bucket) — 16/4 suits ~10⁴–10⁵ vectors; a 100 TB
+    corpus wants more planes (deeper buckets), not a bigger cap."""
     bits = planes // bands
 
-    def banded(df: DataFrame, role: str) -> DataFrame:
+    def banded_ids(df: DataFrame, role: str) -> DataFrame:
         s = random_hyperplane_signature(df, vec_col, dim, planes, seed)
         return s.select(
             F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_vec"),
             F.explode(
                 F.array(
                     *[
@@ -129,17 +139,36 @@ def lsh_knn(
                     ]
                 )
             ).alias("bb"),
-        ).select(f"{role}_id", f"{role}_vec", "bb.band", "bb.bucket")
+        ).select(f"{role}_id", "bb.band", "bb.bucket")
 
+    from datapipeline_spark.tables import spread
+
+    # the signature projection is compute-bound (planes × dim HOF folds per
+    # row) and the corpus arrives as few file splits — spread it wide; then
+    # lazily checkpoint the (id, band, bucket) rows so the bucket-size
+    # count and the candidate join share ONE signature computation
+    c_banded = banded_ids(spread(corpus), "neighbor").localCheckpoint(eager=False)
+    ok = (
+        c_banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= max_bucket)
+        .select("band", "bucket")
+    )
     cand = (
-        banded(corpus, "neighbor")
-        .join(banded(queries, "query"), ["band", "bucket"])
+        c_banded.join(ok, ["band", "bucket"])
+        .join(banded_ids(queries, "query"), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "score", F.round(cosine_similarity_expr(F.col("query_vec"), F.col("neighbor_vec")), 4)
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "score", F.round(cosine_similarity_expr(F.col("q_vec"), F.col("c_vec")), 4)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (

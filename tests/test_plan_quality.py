@@ -1000,3 +1000,24 @@ def test_holt_forecast_one_aggregate_no_python(spark):
     assert "PythonUDF" not in plan
     assert plan.count("FileScan parquet") == 1
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan  # collect_list fold
+
+
+def test_lsh_knn_distinct_never_carries_vectors(spark):
+    """lsh_knn candidate generation must shuffle (id, band, bucket) rows
+    only: the dedup distinct and every non-broadcast exchange before the
+    re-rank must NOT carry the embedding arrays (deduping array<double>
+    pairs was the old plan's dominant cost)."""
+    import re as _re
+
+    from datapipeline_spark.queries_data import REGISTRY
+
+    plan = _plan(REGISTRY["lsh_knn"][0](spark, SF))
+    # the candidate-dedup aggregate keys on the two ids alone
+    for agg in _re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
+        if "query_id" in agg and "neighbor_id" in agg:
+            assert "vec" not in agg and "embedding" not in agg
+    # no shuffle exchange partitions by (or carries) an embedding column
+    for ex in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in ex and "_vec" not in ex
+    # the small query side is broadcast for the re-rank join
+    assert "BroadcastHashJoin" in plan
