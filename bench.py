@@ -28,6 +28,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # recipe, not to this constant.
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "16")
 
+# Hash-defined operators (HLL registers, rendezvous placement) run their
+# PRODUCTION hash here: codegen-native xxhash64. The md5 'oracle' mode —
+# identical operator semantics and distribution (pinned by test), ~10x
+# the per-hash cost — exists solely so the correctness harness can replay
+# hashes in ANSI SQL, and that harness pins mode=oracle itself. Disclosed
+# in PERFORMANCE.md; the emitted JSON carries hash_mode.
+os.environ.setdefault("SPARK_GRAFT_HASH_MODE", "fast")
+
 HEADLINE = [
     "hll_distinct_orders",
     "hll_flag_overlap",
@@ -261,6 +269,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "hash_mode": os.environ.get("SPARK_GRAFT_HASH_MODE", "oracle"),
             }
         )
     )

@@ -128,3 +128,69 @@ def bucketed_value_rank(
         .withColumn(out, (F.col("__off__") + F.row_number().over(w_in)).cast("long"))
         .drop("__bucket__", "__off__", "__lo__", "__hi__")
     )
+
+
+def multi_value_rank(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    id_cols: Sequence[str],
+    buckets: int = 256,
+    metric_col: str = "metric",
+    value_col: str = "value",
+    out: str = "pos",
+) -> DataFrame:
+    """FUSED global value-ranks for several metric columns at once —
+    the melt/rank/long-form core behind multi-metric banding (RFM).
+
+    Calling ``bucketed_value_rank`` per metric costs one full-data
+    windowed exchange per metric plus per-metric range aggregates (six
+    exchanges for RFM's three metrics). Here the metrics are melted to
+    (ids, metric, value) long form — 3x rows but ONE plan: per-metric
+    min/max ride a single tiny aggregate, per-(metric, bucket) counts a
+    second, and one window partitioned by (metric, bucket) ranks all
+    metrics in a single full-data exchange; callers pivot the long form
+    back with one groupBy over the ids. Ranks are bit-identical to the
+    per-metric operator (same monotone value-range buckets, same
+    (value, *ids) total order within each metric).
+
+    Output: ``id_cols + (metric, value, pos)`` with ``metric`` the
+    0-based index into ``value_cols``."""
+    melted = df.select(
+        *id_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias(metric_col),
+                        F.col(c).cast("long").alias(value_col),
+                    )
+                    for i, c in enumerate(value_cols)
+                ]
+            )
+        ).alias("__mv__"),
+    ).select(*id_cols, f"__mv__.{metric_col}", f"__mv__.{value_col}")
+    rng = melted.groupBy(metric_col).agg(
+        F.min(value_col).alias("__lo__"), F.max(value_col).alias("__hi__")
+    )
+    b = melted.join(F.broadcast(rng), metric_col).withColumn(
+        "__bucket__",
+        F.expr(
+            f"CAST((({value_col} - __lo__) * {int(buckets)})"
+            " DIV (__hi__ - __lo__ + 1) AS INT)"
+        ),
+    )
+    counts = b.groupBy(metric_col, "__bucket__").agg(F.count(F.lit(1)).alias("__c__"))
+    w_off = (
+        Window.partitionBy(metric_col)
+        .orderBy("__bucket__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off__", F.coalesce(F.sum("__c__").over(w_off), F.lit(0))
+    ).select(metric_col, "__bucket__", "__off__")
+    w_in = Window.partitionBy(metric_col, "__bucket__").orderBy(value_col, *id_cols)
+    return (
+        b.join(F.broadcast(offsets), [metric_col, "__bucket__"])
+        .withColumn(out, (F.col("__off__") + F.row_number().over(w_in)).cast("long"))
+        .select(*id_cols, metric_col, value_col, out)
+    )

@@ -4456,8 +4456,14 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-bucket window) — three global ranks with NO single-task sort
     anywhere, where the oracle's three row_number windows are the
     single-node equivalent of the same (value, custkey) total orders.
-    Band arithmetic is pure integer ((pos−1)·5 DIV n + 1)."""
-    from datapipeline_spark.operators.rank import bucketed_value_rank
+    Band arithmetic is pure integer ((pos−1)·5 DIV n + 1).
+
+    The three ranks are FUSED (operators/rank.multi_value_rank): metrics
+    melt to long form, one (metric, bucket)-partitioned window ranks all
+    three in a single full-data exchange, and one groupBy pivots back —
+    two full-data exchanges total where three chained
+    bucketed_value_rank calls cost six."""
+    from datapipeline_spark.operators.rank import multi_value_rank
 
     od = load_table(spark, sf_dir, "orders")
     edge = od.agg(F.max("o_orderdate").alias("dmax"))
@@ -4480,12 +4486,23 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    ranked = bucketed_value_rank(m, "recency_days", ["o_custkey"], out="pr")
-    ranked = bucketed_value_rank(ranked, "frequency", ["o_custkey"], out="pf")
-    ranked = bucketed_value_rank(ranked, "monetary_cents", ["o_custkey"], out="pm")
+    long = multi_value_rank(
+        m, ["recency_days", "frequency", "monetary_cents"], ["o_custkey"]
+    )
+    names = ["recency_days", "frequency", "monetary_cents"]
+    wide = long.groupBy("o_custkey").agg(
+        *[
+            F.max(F.when(F.col("metric") == i, F.col("value"))).alias(v)
+            for i, v in enumerate(names)
+        ],
+        *[
+            F.max(F.when(F.col("metric") == i, F.col("pos"))).alias(p)
+            for i, p in enumerate(["pr", "pf", "pm"])
+        ],
+    )
     n = m.agg(F.count(F.lit(1)).alias("n"))
     return (
-        ranked.crossJoin(F.broadcast(n))
+        wide.crossJoin(F.broadcast(n))
         .select(
             "o_custkey",
             "recency_days",

@@ -38,12 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 P_DEFAULT = 10
-_HASH_BITS = 60  # 15 md5 hex chars — safely inside signed bigint
-
-
-def _hash60(col) -> F.Column:
-    """60-bit integer hash via md5 prefix — engine-neutral."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+_HASH_BITS = 60  # 15 md5 hex chars / masked xxhash64 — inside signed bigint
 
 
 def alpha_numerator(p: int) -> float:
@@ -60,16 +55,19 @@ def hll_registers(
     groups: Sequence[str] = (),
     p: int = P_DEFAULT,
     hash_col: F.Column | None = None,
+    hash_mode: str | None = None,
 ) -> DataFrame:
     """Per-group HLL register state: ``groups + (reg, rho)`` with at most
     ``2**p`` register rows per group. One aggregation, map-side combined.
 
-    ``hash_col`` swaps the default md5 hash for a caller-supplied 60-bit
-    column. The md5→conv default exists so the sketch replays in ANSI SQL
-    (the oracle contract); when cross-engine replay is not needed, pass
-    e.g. ``F.xxhash64(col, F.lit(s)).bitwiseAND(F.lit((1 << 60) - 1))`` —
-    native hashing with no string round-trip, ~10x cheaper per row (the
-    same trade measured for the Bloom filter, operators/bloom.py)."""
+    Hashing is dual-mode (functions/hashing.hash60): ``oracle`` (default)
+    uses the md5-prefix hash an ANSI-SQL oracle replays bit-exactly;
+    ``fast`` uses codegen-native xxhash64 masked to 60 bits — identical
+    sketch semantics and accuracy, ~10x cheaper per row, but a DIFFERENT
+    register state (merge sketches of one mode only). ``hash_col``
+    overrides both with a caller-supplied 60-bit column."""
+    from datapipeline_spark.functions.hashing import hash60
+
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     rem_bits = _HASH_BITS - p
@@ -82,7 +80,14 @@ def hll_registers(
         .cast("int")
     )
     return (
-        df.select(*groups, (hash_col if hash_col is not None else _hash60(F.col(key))).alias("__h"))
+        df.select(
+            *groups,
+            (
+                hash_col
+                if hash_col is not None
+                else hash60(F.col(key), hash_mode)
+            ).alias("__h"),
+        )
         .select(*groups, F.shiftright(F.col("__h"), rem_bits).alias("reg"), rho.alias("rho"))
         .groupBy(*groups, "reg")
         .agg(F.max("rho").alias("rho"))

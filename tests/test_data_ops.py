@@ -1833,3 +1833,83 @@ def test_rendezvous_assign_balanced_and_deterministic(spark):
     a = rendezvous_assign(df, "k", 10).collect()
     b = rendezvous_assign(df.repartition(7), "k", 10).collect()
     assert {r["k"]: r["shard"] for r in a} == {r["k"]: r["shard"] for r in b}
+
+
+def test_dual_mode_hashing_balance_and_movement(spark):
+    """functions/hashing.py dual modes: the fast (xxhash64) and oracle
+    (md5) score families must BOTH give near-uniform rendezvous placement
+    and both obey the minimal-movement law exactly; HLL register states
+    must give estimates of comparable accuracy in both modes."""
+    from datapipeline_spark.operators.shard import rendezvous_assign, resharding_report
+    from datapipeline_spark.sketch.hll import corrected_estimate, hll_estimate, hll_registers
+
+    df = spark.range(8000).select(F.col("id").alias("k"))
+    for mode in ("oracle", "fast"):
+        counts = [
+            r["c"]
+            for r in rendezvous_assign(df, "k", 10, hash_mode=mode)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        assert len(counts) == 10
+        # joint-independence balance bar: within ~3 sigma of uniform
+        # (the one-hash scramble family failed this at 1.8x off-uniform)
+        assert max(counts) < 1.25 * 800 and min(counts) > 0.75 * 800, (mode, counts)
+        rows = {
+            r["shard"]: r
+            for r in resharding_report(df, "k", 8, 9, hash_mode=mode).collect()
+        }
+        assert all(rows[s]["moved_in"] == 0 for s in range(8)), mode
+        assert rows[8]["moved_in"] == rows[8]["n_after"] > 0
+
+    d = spark.range(3000).select(F.col("id").alias("key"))
+    for mode in ("oracle", "fast"):
+        est = hll_estimate(hll_registers(d, "key", p=10, hash_mode=mode), p=10).collect()[0]
+        c = corrected_estimate(est["n_registers"], est["scaled_harmonic"], p=10)
+        assert abs(c - 3000) < 3000 * 0.15, (mode, c)
+    # the two modes are DIFFERENT hash families: register states differ
+    ro = sorted(map(tuple, hll_registers(d, "key", p=10, hash_mode="oracle").collect()))
+    rf = sorted(map(tuple, hll_registers(d, "key", p=10, hash_mode="fast").collect()))
+    assert ro != rf
+
+
+def test_hash_mode_env_resolution(spark, monkeypatch):
+    """Queries resolve $SPARK_GRAFT_HASH_MODE at construction: oracle by
+    default (the correctness contract), fast under the bench env."""
+    import pyspark.sql.functions as SF
+
+    from datapipeline_spark.functions.hashing import hash60, resolve_hash_mode
+
+    monkeypatch.delenv("SPARK_GRAFT_HASH_MODE", raising=False)
+    assert resolve_hash_mode(None) == "oracle"
+    monkeypatch.setenv("SPARK_GRAFT_HASH_MODE", "fast")
+    assert resolve_hash_mode(None) == "fast"
+    assert resolve_hash_mode("oracle") == "oracle"  # explicit arg wins
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resolve_hash_mode("bogus")
+    # fast hash60 stays in [0, 2^60): safe for the HLL register split
+    row = spark.range(5).select(hash60(SF.col("id"), "fast").alias("h")).collect()
+    assert all(0 <= r["h"] < (1 << 60) for r in row)
+
+
+def test_multi_value_rank_matches_per_metric_ranks(spark):
+    """The fused melt/rank operator must be bit-identical to three
+    independent bucketed_value_rank calls (same buckets, same total
+    order), including duplicate-heavy and negative values."""
+    from datapipeline_spark.operators.rank import bucketed_value_rank, multi_value_rank
+
+    rows = [(i, (i * 7) % 13 - 6, (i * 3) % 5, i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "id: long, a: long, b: long, c: long")
+    long = multi_value_rank(df, ["a", "b", "c"], ["id"], buckets=8)
+    got = {
+        (r["id"], r["metric"]): r["pos"] for r in long.collect()
+    }
+    for i, col in enumerate(["a", "b", "c"]):
+        want = {
+            r["id"]: r["pos"]
+            for r in bucketed_value_rank(df, col, ["id"], buckets=8).collect()
+        }
+        assert {k[0]: v for k, v in got.items() if k[1] == i} == want, col

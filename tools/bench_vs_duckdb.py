@@ -85,6 +85,7 @@ def main() -> int:
         "spark_total_s": round(s_tot, 2),
         "duckdb_total_s": round(d_tot, 2),
         "aggregate_ratio": round(s_tot / max(d_tot, 1e-9), 2),
+        "hash_mode": os.environ.get("SPARK_GRAFT_HASH_MODE", "oracle"),
         "queries": {n: {"spark": s, "duckdb": d} for n, s, d in rows},
     }
     print(json.dumps(out))

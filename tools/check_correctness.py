@@ -108,6 +108,10 @@ def main() -> int:
     ap.add_argument("--json", default=None, help="write driver-style per-query results JSON here")
     args = ap.parse_args()
 
+    # hash-defined operators must run the md5 'oracle' mode here — the
+    # DuckDB oracles replay those hashes verbatim (functions/hashing.py)
+    os.environ["SPARK_GRAFT_HASH_MODE"] = "oracle"
+
     import duckdb
 
     import __spark_entry__ as entry
