@@ -246,12 +246,19 @@ def main() -> None:
     qs = entry.queries()
 
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
+        t0 = time.time()
         df = fn(spark, sf_dir)
+        builds[name] = round(time.time() - t0, 3)
+        # build_s covers query CONSTRUCTION: for eager-checkpoint queries
+        # real Spark work runs here, not in the timed saves below — the
+        # split makes that shift machine-readable instead of a
+        # PERFORMANCE.md footnote
         df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
         best = float("inf")
         for _ in range(2):  # min of 2 timed runs: robust to scheduler blips
@@ -268,6 +275,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "build_s": builds,
+                "build_total_s": round(sum(builds.values()), 3),
                 "sf": sf,
                 "hash_mode": os.environ.get("SPARK_GRAFT_HASH_MODE", "oracle"),
             }

@@ -315,4 +315,9 @@ class CompiledProject:
 
 
 def compile_project(spark: SparkSession, definition: ProjectDefinition) -> CompiledProject:
+    # pip-installed plugins (packaging entry points) register here, once
+    # per compile — mirroring the reference's compile-time resolution
+    # (services/runtime_compiler.py via utils/load.py:load_ep); explicit
+    # register_* calls always win over distributions
+    registry.discover_entrypoints()
     return CompiledProject(spark=spark, definition=definition)

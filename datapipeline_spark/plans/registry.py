@@ -48,6 +48,66 @@ def register_combiner(
     COMBINERS[name] = fn
 
 
+#: packaging entry-point groups scanned for plugins, by registry kind.
+#: A third-party distribution declares e.g.
+#:   [project.entry-points."datapipeline_spark.parsers"]
+#:   "acme.tickdata" = "acme_tickdata.spark:parse"
+#: and its entrypoints resolve with NO register_* call — the same contract
+#: as the reference (pyproject.toml:82-92, resolved by
+#: services/runtime_compiler.py via utils/load.py:load_ep).
+ENTRY_POINT_GROUPS = {
+    "loader": "datapipeline_spark.loaders",
+    "parser": "datapipeline_spark.parsers",
+    "mapper": "datapipeline_spark.mappers",
+    "combiner": "datapipeline_spark.combiners",
+}
+
+
+def _load_from_entry_points(kind: str, name: str) -> Callable | None:
+    """Look `name` up in the installed-distribution entry points for
+    `kind`'s group. Returns the loaded callable or None; raises on an
+    ambiguous name (two distributions claiming it) or a non-callable."""
+    import importlib.metadata as md
+
+    eps = md.entry_points().select(group=ENTRY_POINT_GROUPS[kind], name=name)
+    if not eps:
+        return None
+    if len(eps) > 1:
+        mods = ", ".join(ep.value for ep in eps)
+        raise ValueError(f"ambiguous {kind} entrypoint {name!r}: {mods}")
+    fn = next(iter(eps)).load()
+    if not callable(fn):
+        raise TypeError(f"{kind} entrypoint {name!r} must load to a callable")
+    return fn
+
+
+def discover_entrypoints() -> dict[str, list[str]]:
+    """Eagerly load EVERY plugin entry point into the registries (called
+    once per compile by plans/compiler.compile_project; also useful for
+    CLI listings). Explicit register_* calls win over distributions —
+    a plugin cannot silently shadow in-process registrations. Returns
+    {kind: [names loaded]}."""
+    import importlib.metadata as md
+
+    tables = {
+        "loader": LOADERS,
+        "parser": PARSERS,
+        "mapper": MAPPERS,
+        "combiner": COMBINERS,
+    }
+    loaded: dict[str, list[str]] = {}
+    for kind, group in ENTRY_POINT_GROUPS.items():
+        for ep in md.entry_points().select(group=group):
+            if ep.name in tables[kind]:
+                continue
+            fn = ep.load()
+            if not callable(fn):
+                raise TypeError(f"{kind} entrypoint {ep.name!r} must load to a callable")
+            tables[kind][ep.name] = fn
+            loaded.setdefault(kind, []).append(ep.name)
+    return loaded
+
+
 def resolve(kind: str, name: str) -> Callable:
     table = {
         "loader": LOADERS,
@@ -56,6 +116,12 @@ def resolve(kind: str, name: str) -> Callable:
         "combiner": COMBINERS,
     }[kind]
     if name not in table:
+        # lazy plugin fallback: a pip-installed distribution's entry point
+        # resolves without any register_* call (memoized into the table)
+        fn = _load_from_entry_points(kind, name)
+        if fn is not None:
+            table[name] = fn
+            return fn
         raise KeyError(f"unknown {kind} entrypoint {name!r}; registered: {sorted(table)}")
     return table[name]
 

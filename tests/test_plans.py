@@ -483,3 +483,77 @@ def test_hampel_via_yaml_grammar(spark):
 
     with pytest.raises(ValueError, match="hampel requires"):
         TransformSpec(operation="hampel", field="value", window=1)
+
+
+def test_plugin_entrypoint_auto_discovery(spark, tmp_path, monkeypatch):
+    """A pip-installed distribution's entry points resolve with NO
+    register_* call (reference contract: pyproject.toml entry-points
+    groups resolved at compile time). Simulated with a synthetic
+    dist-info on sys.path declaring a mapper under the
+    'datapipeline_spark.mappers' group."""
+    import sys
+
+    site = tmp_path / "site"
+    site.mkdir()
+    _write(
+        site / "acme_plugin.py",
+        """
+from datapipeline_spark.plans.registry import MAPPERS
+
+def double_linear(df, args):
+    base = MAPPERS["encode_time"](df, {"mode": "linear"})
+    return base.withColumn("value", base["value"] * 2)
+""",
+    )
+    dist = site / "acme_plugin-1.0.dist-info"
+    _write(dist / "METADATA", "Metadata-Version: 2.1\nName: acme-plugin\nVersion: 1.0\n")
+    _write(
+        dist / "entry_points.txt",
+        "[datapipeline_spark.mappers]\nacme.double_linear = acme_plugin:double_linear\n",
+    )
+    _write(dist / "RECORD", "")
+    monkeypatch.syspath_prepend(str(site))
+
+    from datapipeline_spark.plans import compile_project, load_project
+    from datapipeline_spark.plans.registry import MAPPERS
+
+    assert "acme.double_linear" not in MAPPERS  # nothing registered it
+    root = tmp_path / "proj"
+    _write(
+        root / "project.yaml",
+        """
+schema_version: 3
+artifact_revision: 1
+name: plugin_project
+globals: {}
+""",
+    )
+    _write(
+        root / "sources" / "synthetic.ticks.yaml",
+        """
+id: synthetic.ticks
+parser:
+  entrypoint: core.synthetic.ticks
+loader:
+  entrypoint: core.synthetic.ticks
+  args: { start: 2024-01-01T00:00:00Z, end: 2024-01-01T02:00:00Z, frequency: "1h" }
+""",
+    )
+    _write(
+        root / "streams" / "t.yaml",
+        """
+id: time.ticks.doubled
+from:
+  source: synthetic.ticks
+map:
+  entrypoint: acme.double_linear
+""",
+    )
+    compiled = compile_project(spark, load_project(root))
+    got = rows(compiled.stream("time.ticks.doubled"), "time")
+    assert len(got) == 3
+    assert got[0][1] == got[0][0].timestamp() * 2  # plugin transform applied
+    try:
+        assert "acme.double_linear" in MAPPERS  # memoized by discovery
+    finally:
+        MAPPERS.pop("acme.double_linear", None)  # keep registry clean

@@ -56,7 +56,9 @@ def main() -> int:
         sql = oracles.get(name)
         if fn is None or sql is None or name.startswith("streaming_"):
             continue
+        t0 = time.time()
         df = fn(spark, args.sf_dir)
+        build_s = round(time.time() - t0, 3)  # eager-checkpoint work lands here
         df.write.format("noop").mode("overwrite").save()  # warm
         s_best = float("inf")
         for _ in range(2):
@@ -69,7 +71,7 @@ def main() -> int:
             t0 = time.time()
             con.execute(sql).fetchall()
             d_best = min(d_best, time.time() - t0)
-        rows.append((name, round(s_best, 3), round(d_best, 3)))
+        rows.append((name, round(s_best, 3), round(d_best, 3), build_s))
         print(
             f"{name:32s} spark {s_best:7.3f}s  duckdb {d_best:7.3f}s  "
             f"ratio {s_best / max(d_best, 1e-9):6.1f}x",
@@ -78,6 +80,7 @@ def main() -> int:
 
     s_tot = sum(r[1] for r in rows)
     d_tot = sum(r[2] for r in rows)
+    b_tot = sum(r[3] for r in rows)
     out = {
         "metric": "spark_vs_duckdb",
         "sf_dir": args.sf_dir,
@@ -85,8 +88,11 @@ def main() -> int:
         "spark_total_s": round(s_tot, 2),
         "duckdb_total_s": round(d_tot, 2),
         "aggregate_ratio": round(s_tot / max(d_tot, 1e-9), 2),
+        "spark_build_total_s": round(b_tot, 2),
         "hash_mode": os.environ.get("SPARK_GRAFT_HASH_MODE", "oracle"),
-        "queries": {n: {"spark": s, "duckdb": d} for n, s, d in rows},
+        "queries": {
+            n: {"spark": s, "duckdb": d, "build": b} for n, s, d, b in rows
+        },
     }
     print(json.dumps(out))
     return 0
