@@ -1542,8 +1542,13 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_spark.dedup.minhash import hash48
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=8).select(
-        "doc_id", hash48(F.col("shingle")).alias("h")
+    # the train and bench branches both consume the shingle stream —
+    # checkpoint it once (spread first: the 8-gram explode+md5 is the
+    # compute-heavy stage and the scan is a single file split)
+    sh = (
+        word_shingles(spread(docs), "doc_id", "text", n=8)
+        .select("doc_id", hash48(F.col("shingle")).alias("h"))
+        .localCheckpoint(eager=False)
     )
     is_bench = _sha_long("21|", F.col("doc_id")) % 100 < 10
     bench = sh.filter(is_bench).withColumnRenamed("doc_id", "bench_id")

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Scale rehearsal: run the heavy tail of the registry at sf0.1 AND the
+locally generated sf1 (tools/make_sf1.py, 10x rows) and report per-query
+scaling factors. The sf0.1 bench is fixed-overhead dominated; this is the
+cheapest way to catch a super-linear cliff (degenerate self-join, bucket
+blowup, grouping-set explosion) before any 100x claim.
+
+A healthy query scales <= ~LINEAR_BAR x on 10x data (sub-linear is common
+while fixed scheduling overhead still dominates); anything above the bar
+is flagged in the JSON and the exit code. Writes BENCH_sf1.json.
+
+Usage: python tools/bench_sf1.py [--only a,b] [--sf1-dir testdata_sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# pin the production hash (bench parity) BEFORE queries are constructed
+os.environ.setdefault("SPARK_GRAFT_HASH_MODE", "fast")
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "32")  # sf1 wants real width
+
+# the heavy tail + every known quadratic-risk family (self-joins, LSH
+# buckets, grouping sets, graph iteration, global order statistics)
+HEAVY = [
+    "pretraining_pipeline",
+    "resharding_report_orders",
+    "clustering_coefficient_parts",
+    "triangle_counts_parts",
+    "rfm_segmentation",
+    "ols2_price_model",
+    "frequent_part_pairs",
+    "basket_rules_brands",
+    "spearman_qty_price",
+    "hll_distinct_orders",
+    "hll_flag_overlap",
+    "contamination_check",
+    "t5_span_corruption",
+    "repetition_signals",
+    "pagerank_parts",
+    "fd_discovery_orders",
+    "weighted_median_price",
+    "quantile_normalize_events",
+    "lsh_knn",
+    "minhash_lsh_pairs",
+    "near_dup_clusters",
+    "embedding_similar_pairs",
+    "entity_resolution_pipeline",
+    "kcore_parts",
+    "equidepth_price_bands",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "fuzzy_match_customers",
+]
+
+LINEAR_BAR = 13.0  # 10x data + amortized fixed overhead headroom
+
+
+def bench(df) -> float:
+    df.write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--sf1-dir",
+        default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata_sf1"),
+    )
+    ap.add_argument("--sf01-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from datapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-sf1")
+    qs = entry.queries()
+    only = set(args.only.split(",")) if args.only else None
+
+    results = {}
+    flagged = []
+    for name in HEAVY:
+        if only and name not in only:
+            continue
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t_small = bench(fn(spark, args.sf01_dir))
+        t_big = bench(fn(spark, args.sf1_dir))
+        scale = t_big / max(t_small, 1e-9)
+        results[name] = {
+            "sf0.1_s": round(t_small, 3),
+            "sf1_s": round(t_big, 3),
+            "scale_x": round(scale, 2),
+        }
+        mark = " <-- SUPER-LINEAR" if scale > LINEAR_BAR else ""
+        if scale > LINEAR_BAR:
+            flagged.append(name)
+        print(
+            f"{name:32s} sf0.1 {t_small:7.2f}s  sf1 {t_big:7.2f}s  "
+            f"scale {scale:5.1f}x{mark}",
+            file=sys.stderr,
+        )
+
+    out = {
+        "metric": "sf1_scale_rehearsal",
+        "replicas": 10,
+        "linear_bar_x": LINEAR_BAR,
+        "n_queries": len(results),
+        "super_linear": flagged,
+        "queries": results,
+        "hash_mode": os.environ.get("SPARK_GRAFT_HASH_MODE"),
+    }
+    path = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_sf1.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
