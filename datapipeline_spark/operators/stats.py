@@ -46,13 +46,17 @@ def spearman_corr(
     for ties). Output: groups + (n, <out>), corr rounded to 6 decimals."""
     gx = list(groups)
     d = df.select(*gx, _rank2(gx, x).alias("rx"), _rank2(gx, y).alias("ry"))
+    # sums of doubled-rank PRODUCTS reach 4n^3 — past bigint at ~1.3M rows
+    # per group (caught by the sf1 rehearsal, ANSI overflow): accumulate in
+    # decimal(38,0) like pearson_corr; (2^126 headroom, exact in any order)
+    rxc, ryc = F.col("rx").cast(_D), F.col("ry").cast(_D)
     a = d.groupBy(*gx).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(rxc).alias("sx"),
+        F.sum(ryc).alias("sy"),
+        F.sum(rxc * rxc).alias("sxx"),
+        F.sum(ryc * ryc).alias("syy"),
+        F.sum(rxc * ryc).alias("sxy"),
     )
     n, sx, sy, sxx, syy, sxy = [
         F.col(c).cast(_D) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")

@@ -98,8 +98,14 @@ def main() -> int:
         fn = qs.get(name)
         if fn is None:
             continue
-        t_small = bench(fn(spark, args.sf01_dir))
-        t_big = bench(fn(spark, args.sf1_dir))
+        try:
+            t_small = bench(fn(spark, args.sf01_dir))
+            t_big = bench(fn(spark, args.sf1_dir))
+        except Exception as exc:  # a query that cannot RUN at sf1 is a finding
+            results[name] = {"error": str(exc).split("\n")[0][:300]}
+            flagged.append(name)
+            print(f"{name:32s} ERROR {results[name]['error']}", file=sys.stderr)
+            continue
         scale = t_big / max(t_small, 1e-9)
         results[name] = {
             "sf0.1_s": round(t_small, 3),
