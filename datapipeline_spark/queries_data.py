@@ -63,7 +63,17 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
-PARAMS = MinHashParams()  # seed=42, 8 hashes
+PARAMS = MinHashParams()  # seed=42, 8 hashes — ingest/row_minhash shape
+
+#: The LSH PAIR-GENERATION family runs a sharper banding: (b=16, r=4)
+#: has the same S-curve threshold t=(1/b)^(1/r)=0.5 as the (b=4, r=2)
+#: default but a far steeper curve, so sub-threshold candidates collapse
+#: — measured at the 10x sf1 rehearsal: 4.63M -> 47k candidates with
+#: MORE true pairs verified (2564 vs 2561; bucket densification made the
+#: coarse banding quadratic, 41.6x super-linear on 10x docs). The extra
+#: hash cost (64 vs 8 mins per shingle) is a map-side constant.
+SHARP_PARAMS = MinHashParams(num_hashes=64)
+SHARP_BANDS = 16
 MOD = (1 << 31) - 1
 
 H48 = "(('0x' || substr(md5({col}), 1, 12))::UBIGINT)::BIGINT"
@@ -640,16 +650,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_pairs_ctes(bands: int = 4, max_bucket: int = 1000, threshold: float = 0.5) -> str:
+def _lsh_pairs_ctes(
+    bands: int = SHARP_BANDS,
+    max_bucket: int = 1000,
+    threshold: float = 0.5,
+    params: MinHashParams = SHARP_PARAMS,
+) -> str:
     """CTE chain (no leading WITH) ending in `vpairs(id_a, id_b, jaccard)` —
     the full shingle → minhash → banded LSH → candidate-verified jaccard
     pipeline, shared by the pair / clustering / dedup oracles. LSH is
     'approximate' only w.r.t. true Jaccard recall — the candidate set
     itself (share ≥1 band, bucket ≤ max_bucket, then exact verify) is
     deterministic, so the whole pipeline has an exact oracle."""
-    rows = PARAMS.num_hashes // bands
+    rows = params.num_hashes // bands
     mins = ", ".join(
-        f"min(({a} * h + {b}) % {MOD}) AS mh{j}" for j, (a, b) in enumerate(PARAMS.coeffs)
+        f"min(({a} * h + {b}) % {MOD}) AS mh{j}" for j, (a, b) in enumerate(params.coeffs)
     )
     keys = ", ".join(f"k{r}" for r in range(rows))
     band_rows = "\n  UNION ALL ".join(
@@ -692,7 +707,7 @@ vpairs AS (
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(d, params=PARAMS, bands=4, threshold=0.5)
+    return minhash_dedup_pairs(d, params=SHARP_PARAMS, bands=SHARP_BANDS, threshold=0.5)
 
 
 def _simhash_sql() -> str:
@@ -1084,7 +1099,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_spark.dedup.cluster import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(d, params=PARAMS, bands=4, threshold=0.5)
+    pairs = minhash_dedup_pairs(d, params=SHARP_PARAMS, bands=SHARP_BANDS, threshold=0.5)
     comp = connected_components(pairs)
     return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
 
@@ -1112,7 +1127,7 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_spark.dedup.cluster import dedup_representatives
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(d, params=PARAMS, bands=4, threshold=0.5)
+    pairs = minhash_dedup_pairs(d, params=SHARP_PARAMS, bands=SHARP_BANDS, threshold=0.5)
     return dedup_representatives(d.select("doc_id", "text"), pairs).select("doc_id")
 
 
@@ -1807,52 +1822,39 @@ WHERE a.c_nationkey < 5 AND levenshtein(a.c_name, b.c_name) <= 2
 """,
 )
 def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy record linkage (entity resolution — the standard
-    dedupe shape for structured records, complementing the text-side
-    MinHash pipeline): candidate pairs only WITHIN a blocking key
-    (nation), ordered (left < right) to emit each pair once, scored with
-    JVM-side Levenshtein and thresholded. The equi-join on the block key
-    is the scale contract: comparisons are O(sum of block-size squared),
-    never all-pairs over the corpus, and each block's pairs generate
-    inside one shuffle partition. At production scale the blocking key
-    would be a composite (e.g. prefix + geography) to bound block sizes;
-    the skew mitigation for a hot block is the same salting used in
-    operators/skew.py."""
+    """Blocked fuzzy record linkage via symmetric-delete neighborhoods
+    (dedup/symdelete.deletion_join — the SymSpell index as a join): all
+    name pairs within a nation block at levenshtein <= 2.
+
+    The naive blocked self-join compares O(Σ block²) pairs and went 53x
+    super-linear on the 10x sf1 rehearsal (block count is FIXED at 25
+    nations, so blocks grow with the data). The deletion join is EXACT —
+    close pairs must share a ≤2-deletion variant, candidates are the
+    equi-join on (block, variant), bounded levenshtein verifies — so the
+    naive O(block²) SQL remains the oracle verbatim (differential pytest
+    pins equality vs brute force). Chosen over the also-exact PassJoin
+    segment scheme (dedup/passjoin.py) because these names share a long
+    constant prefix: positional segments all collide (measured quadratic
+    again), while deletion variants keep the discriminating digits in
+    the join key. spread() widens the variant explode off the
+    single-file dim scan."""
+    from datapipeline_spark.dedup.symdelete import deletion_join
+
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
     # the demo scopes to 5 of the 25 blocks — comparison volume is the ONLY
     # cost knob in blocked ER, and the operator's shape is identical at any
     # block subset
-    scoped = c.filter(F.col("c_nationkey") < 5)
-    # pair generation fans out on the PROBE side's partitioning: the dim
-    # table arrives as one file split, so without the repartition the whole
-    # O(block²) comparison runs in a couple of tasks. The partition count
-    # MUST be explicit: a bare repartition(col) lets AQE coalesce the tiny
-    # (3k-row) probe shuffle to ONE partition — the post-shuffle byte size
-    # says nothing about the O(block²) comparison fan-out behind each row —
-    # which serialized the whole levenshtein stage (measured 2.4 s -> 0.3 s
-    # at sf0.1 when pinned to 2x cores).
-    fanout = spark.sparkContext.defaultParallelism * 2
-    a = scoped.repartition(fanout, F.col("c_custkey")).alias("a")
-    b = c.alias("b")
-    # bounded levenshtein (threshold arg) early-exits rows whose distance
-    # exceeds the cutoff: measured 24 s -> 13 s at sf0.1 before scoping.
-    # Returns -1 above the bound, the exact distance at or below it.
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2)
-    return (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            F.col("a.c_custkey").alias("left_key"),
-            F.col("b.c_custkey").alias("right_key"),
-            F.col("a.c_nationkey").cast("long").alias("block"),
-            dist.cast("long").alias("dist"),
-        )
-        .filter(F.col("dist") >= 0)
+    scoped = spread(c.filter(F.col("c_nationkey") < 5))
+    pairs = deletion_join(
+        scoped, "c_custkey", "c_name", k=2, block_cols=["c_nationkey"]
+    )
+    return pairs.select(
+        F.col("id_a").alias("left_key"),
+        F.col("id_b").alias("right_key"),
+        F.col("c_nationkey").cast("long").alias("block"),
+        "dist",
     )
 
 
@@ -5680,8 +5682,8 @@ def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh2 = word_shingles_from_tokens(base, "doc_id", "w", 2).localCheckpoint(
         eager=False
     )
-    sig = minhash_signatures(sh2, "doc_id", PARAMS)
-    cand = lsh_candidate_pairs(sig, "doc_id", PARAMS, bands=4)
+    sig = minhash_signatures(sh2, "doc_id", SHARP_PARAMS)
+    cand = lsh_candidate_pairs(sig, "doc_id", SHARP_PARAMS, bands=SHARP_BANDS)
     pairs = jaccard_pairs(sh2, "doc_id", cand, threshold=0.5)
     ids = ded.select("doc_id")
     drops = (

@@ -1913,3 +1913,65 @@ def test_multi_value_rank_matches_per_metric_ranks(spark):
             for r in bucketed_value_rank(df, col, ["id"], buckets=8).collect()
         }
         assert {k[0]: v for k, v in got.items() if k[1] == i} == want, col
+
+
+class TestEditDistanceJoins:
+    """The two exact edit-distance join algorithms must equal the naive
+    blocked self-join bit-for-bit: PassJoin (segment pigeonhole, any k —
+    best on high-entropy strings) and SymDelete (deletion neighborhoods,
+    k<=2 — immune to shared constant prefixes)."""
+
+    def _brute(self, df, k):
+        a = df.selectExpr("blk", "id AS id_a", "s AS sa")
+        b = df.selectExpr("blk", "id AS id_b", "s AS sb")
+        return (
+            a.join(b, "blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("dist", F.levenshtein("sa", "sb", k).cast("long"))
+            .filter(F.col("dist") >= 0)
+            .select("blk", "id_a", "id_b", "dist")
+        )
+
+    def _random_df(self, spark, seed, min_len=0):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, i % 3, "".join(rng.choice("abc") for _ in range(rng.randint(min_len, 12))))
+            for i in range(300)
+        ]
+        return spark.createDataFrame(rows, "id: long, blk: int, s: string")
+
+    def test_passjoin_equals_brute(self, spark):
+        from datapipeline_spark.dedup.passjoin import edit_distance_join
+
+        df = self._random_df(spark, 7, min_len=1)
+        for k in (1, 2, 3):
+            got = sorted(map(tuple, edit_distance_join(df, "id", "s", k, ["blk"]).collect()))
+            want = sorted(map(tuple, self._brute(df, k).collect()))
+            assert got == want, k
+
+    def test_symdelete_equals_brute_including_empty_strings(self, spark):
+        from datapipeline_spark.dedup.symdelete import deletion_join
+
+        df = self._random_df(spark, 11, min_len=0)
+        for k in (1, 2):
+            got = sorted(map(tuple, deletion_join(df, "id", "s", k, ["blk"]).collect()))
+            want = sorted(map(tuple, self._brute(df, k).collect()))
+            assert got == want, k
+        import pytest
+
+        with pytest.raises(ValueError):
+            deletion_join(df, "id", "s", 3, ["blk"])
+
+    def test_symdelete_beats_constant_prefix_blocks(self, spark):
+        """The scenario that sent PassJoin quadratic: strings sharing a
+        long constant prefix. The deletion join's candidate count must
+        stay near the true-pair count, not the block-pair count."""
+        from datapipeline_spark.dedup.symdelete import deletion_join
+
+        rows = [(i, 0, f"Customer#{i:09d}") for i in range(500)]
+        df = spark.createDataFrame(rows, "id: long, blk: int, s: string")
+        got = sorted(map(tuple, deletion_join(df, "id", "s", 2, ["blk"]).collect()))
+        want = sorted(map(tuple, self._brute(df, 2).collect()))
+        assert got == want

@@ -57,10 +57,22 @@ def _cols(con, table: str) -> list[str]:
     ]
 
 
+# entity names derive from their key in the source data ("Customer#%09d");
+# re-derive them from the OFFSET key, or every name appears 10x verbatim
+# and any name-blocked operator (fuzzy match) measures degenerate-dup
+# handling instead of scale
+NAME_FROM_KEY = {
+    "c_name": "'Customer#' || lpad((c_custkey + r.i * 15000)::VARCHAR, 9, '0')",
+    "s_name": "'Supplier#' || lpad((s_suppkey + r.i * 1000)::VARCHAR, 9, '0')",
+}
+
+
 def replicate_sql(con, table: str) -> None:
     cols = _cols(con, table)
     sel = ", ".join(
-        f"({c} + r.i * {STEPS[c]})::BIGINT AS {c}" if c in STEPS else c
+        f"({c} + r.i * {STEPS[c]})::BIGINT AS {c}"
+        if c in STEPS
+        else (f"({NAME_FROM_KEY[c]}) AS {c}" if c in NAME_FROM_KEY else c)
         for c in cols
     )
     con.execute(
