@@ -9,8 +9,10 @@ from datapipeline_spark.dedup.minhash import (
     row_minhash,
     word_shingles,
 )
+from datapipeline_spark.dedup.passjoin import edit_distance_join
 from datapipeline_spark.dedup.ppjoin import ppjoin_pairs, prefix_filter_candidates
 from datapipeline_spark.dedup.simhash import simhash
+from datapipeline_spark.dedup.symdelete import deletion_join, deletion_variants
 
 __all__ = [
     "exact_dedup",
@@ -23,6 +25,9 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "minhash_dedup_pairs",
+    "edit_distance_join",
+    "deletion_join",
+    "deletion_variants",
     "ppjoin_pairs",
     "prefix_filter_candidates",
     "simhash",
