@@ -28,13 +28,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # recipe, not to this constant.
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "16")
 
-# Hash-defined operators (HLL registers, rendezvous placement) run their
-# PRODUCTION hash here: codegen-native xxhash64. The md5 'oracle' mode —
-# identical operator semantics and distribution (pinned by test), ~10x
-# the per-hash cost — exists solely so the correctness harness can replay
-# hashes in ANSI SQL, and that harness pins mode=oracle itself. Disclosed
-# in PERFORMANCE.md; the emitted JSON carries hash_mode.
-os.environ.setdefault("SPARK_GRAFT_HASH_MODE", "fast")
+
+def _use_production_hash() -> None:
+    """Hash-defined operators (HLL registers, rendezvous placement) run
+    their PRODUCTION hash in benchmarks: codegen-native xxhash64. The md5
+    'oracle' mode — identical operator semantics and distribution (pinned
+    by test), ~10x the per-hash cost — exists solely so the correctness
+    harness can replay hashes in ANSI SQL, and that harness pins
+    mode=oracle itself. Disclosed in PERFORMANCE.md; the emitted JSON
+    carries hash_mode. Called from main() (and by the sibling bench
+    tools), NOT at import: importing bench for its HEADLINE list must not
+    flip the mode for an unrelated process (it broke the md5 differential
+    test when pytest imported bench via test_plan_invariants)."""
+    os.environ.setdefault("SPARK_GRAFT_HASH_MODE", "fast")
 
 HEADLINE = [
     "hll_distinct_orders",
@@ -235,6 +241,7 @@ HEADLINE = [
 
 
 def main() -> None:
+    _use_production_hash()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

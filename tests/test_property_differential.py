@@ -478,9 +478,16 @@ def test_hll_registers_match_pure_python(spark, keys):
         1024 - len(expect_regs)
     ) * (1 << 51)
     df = spark.createDataFrame([(k,) for k in keys], "k long")
-    regs = {r.reg: r.rho for r in hll_registers(df, "k", p=P).collect()}
+    # pin the md5 mode explicitly: this transcription IS the md5 contract,
+    # and test order must not matter if something set $SPARK_GRAFT_HASH_MODE
+    regs = {
+        r.reg: r.rho
+        for r in hll_registers(df, "k", p=P, hash_mode="oracle").collect()
+    }
     assert regs == expect_regs
-    est = hll_estimate(hll_registers(df, "k", p=P), p=P).collect()[0]
+    est = hll_estimate(
+        hll_registers(df, "k", p=P, hash_mode="oracle"), p=P
+    ).collect()[0]
     assert est.scaled_harmonic == scaled
 
 

@@ -34,6 +34,8 @@ def main() -> int:
 
     import __spark_entry__ as entry
     import bench
+
+    bench._use_production_hash()
     from datapipeline_spark.session import get_spark
     from datapipeline_spark.tables import TABLE_NAMES
 
