@@ -74,6 +74,16 @@ PARAMS = MinHashParams()  # seed=42, 8 hashes — ingest/row_minhash shape
 #: hash cost (64 vs 8 mins per shingle) is a map-side constant.
 SHARP_PARAMS = MinHashParams(num_hashes=64)
 SHARP_BANDS = 16
+
+#: The PIPELINE operating point: the pretraining pipeline runs its dedup
+#: stage at (b=8, r=3) — the same t=(1/8)^(1/3)=0.5 threshold, still
+#: ~10x fewer candidates than the coarse default at the sf1 rehearsal
+#: (400k vs 4.6M), at a third of the signature compute. The pair-SURFACE
+#: queries keep (b=16, r=4): there the candidate mass IS the product, so
+#: the sharpest curve at fixed recall wins; in the pipeline dedup is one
+#: of five stages and signature cost is paid on the full corpus.
+PIPE_PARAMS = MinHashParams(num_hashes=24)
+PIPE_BANDS = 8
 MOD = (1 << 31) - 1
 
 H48 = "(('0x' || substr(md5({col}), 1, 12))::UBIGINT)::BIGINT"
@@ -5610,7 +5620,7 @@ SELECT row_number() OVER (ORDER BY {order_h}, doc_id) AS pos,
        doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, quality
 FROM fin
 """.format(
-        lsh=_lsh_pairs_ctes(),
+        lsh=_lsh_pairs_ctes(bands=PIPE_BANDS, params=PIPE_PARAMS),
         quality=_PIPE_QUALITY,
         words=WORDS,
         gram=_PIPE_8GRAM,
@@ -5682,8 +5692,8 @@ def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh2 = word_shingles_from_tokens(base, "doc_id", "w", 2).localCheckpoint(
         eager=False
     )
-    sig = minhash_signatures(sh2, "doc_id", SHARP_PARAMS)
-    cand = lsh_candidate_pairs(sig, "doc_id", SHARP_PARAMS, bands=SHARP_BANDS)
+    sig = minhash_signatures(sh2, "doc_id", PIPE_PARAMS)
+    cand = lsh_candidate_pairs(sig, "doc_id", PIPE_PARAMS, bands=PIPE_BANDS)
     pairs = jaccard_pairs(sh2, "doc_id", cand, threshold=0.5)
     ids = ded.select("doc_id")
     drops = (
