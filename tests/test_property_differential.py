@@ -538,7 +538,9 @@ def test_ols_matches_pure_python(spark, xy):
         return
     slope = cov / vx
     assert abs(r.slope - slope) < 1e-5
-    assert abs(r.intercept - (sy - slope * sx) / n) < 5e-3
+    # intercept is rounded to 2 decimals: worst-case rounding error is
+    # EXACTLY 0.005 (x.xx5 rounds away) — the bound must be inclusive
+    assert abs(r.intercept - (sy - slope * sx) / n) <= 5e-3 + 1e-9
     if vy == 0:
         assert r.r2 is None
     else:
