@@ -117,20 +117,15 @@ def stratified_exact_split(
         raise ValueError(f"fractions_ppm must sum to 1000000, got {total}")
     if hash_bits <= bucket_bits:
         raise ValueError("hash_bits must exceed bucket_bits")
-    h = F.conv(
-        F.substring(
-            F.sha2(
-                F.concat_ws(
-                    "|", F.lit(seed), *[F.col(c).cast("string") for c in id_cols]
-                ),
-                256,
-            ),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("long")
+    if hash_bits != 52:
+        raise ValueError("hash_bits is fixed at 52 (hash52_seeded contract)")
+    # dual-mode (functions/hashing.py): oracle = sha256 prefix (replayable
+    # in SQL), fast = xxhash64. The split COUNTS are identical either way —
+    # the cumulative-floor cuts depend only on each stratum's size — so the
+    # exactness certificate holds in both modes; only row placement moves.
+    from datapipeline_spark.functions.hashing import hash52_seeded
+
+    h = hash52_seeded(seed, [F.col(c) for c in id_cols])
     shift = hash_bits - bucket_bits
     b = df.withColumn("__h__", h).withColumn(
         "__bucket__", F.shiftright(F.col("__h__"), shift).cast("int")

@@ -51,6 +51,29 @@ def hash60(col: Column, mode: str | None = None) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
 
 
+def hash52_seeded(seed: str, cols, mode: str | None = None) -> Column:
+    """52-bit non-negative uniform hash of (seed, col...) — the stratified
+    split's rank key. oracle: sha256("seed|c1|c2|…") first-13-hex-chars
+    (bit-exact replayable in DuckDB); fast: xxhash64 over (seed, cols)
+    masked to 52 bits. For EXACT rank-based splits the per-label COUNTS
+    are identical in either mode (cuts depend only on the stratum size);
+    only which row lands in which label moves — same contract as the
+    HLL/rendezvous dual-mode precedent above."""
+    if resolve_hash_mode(mode) == "fast":
+        return F.xxhash64(F.lit(seed), *cols).bitwiseAND(F.lit((1 << 52) - 1))
+    return F.conv(
+        F.substring(
+            F.sha2(
+                F.concat_ws("|", F.lit(seed), *[c.cast("string") for c in cols]), 256
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def keyed_hash48(key: Column, salt: Column, mode: str | None = None) -> Column:
     """Per-(key, salt) integer hash — the rendezvous score family. Joint
     independence across salts is required for placement balance (a
@@ -59,9 +82,12 @@ def keyed_hash48(key: Column, salt: Column, mode: str | None = None) -> Column:
 
     oracle: 48-bit md5 prefix of "key#salt" (replayable in SQL).
     fast: xxhash64 of the two columns (multi-arg form seeds the salt into
-    the hash state — no string concat materialized)."""
+    the hash state — no string concat materialized), masked to 48 bits so
+    BOTH modes honor the name's non-negative-48-bit contract (callers like
+    bucketed rankers may feed this into consumers that assume a bounded
+    non-negative range; raw signed xxhash64 would be a trap there)."""
     if resolve_hash_mode(mode) == "fast":
-        return F.xxhash64(key, salt)
+        return F.xxhash64(key, salt).bitwiseAND(F.lit((1 << 48) - 1))
     return F.conv(
         F.substring(
             F.md5(F.concat(key.cast("string"), F.lit("#"), salt.cast("string"))), 1, 12

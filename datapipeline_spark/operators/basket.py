@@ -6,15 +6,21 @@ the Agrawal-Srikant 1994 a-priori family re-expressed as DataFrame joins:
 
 - support counting is one map-side-combinable groupBy over the distinct
   (basket, item) projection;
-- the pair generation is a BASKET-KEYED self-join *after* the infrequent
-  items are pruned (the a-priori downward-closure: a pair can only be
-  frequent if both members are). At 100 TB that prune is what keeps the
-  self-join bounded: the join fan-out per basket is (frequent items in
-  basket choose 2), not (all items choose 2);
+- pair generation collects each basket's post-prune item set ONCE
+  (``collect_set`` — the set semantics make a separate distinct pass
+  unnecessary) and explodes the (i < j) pairs in-row, *after* the
+  infrequent items are pruned (the a-priori downward-closure: a pair can
+  only be frequent if both members are). Two exchanges end to end
+  (basket collect + pair count) where the previous basket-keyed
+  self-join cost three plus a separate basket-size branch;
 - an optional ``max_basket_items`` cap drops pathological baskets (a
   basket with 10k items contributes 5*10^7 pairs on its own — standard
   production guard, same spirit as the LSH max_bucket cap in
-  dedup/minhash.py).
+  dedup/minhash.py). The cap is an in-row ``size()`` gate BEFORE the
+  pair explode, so the quadratic fan-out never materializes for a
+  dropped basket; the aggregation buffer does hold one oversized
+  basket's item set linearly (bounded by the largest basket, not by
+  its pair count).
 
 Confidence and lift are emitted as exact integer parts-per-million
 (DECIMAL(38) intermediates, so ``pair * n_baskets * 1e6`` cannot overflow
@@ -65,26 +71,41 @@ def frequent_pairs(
     """Co-occurrence counts for item pairs (ia < ib) across baskets.
 
     A-priori pruned: items below ``min_item_support`` never enter the
-    self-join. ``max_basket_items`` (when set) drops whole baskets whose
-    post-prune item count exceeds the cap — the worst-case join fan-out is
-    then ``max_basket_items**2 / 2`` per basket, independent of data skew.
+    basket collect. ``max_basket_items`` (when set) drops whole baskets
+    whose post-prune item count exceeds the cap, gated IN-ROW before the
+    pair explode — the worst-case explode fan-out is then
+    ``max_basket_items**2 / 2`` per basket, independent of data skew.
+
+    Plan: (optional broadcast semi-join against the frequent-item table)
+    → ONE basket-keyed exchange collecting each basket's item set
+    (collect_set dedups, so no separate distinct pass) → sorted in-row
+    (i < j) pair explode under whole-stage codegen → one (ia, ib)-keyed
+    count. Two full-data exchanges total, versus three plus a basket-size
+    branch for the self-join formulation this replaces.
     """
-    it = basket_items(df, basket_col, item_col)
+    raw = df.select(F.col(basket_col).alias("basket"), F.col(item_col).alias("item"))
     if min_item_support > 1:
         keep = item_supports(df, basket_col, item_col, min_item_support)
-        it = it.join(keep.select("item"), "item", "left_semi")
+        raw = raw.join(keep.select("item"), "item", "left_semi")
+    baskets = raw.groupBy("basket").agg(
+        F.sort_array(F.collect_set("item")).alias("__items__")
+    )
     if max_basket_items is not None:
-        sizes = it.groupBy("basket").agg(F.count(F.lit(1)).alias("__bn__"))
-        it = (
-            it.join(sizes, "basket")
-            .filter(F.col("__bn__") <= max_basket_items)
-            .drop("__bn__")
-        )
-    a = it.select("basket", F.col("item").alias("ia"))
-    b = it.select("basket", F.col("item").alias("ib"))
+        baskets = baskets.filter(F.size("__items__") <= max_basket_items)
+    # two streaming Generates (posexplode → explode of the tail slice)
+    # rather than one nested transform(transform(...)): building the full
+    # array-of-struct pair list per basket allocates O(k²) before the
+    # explode, while Generate streams pairs row-at-a-time inside codegen
+    items = F.col("__items__")
     pairs = (
-        a.join(b, "basket")
-        .filter(F.col("ia") < F.col("ib"))
+        baskets.filter(F.size(items) >= 2)
+        .select(items, F.posexplode(items).alias("__i__", "ia"))
+        .select(
+            "ia",
+            F.explode(
+                F.slice(items, F.col("__i__") + F.lit(2), F.size(items))
+            ).alias("ib"),
+        )
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
     )

@@ -81,8 +81,15 @@ def bloom_filter_keys(
     k: int = K_DEFAULT,
 ) -> DataFrame:
     """Map-side filter: keep probe rows whose key hits all k bits. Pure
-    JVM expressions against one array literal — no shuffle, no join."""
-    arr = F.lit(words)
+    JVM expressions against one array literal — no shuffle, no join.
+
+    The bitmap is emitted as ONE parsed SQL expression, not ``F.lit(list)``:
+    lit() on a 4096-element Python list expands to 4096 Py4J ``lit`` calls
+    plus a 4096-arg ``array`` call (~7.5 s of pure driver-side round-trips
+    per invocation, measured). A single ``F.expr("array(...L)")`` string is
+    one Py4J call; Catalyst constant-folds the CreateArray into a literal
+    before codegen, so the executed plan is identical."""
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
     one = F.lit(1).cast("long")
     pred = None
     for pos in _positions(F.col(key), m_bits, k):

@@ -32,31 +32,58 @@ from pyspark.sql import functions as F
 _D = "decimal(38,0)"
 
 
+def _sumprod(a: F.Column, b: F.Column, wide: bool) -> F.Column:
+    """Exact Σ(a·b) for integer columns. Narrow path (default): the per-row
+    product runs in native int64 — whole-stage-codegen multiply, ~10x
+    cheaper than decimal(38)'s BigDecimal path — and only the ACCUMULATOR
+    is decimal(38,0), so the sum is exact at any row count. Precondition:
+    every per-row |a·b| < 2^63 (|v| ≲ 3.0e9 when squaring — cents-scale
+    business values sit at ~1e7); ANSI mode raises ARITHMETIC_OVERFLOW on
+    violation, never silently wrong. ``wide=True`` multiplies in
+    decimal(38,0) — unbounded magnitude at the old per-row cost."""
+    if wide:
+        return F.sum(a.cast(_D) * b.cast(_D))
+    return F.sum((a.cast("long") * b.cast("long")).cast(_D))
+
+
 def _rank2(groups: Sequence[str], col: str) -> F.Column:
-    """Doubled fractional rank: 2*rank + ties - 1 (exact bigint)."""
+    """Doubled fractional rank: 2*rank + ties - 1 = rank_min + rank_max
+    (exact bigint). rank_max comes from a RANGE-frame count over the SAME
+    window sort (peers of the current value are all inside the frame), so
+    one (groups)-keyed exchange + one in-partition sort serves both terms
+    — the old Window.partitionBy(groups, col) tie count cost a second
+    full-data exchange."""
     w = Window.partitionBy(*groups).orderBy(col)
-    t = Window.partitionBy(*groups, col)
-    return (2 * F.rank().over(w) + F.count(F.lit(1)).over(t) - 1).cast("long")
+    wr = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    return (F.rank().over(w) + F.count(F.lit(1)).over(wr)).cast("long")
 
 
 def spearman_corr(
-    df: DataFrame, x: str, y: str, groups: Sequence[str] = (), out: str = "spearman"
+    df: DataFrame,
+    x: str,
+    y: str,
+    groups: Sequence[str] = (),
+    out: str = "spearman",
+    wide: bool = False,
 ) -> DataFrame:
     """Per-group Spearman rank correlation of ``x`` vs ``y`` (average ranks
-    for ties). Output: groups + (n, <out>), corr rounded to 6 decimals."""
+    for ties). Output: groups + (n, <out>), corr rounded to 6 decimals.
+
+    Doubled ranks are ≤ 2n, so per-row rank PRODUCTS fit int64 up to
+    ~1.5e9 rows per group (``wide=True`` lifts the bound); the SUMS of
+    those products reach 4n³ — past bigint at ~1.3M rows per group (caught
+    by the sf1 rehearsal, ANSI overflow) — so accumulation is always
+    decimal(38,0): 2^126 headroom, exact in any order."""
     gx = list(groups)
     d = df.select(*gx, _rank2(gx, x).alias("rx"), _rank2(gx, y).alias("ry"))
-    # sums of doubled-rank PRODUCTS reach 4n^3 — past bigint at ~1.3M rows
-    # per group (caught by the sf1 rehearsal, ANSI overflow): accumulate in
-    # decimal(38,0) like pearson_corr; (2^126 headroom, exact in any order)
-    rxc, ryc = F.col("rx").cast(_D), F.col("ry").cast(_D)
+    rx, ry = F.col("rx"), F.col("ry")
     a = d.groupBy(*gx).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(rxc).alias("sx"),
-        F.sum(ryc).alias("sy"),
-        F.sum(rxc * rxc).alias("sxx"),
-        F.sum(ryc * ryc).alias("syy"),
-        F.sum(rxc * ryc).alias("sxy"),
+        F.sum(rx.cast(_D)).alias("sx"),
+        F.sum(ry.cast(_D)).alias("sy"),
+        _sumprod(rx, rx, wide).alias("sxx"),
+        _sumprod(ry, ry, wide).alias("syy"),
+        _sumprod(rx, ry, wide).alias("sxy"),
     )
     n, sx, sy, sxx, syy, sxy = [
         F.col(c).cast(_D) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
@@ -73,7 +100,11 @@ def spearman_corr(
 
 
 def hhi(
-    df: DataFrame, value: str, groups: Sequence[str] = (), out: str = "hhi"
+    df: DataFrame,
+    value: str,
+    groups: Sequence[str] = (),
+    out: str = "hhi",
+    wide: bool = False,
 ) -> DataFrame:
     """Herfindahl-Hirschman concentration index per group: sum of squared
     value shares, in (1/n, 1]. ``value`` must be an exact-integer column
@@ -85,7 +116,7 @@ def hhi(
     a = df.groupBy(*gx).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col(value).cast(_D)).alias("sv"),
-        F.sum((F.col(value).cast(_D) * F.col(value).cast(_D))).alias("svv"),
+        _sumprod(F.col(value), F.col(value), wide).alias("svv"),
     )
     ratio = F.col("svv").cast("double") / (F.col("sv") * F.col("sv")).cast("double")
     return a.select(
@@ -98,7 +129,12 @@ def hhi(
 
 
 def pearson_corr(
-    df: DataFrame, x: str, y: str, groups: Sequence[str] = (), out: str = "pearson"
+    df: DataFrame,
+    x: str,
+    y: str,
+    groups: Sequence[str] = (),
+    out: str = "pearson",
+    wide: bool = False,
 ) -> DataFrame:
     """Per-group Pearson correlation of exact-integer columns, the signed
     companion to ols' r²: r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
@@ -106,16 +142,17 @@ def pearson_corr(
     aggregate and the same correctly-rounded sqrt/divide chain as
     spearman_corr (which is this function on doubled ranks). Output:
     groups + (n, <out>) rounded to 6 decimals; NULL when either variance
-    is zero."""
+    is zero. Per-row products run in int64 (see _sumprod — |v| ≲ 3e9;
+    ``wide=True`` for unbounded magnitude)."""
     gx = list(groups)
-    xc, yc = F.col(x).cast(_D), F.col(y).cast(_D)
+    xc, yc = F.col(x), F.col(y)
     a = df.groupBy(*gx).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(xc).alias("sx"),
-        F.sum(yc).alias("sy"),
-        F.sum(xc * xc).alias("sxx"),
-        F.sum(yc * yc).alias("syy"),
-        F.sum(xc * yc).alias("sxy"),
+        F.sum(xc.cast(_D)).alias("sx"),
+        F.sum(yc.cast(_D)).alias("sy"),
+        _sumprod(xc, xc, wide).alias("sxx"),
+        _sumprod(yc, yc, wide).alias("syy"),
+        _sumprod(xc, yc, wide).alias("sxy"),
     )
     n = F.col("n").cast(_D)
     num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
@@ -211,7 +248,7 @@ def chi_square(df: DataFrame, x: str, y: str) -> DataFrame:
 
 
 def ols(
-    df: DataFrame, x: str, y: str, groups: Sequence[str] = ()
+    df: DataFrame, x: str, y: str, groups: Sequence[str] = (), wide: bool = False
 ) -> DataFrame:
     """Per-group simple linear regression (OLS): slope, intercept, r2.
 
@@ -223,16 +260,18 @@ def ols(
     cov = n·Σxy − ΣxΣy and var_x = n·Σx² − (Σx)² stay exact in decimal,
     then slope = cov/var_x, intercept = (Σy − slope·Σx)/n and
     r² = cov²/(var_x·var_y) are short IEEE chains (+,−,*,/ are correctly
-    rounded) so the rounded outputs hash-match a SQL oracle."""
+    rounded) so the rounded outputs hash-match a SQL oracle. Per-row
+    products run in int64 (see _sumprod; ``wide=True`` for unbounded
+    magnitude)."""
     gx = list(groups)
-    xc, yc = F.col(x).cast(_D), F.col(y).cast(_D)
+    xc, yc = F.col(x), F.col(y)
     a = df.groupBy(*gx).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(xc).alias("sx"),
-        F.sum(yc).alias("sy"),
-        F.sum(xc * xc).alias("sxx"),
-        F.sum(yc * yc).alias("syy"),
-        F.sum(xc * yc).alias("sxy"),
+        F.sum(xc.cast(_D)).alias("sx"),
+        F.sum(yc.cast(_D)).alias("sy"),
+        _sumprod(xc, xc, wide).alias("sxx"),
+        _sumprod(yc, yc, wide).alias("syy"),
+        _sumprod(xc, yc, wide).alias("sxy"),
     )
     n = F.col("n").cast(_D)
     cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
@@ -321,7 +360,15 @@ def ks_test(
     oracle, engine-tiny, is allowed one). Output: one row —
     (n0, n1, d_num, ks)."""
     g = (
-        df.groupBy(F.col(value).alias("v"))
+        # the IsNotNull is semantically a no-op (value is non-negative per
+        # contract) but must be stated HERE, below the aggregate: the inner
+        # join infers IsNotNull on its bucket key and the optimizer pushes
+        # it through shiftright to IsNotNull(value) BELOW the probe side's
+        # partial aggregate — without the same filter on the shared subtree
+        # the two groupBy(v) exchanges are not canonically identical and
+        # AQE re-scans instead of reusing the shuffle
+        df.filter(F.col(value).isNotNull())
+        .groupBy(F.col(value).alias("v"))
         .agg(
             F.sum(1 - F.col(side).cast("long")).alias("d0"),
             F.sum(F.col(side).cast("long")).alias("d1"),
@@ -331,36 +378,41 @@ def ks_test(
     per_bucket = g.groupBy("__bucket__").agg(
         F.sum("d0").alias("t0"), F.sum("d1").alias("t1")
     )
+    # exclusive prefix offsets AND the grand totals ride the same tiny
+    # (≤ one row per non-empty bucket) broadcast table — a whole-table
+    # window here costs nothing and removes the old third branch (a
+    # separate totals aggregate + crossJoin = one more full scan)
     w_off = Window.orderBy("__bucket__").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
     offsets = per_bucket.select(
         "__bucket__",
         F.coalesce(F.sum("t0").over(w_off), F.lit(0)).alias("off0"),
         F.coalesce(F.sum("t1").over(w_off), F.lit(0)).alias("off1"),
+        F.sum("t0").over(w_all).cast("long").alias("n0t"),
+        F.sum("t1").over(w_all).cast("long").alias("n1t"),
     )
     w_in = (
         Window.partitionBy("__bucket__")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = (
+    j = (
         g.join(F.broadcast(offsets), "__bucket__")
         .select(
             (F.col("off0") + F.sum("d0").over(w_in)).cast(_D).alias("cum0"),
             (F.col("off1") + F.sum("d1").over(w_in)).cast(_D).alias("cum1"),
+            F.col("n0t"),
+            F.col("n1t"),
         )
     )
-    totals = per_bucket.agg(
-        F.sum("t0").cast("long").alias("n0"), F.sum("t1").cast("long").alias("n1")
-    )
-    j = cum.crossJoin(F.broadcast(totals))
     return (
         j.agg(
-            F.max("n0").alias("n0"),
-            F.max("n1").alias("n1"),
+            F.max("n0t").alias("n0"),
+            F.max("n1t").alias("n1"),
             F.max(
                 F.abs(
-                    F.col("cum0") * F.col("n1").cast(_D)
-                    - F.col("cum1") * F.col("n0").cast(_D)
+                    F.col("cum0") * F.col("n1t").cast(_D)
+                    - F.col("cum1") * F.col("n0t").cast(_D)
                 )
             ).alias("d_num"),
         )
@@ -398,16 +450,20 @@ def mann_whitney(
     With doubled ranks: U₂ = 2·U1 = ΣR₂(side=1) − n1(n1+1) (exact), mean
     μ₂ = n1·n0, and σ₂² = n1·n0·((n+1)·n·(n−1) − T) / (3·n·(n−1)).
     Output: groups + (n0, n1, u, z) where u = U₂/2 (exact halving).
-    One group-keyed exchange, one in-partition rank sort, one aggregate."""
+    One group-keyed exchange, one in-partition rank sort, one aggregate —
+    the doubled rank AND the tie size both derive from (rank, count≤) of
+    the same window sort (t = count≤ − rank + 1), so no second
+    (groups, value)-keyed exchange."""
     gx = list(groups)
+    w = Window.partitionBy(*gx).orderBy(value)
+    wr = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    rk = F.rank().over(w).cast("long")
+    cle = F.count(F.lit(1)).over(wr).cast("long")
     d = df.select(
         *gx,
         F.col(side).cast("long").alias("__s"),
-        _rank2(gx, value).alias("r2"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy(*gx, value))
-        .cast("long")
-        .alias("__t"),
+        (rk + cle).alias("r2"),
+        (cle - rk + 1).alias("__t"),
     )
     a = d.groupBy(*gx).agg(
         F.sum(1 - F.col("__s")).cast("long").alias("n0"),
@@ -436,7 +492,11 @@ def mann_whitney(
 
 
 def welch_ttest(
-    df: DataFrame, value: str, side: str, groups: Sequence[str] = ()
+    df: DataFrame,
+    value: str,
+    side: str,
+    groups: Sequence[str] = (),
+    wide: bool = False,
 ) -> DataFrame:
     """Per-group Welch's unequal-variance t-test on an exact-integer value
     column — the parametric companion to mann_whitney. One
@@ -446,17 +506,24 @@ def welch_ttest(
     t = (m1 − m0) / sqrt(s0²/n0 + s1²/n1) and the Welch-Satterthwaite
     degrees of freedom are fixed IEEE chains (+,−,*,/ and one sqrt) over
     those exact sums, so both outputs hash-match a SQL oracle. No sort,
-    no join. Output: groups + (n0, n1, t, df_welch)."""
+    no join. Output: groups + (n0, n1, t, df_welch). Per-row squares run
+    in int64 behind a when() gate — conditional-select, not a decimal
+    multiply per side (see _sumprod's bound; ``wide=True`` lifts it)."""
     gx = list(groups)
     s = F.col(side).cast("long")
-    yc = F.col(value).cast(_D)
+    y = F.col(value).cast("long")
+    yy = (y.cast(_D) * y.cast(_D)) if wide else (y * y)
+
+    def _side(expr, cond):
+        return F.sum(F.when(cond, expr).otherwise(F.lit(0)).cast(_D))
+
     a = df.groupBy(*gx).agg(
         F.sum(1 - s).cast("long").alias("n0"),
         F.sum(s).cast("long").alias("n1"),
-        F.sum(yc * (1 - s)).alias("s0"),
-        F.sum(yc * s).alias("s1"),
-        F.sum(yc * yc * (1 - s)).alias("q0"),
-        F.sum(yc * yc * s).alias("q1"),
+        _side(y, s == 0).alias("s0"),
+        _side(y, s == 1).alias("s1"),
+        _side(yy, s == 0).alias("q0"),
+        _side(yy, s == 1).alias("q1"),
     )
     n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
     n0, n1 = F.col("n0").cast(_D), F.col("n1").cast(_D)
@@ -859,6 +926,7 @@ def ols2(
     x2: str,
     y: str,
     groups: Sequence[str] = (),
+    wide: bool = False,
 ) -> DataFrame:
     """Per-group TWO-regressor OLS (y ~ b1·x1 + b2·x2 + intercept) — the
     multiple-regression step beyond `ols`, still one aggregation pass.
@@ -871,19 +939,21 @@ def ols2(
     decimal (≈10⁵⁶). Every double op is correctly rounded and the
     expression order is pinned identically in the oracle, so rounded
     coefficients hash-match (the pearson/ols discipline one matrix
-    dimension up). Collinear regressors (det = 0) → NULL."""
+    dimension up). Collinear regressors (det = 0) → NULL. Per-row
+    products run in int64 (see _sumprod; ``wide=True`` for unbounded
+    magnitude)."""
     gx = list(groups)
-    c1, c2, cy = F.col(x1).cast(_D), F.col(x2).cast(_D), F.col(y).cast(_D)
+    c1, c2, cy = F.col(x1), F.col(x2), F.col(y)
     a = df.groupBy(*gx).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(c1).alias("s1"),
-        F.sum(c2).alias("s2"),
-        F.sum(cy).alias("sy"),
-        F.sum(c1 * c1).alias("s11"),
-        F.sum(c2 * c2).alias("s22"),
-        F.sum(c1 * c2).alias("s12"),
-        F.sum(c1 * cy).alias("s1y"),
-        F.sum(c2 * cy).alias("s2y"),
+        F.sum(c1.cast(_D)).alias("s1"),
+        F.sum(c2.cast(_D)).alias("s2"),
+        F.sum(cy.cast(_D)).alias("sy"),
+        _sumprod(c1, c1, wide).alias("s11"),
+        _sumprod(c2, c2, wide).alias("s22"),
+        _sumprod(c1, c2, wide).alias("s12"),
+        _sumprod(c1, cy, wide).alias("s1y"),
+        _sumprod(c2, cy, wide).alias("s2y"),
     )
     n = F.col("n").cast(_D)
     m11 = (n * F.col("s11") - F.col("s1") * F.col("s1")).cast("double")

@@ -3585,11 +3585,11 @@ def q_basket_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket-mining surface): every brand→brand rule with exact integer
     confidence/lift in parts-per-million. DECIMAL(38) intermediates mean
     the ppm numbers are bit-identical across engines and partition
-    layouts — no float anywhere. Plan: distinct (order, brand) projection
-    → basket-keyed pair self-join (25 brands ⇒ ≤300 pairs per basket
-    worst-case, dense output is the POINT at this granularity) → two
-    broadcast joins against the 25-row support table → broadcast 1-row
-    basket total."""
+    layouts — no float anywhere. Plan: one basket-keyed collect_set of
+    each order's brand set (dedup rides the aggregation) → in-row sorted
+    (i < j) pair explode (25 brands ⇒ ≤300 pairs per basket worst-case,
+    dense output is the POINT at this granularity) → two broadcast joins
+    against the 25-row support table → broadcast 1-row basket total."""
     from datapipeline_spark.operators.basket import association_rules
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -3615,12 +3615,12 @@ SELECT ia, ib, pair_support FROM pairs WHERE pair_support >= 2
 def q_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori-pruned frequent pair mining at part granularity
     (operators/basket.py frequent_pairs): items below support 5 never
-    enter the pair self-join (downward closure — a frequent pair needs two
-    frequent members), so the basket-keyed join fans out over frequent
-    items only. This is the 100 TB posture: the prune bounds the
-    quadratic stage by the post-prune basket width, and the optional
-    max_basket_items cap (exercised in pytest) makes the worst case
-    skew-independent."""
+    enter the per-basket item collect (downward closure — a frequent pair
+    needs two frequent members), so the in-row (i < j) pair explode fans
+    out over frequent items only. This is the 100 TB posture: the prune
+    bounds the quadratic stage by the post-prune basket width, and the
+    optional max_basket_items cap (exercised in pytest) gates oversized
+    baskets in-row BEFORE any pair materializes — skew-independent."""
     from datapipeline_spark.operators.basket import frequent_pairs
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")

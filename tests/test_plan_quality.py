@@ -764,9 +764,13 @@ def test_frequent_pairs_plan_apriori_prune(spark):
     from datapipeline_spark.queries_data import q_frequent_part_pairs
 
     plan = _plan(q_frequent_part_pairs(spark, SF))
-    # both sides of the pair self-join are semi-joined to the frequent-item
-    # set BEFORE pairing — the a-priori prune that bounds the quadratic stage
-    assert plan.count("LeftSemi") >= 2
+    # the raw rows are semi-joined to the frequent-item set BEFORE the
+    # per-basket collect — the a-priori prune that bounds the quadratic stage
+    assert plan.count("LeftSemi") >= 1
+    # pairs come from in-row Generate (posexplode + slice-explode), not a
+    # basket-keyed self-join: no join wider than the semi-join may appear
+    assert plan.count("Generate") >= 2
+    assert "SortMergeJoin" not in plan
     # support threshold applied on the aggregated counts, not post-join
     assert "(support" in plan or "support#" in plan
 
