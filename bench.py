@@ -237,6 +237,24 @@ HEADLINE = [
     "theil_sen_daily_revenue",
     "conformal_holt_users",
     "ols2_price_model",
+    # heavy pair/graph/text surfaces (round 5): the most expensive plans
+    # in the registry belong in the headline wall, not just correctness
+    "lang_id",
+    "quality_score",
+    "simhash",
+    "winnow_fingerprints",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "embedding_similar_pairs",
+    "embedding_near_dup",
+    "near_dup_clusters",
+    "dedup_representatives",
+    "prefix_jaccard_join",
+    "kcore_parts",
+    "bfs_parts",
+    "sssp_parts",
+    "communities_parts",
+    "heavy_hitter_tokens",
 ]
 
 

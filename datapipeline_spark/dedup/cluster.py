@@ -28,19 +28,35 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 20,
     checkpoint: bool = True,
+    driver_edge_threshold: int = 200_000,
 ) -> DataFrame:
     """(id, component) for every vertex in `pairs`; component = min vertex id
-    reachable. Raises if not converged within `max_iterations`."""
+    reachable. Raises if not converged within `max_iterations`.
+
+    Scale-adaptive (the AQE-broadcast idea applied to graph iteration):
+    after the edge list materializes, if it holds at most
+    ``driver_edge_threshold`` edges (a bounded few MB) the components are
+    resolved DRIVER-SIDE by union-find — identical min-label output,
+    microseconds instead of one multi-job Spark round per log(diameter).
+    Verified near-dup graphs are usually tiny (the expensive part was
+    finding the pairs); the distributed pointer-jumping loop remains the
+    path for genuinely large match graphs, where per-round job overhead
+    amortizes. Pass ``driver_edge_threshold=0`` to force the distributed
+    path."""
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
     if checkpoint:
-        # the loop runs 2 actions per round — without materializing the edge
+        # the loop runs actions every round — without materializing the edge
         # list here, the (often expensive: LSH / O(n²) cosine) pair
         # generation upstream would be recomputed every round
         edges = edges.localCheckpoint(eager=True)
+    if driver_edge_threshold > 0:
+        n_edges = edges.limit(driver_edge_threshold + 1).count()
+        if n_edges <= driver_edge_threshold:
+            return _driver_union_find(pairs.sparkSession, edges)
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -75,21 +91,64 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # carry the previous label INTO the round's result so the
+        # convergence probe reads the (about-to-be) checkpointed data
+        # instead of running a separate new-vs-old join job — the probe is
+        # then the round's ONE materializing action (a lazy checkpoint's
+        # partitions not touched by the early-exiting limit are computed by
+        # the next round's join; in the terminal round the probe scans
+        # everything, so the returned frame is fully materialized)
+        new_labels = new_labels.join(
+            labels.select("id", F.col("component").alias("__prev__")), "id"
+        )
         if checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") != F.col("__prev__"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.drop("__prev__")
         if changed == 0:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )
+
+
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    """Union-find over a BOUNDED collected edge list (caller enforces the
+    bound). Min-label semantics: component = min vertex id reachable —
+    bit-identical to the distributed loop's fixpoint."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the final root IS the component label
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(x, find(x)) for x in parent]
+    id_type = edges.schema["a"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("id", id_type, False), StructField("component", id_type, False)]
+    )
+    return spark.createDataFrame(out, schema)
 
 
 def dedup_representatives(

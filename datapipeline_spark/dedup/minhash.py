@@ -228,9 +228,19 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     shingle_words: int = 2,
 ) -> DataFrame:
-    """End-to-end near-dup pairs: shingle → minhash → LSH → verified jaccard."""
-    sh = word_shingles(df, id_col, text_col, shingle_words)
-    sig = minhash_signatures(sh, id_col, params)
+    """End-to-end near-dup pairs: shingle → minhash → LSH → verified jaccard.
+
+    The shingle stream is consumed three times (signatures + both sides of
+    the jaccard verification) and the signature table twice (the bucket-cap
+    branch + the candidate join) — without the lazy checkpoints below each
+    consumer re-runs the whole upstream (5-6 redundant shingle passes
+    measured inside one materialization; the contamination_check fix,
+    generalized). Lazy, not eager: callers that never execute the plan pay
+    nothing, and the first action materializes each subtree exactly once."""
+    sh = word_shingles(df, id_col, text_col, shingle_words).localCheckpoint(
+        eager=False
+    )
+    sig = minhash_signatures(sh, id_col, params).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(sig, id_col, params, bands)
     return jaccard_pairs(sh, id_col, cand, threshold)
 

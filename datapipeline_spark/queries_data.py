@@ -1982,17 +1982,28 @@ def q_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the quadratic pair stream."""
     from datapipeline_spark.operators.linkage import FieldComparison, fellegi_sunter_score
 
+    from datapipeline_spark.dedup.symdelete import deletion_join
+
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
     scoped = c.filter(F.col("c_nationkey") < 5)
-    fanout = spark.sparkContext.defaultParallelism * 2
-    a = scoped.repartition(fanout, F.col("c_custkey")).alias("a")
-    b = c.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    # Composite candidate generation (the production default): a 'match'
+    # decision REQUIRES name agreement (without it the max attainable score
+    # is 0.86 < upper=3.0), so the exact deletion-neighborhood join — all
+    # (id_a < id_b) same-nation pairs with levenshtein <= 2 — yields every
+    # pair that can possibly match. Output is therefore IDENTICAL to the
+    # plain nation-blocked self-join the oracle replays, while the pair
+    # volume is Σ variant-bucket² instead of Σ nation-block² (the shape
+    # that went 10.3x at sf1: fixed blocking keys grow blocks linearly,
+    # deletion variants keep the discriminating content in the join key).
+    cand = deletion_join(
+        scoped, "c_custkey", "c_name", k=2, block_cols=["c_nationkey"]
+    ).select("id_a", "id_b")
+    a = c.alias("a")
+    b = c.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment").alias("b")
+    pairs = cand.join(a, cand.id_a == F.col("a.c_custkey")).join(
+        b, cand.id_b == F.col("b.c_custkey")
     )
     comparisons = [
         FieldComparison(
@@ -4313,9 +4324,11 @@ FROM agg g JOIN customer cc ON cc.c_custkey = g.cluster_id
 @query("entity_resolution_pipeline", _er_pipeline_sql())
 def q_entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution — the composition the MDM stack runs
-    as one lazy plan plus one bounded iteration: nation-blocked
-    Fellegi-Sunter scoring (operators/linkage.py, integer micro-unit
-    weights) → 'match'-decision pairs → distributed min-label connected
+    as one lazy plan plus one bounded iteration: exact deletion-join
+    candidate pairs (dedup/symdelete.py — every same-nation pair that can
+    reach the 'match' threshold, see inline proof) → Fellegi-Sunter
+    scoring (operators/linkage.py, integer micro-unit weights) →
+    'match'-decision pairs → distributed min-label connected
     components (dedup/cluster.py pointer jumping, checkpointed) → cluster
     profile with the canonical record (the min-custkey member's name —
     deterministic survivorship) and exact-cent extrema. The oracle
@@ -4329,17 +4342,28 @@ def q_entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         fellegi_sunter_score,
     )
 
+    from datapipeline_spark.dedup.symdelete import deletion_join
+
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
     scoped = c.filter(F.col("c_nationkey") < 5)
-    fanout = spark.sparkContext.defaultParallelism * 2
-    a = scoped.repartition(fanout, F.col("c_custkey")).alias("a")
-    b = c.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    # Composite candidate generation (the production default): a 'match'
+    # decision REQUIRES name agreement (without it the max attainable score
+    # is 0.86 < upper=3.0), so the exact deletion-neighborhood join — all
+    # (id_a < id_b) same-nation pairs with levenshtein <= 2 — yields every
+    # pair that can possibly match. Output is therefore IDENTICAL to the
+    # plain nation-blocked self-join the oracle replays, while the pair
+    # volume is Σ variant-bucket² instead of Σ nation-block² (the shape
+    # that went 10.3x at sf1: fixed blocking keys grow blocks linearly,
+    # deletion variants keep the discriminating content in the join key).
+    cand = deletion_join(
+        scoped, "c_custkey", "c_name", k=2, block_cols=["c_nationkey"]
+    ).select("id_a", "id_b")
+    a = c.alias("a")
+    b = c.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment").alias("b")
+    pairs = cand.join(a, cand.id_a == F.col("a.c_custkey")).join(
+        b, cand.id_b == F.col("b.c_custkey")
     )
     comparisons = [
         FieldComparison(
