@@ -1982,28 +1982,22 @@ def q_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the quadratic pair stream."""
     from datapipeline_spark.operators.linkage import FieldComparison, fellegi_sunter_score
 
-    from datapipeline_spark.dedup.symdelete import deletion_join
-
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
     scoped = c.filter(F.col("c_nationkey") < 5)
-    # Composite candidate generation (the production default): a 'match'
-    # decision REQUIRES name agreement (without it the max attainable score
-    # is 0.86 < upper=3.0), so the exact deletion-neighborhood join — all
-    # (id_a < id_b) same-nation pairs with levenshtein <= 2 — yields every
-    # pair that can possibly match. Output is therefore IDENTICAL to the
-    # plain nation-blocked self-join the oracle replays, while the pair
-    # volume is Σ variant-bucket² instead of Σ nation-block² (the shape
-    # that went 10.3x at sf1: fixed blocking keys grow blocks linearly,
-    # deletion variants keep the discriminating content in the join key).
-    cand = deletion_join(
-        scoped, "c_custkey", "c_name", k=2, block_cols=["c_nationkey"]
-    ).select("id_a", "id_b")
-    a = c.alias("a")
-    b = c.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment").alias("b")
-    pairs = cand.join(a, cand.id_a == F.col("a.c_custkey")).join(
-        b, cand.id_b == F.col("b.c_custkey")
+    # NOTE: unlike entity_resolution_pipeline, this query's output is the
+    # clerical-review queue (match_weight >= 0), which INCLUDES pairs whose
+    # names disagree (segment+balance agreement alone scores 0.86 >= 0) — a
+    # name-driven candidate join would drop those rows, so the full blocked
+    # self-join is semantically required here.
+    fanout = spark.sparkContext.defaultParallelism * 2
+    a = scoped.repartition(fanout, F.col("c_custkey")).alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
     )
     comparisons = [
         FieldComparison(
@@ -2401,15 +2395,19 @@ def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm is not bit-stable cross-engine; everything emitted here is.
     Reference has no sketches (exact CoverageStatsAccumulator only —
     src/datapipeline/pipelines/dataset/stats.py)."""
+    from datapipeline_spark.functions.hashing import resolve_hash_mode
     from datapipeline_spark.sketch.hll import hll_estimate, hll_merge, hll_registers
 
-    li = spread(
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_returnflag",
-            "l_orderkey",
-            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
-        )
-    )  # single-row-group testdata caps the md5/conv map stage at 1 task
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+    )
+    if resolve_hash_mode() == "oracle":
+        # single-row-group testdata caps the md5/conv map stage at 1 task;
+        # in fast mode the xxhash64 projection is too cheap to justify the
+        # round-robin exchange (A/B: spread cost > serial-hash cost there)
+        li = spread(li)
     partial = hll_registers(li, "l_orderkey", ["l_returnflag", "month"], p=10)
     merged = hll_merge(partial, ["l_returnflag"])
     return hll_estimate(merged, ["l_returnflag"], p=10)

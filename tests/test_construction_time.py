@@ -60,15 +60,27 @@ def test_every_registry_query_constructs_within_budget(spark):
     spark.range(10).count()
     next(iter(qs.values()))(spark, SF)
 
-    over: list[str] = []
-    for name, fn in qs.items():
+    def _budget(name: str) -> float:
         # streaming queries build file-source listings + schema plumbing at
         # construction — consistently heavier than batch plan building
         default = 15.0 if name.startswith("streaming_") else DEFAULT_BUDGET_S
-        budget = EAGER_BUDGET_S.get(name, default)
+        return EAGER_BUDGET_S.get(name, default)
+
+    def _measure(name: str) -> float:
         t0 = time.time()
-        fn(spark, SF)
-        took = time.time() - t0
-        if took > budget:
-            over.append(f"{name}: {took:.2f}s > {budget:.1f}s")
+        qs[name](spark, SF)
+        return time.time() - t0
+
+    suspects: list[str] = []
+    for name in qs:
+        if _measure(name) > _budget(name):
+            suspects.append(name)
+    # a full-suite session (450+ tests, hundreds of analyzed plans) can
+    # transiently slow a construction 3-5x; a REGRESSION reproduces, a
+    # GC/driver blip does not — re-measure suspects (min of 2) before failing
+    over = []
+    for name in suspects:
+        took = min(_measure(name), _measure(name))
+        if took > _budget(name):
+            over.append(f"{name}: {took:.2f}s > {_budget(name):.1f}s")
     assert not over, "construction-time regressions:\n" + "\n".join(over)
