@@ -294,23 +294,44 @@ def fit_ivf_centroids(
 
 
 def _centroid_dists(vec_col: str, centroids: list[list[float]]) -> Column:
-    """Array of squared L2 distances to each centroid — one JVM expression
-    (centroids ride along inside the plan, i.e. broadcast-by-literal)."""
-    v = _to_double(F.col(vec_col))
-    return F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(x) for x in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    """Array of squared L2 distances to each centroid — Arrow-vectorized
+    (the cosine_similarity_np discipline): ``acc += (x − c_j)²`` per dim is
+    the exact left-associative IEEE chain of the zip_with/aggregate fold
+    the SQL oracle replays, vectorized across rows. The centroid constants
+    live in the UDF closure — no per-element driver-side lit() calls (the
+    expression form built k×dim Py4J literals per query construction).
+    Rows whose array length differs from the centroid dim yield a NULL
+    distance array (the fold form yields all-null distances; both reduce
+    to a null assignment downstream — inputs are fixed-dim per contract)."""
+    dim = len(centroids[0]) if centroids else 0
+
+    @F.pandas_udf("array<double>")
+    def _d(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out: list = [None] * len(v)
+        ok = v.notna().to_numpy()
+        if ok.any():
+            vv = v.to_numpy()
+            idx = np.flatnonzero(ok)
+            lens = np.fromiter(
+                (len(vv[i]) for i in idx), dtype=np.int64, count=len(idx)
             )
-            for c in centroids
-        ]
-    )
+            rows = idx[lens == dim]
+            if len(rows):
+                M = np.vstack([vv[i] for i in rows]).astype(np.float64)
+                D = np.empty((len(rows), len(centroids)), dtype=np.float64)
+                for ci, c in enumerate(centroids):
+                    acc = np.zeros(len(rows))
+                    for j, cj in enumerate(c):
+                        t = M[:, j] - cj
+                        acc += t * t
+                    D[:, ci] = acc
+                for r_i, i in enumerate(rows):
+                    out[i] = D[r_i]
+        return pd.Series(out)
+
+    return _d(F.col(vec_col))
 
 
 def ivf_assign(
