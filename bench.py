@@ -270,6 +270,15 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = entry.queries()
 
+    # Session warm-up: the first ~10 jobs of a fresh JVM pay JIT, codegen
+    # compiler, parquet reader and Py4J initialization (~4-5 s measured) —
+    # absorbed here by a few representative throwaway queries so the first
+    # MEASURED query isn't penalized by run order.
+    for wname in ("q1_pricing_summary", "lag_lead", "semi_join_customers"):
+        wfn = qs.get(wname)
+        if wfn is not None:
+            wfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
     total = 0.0

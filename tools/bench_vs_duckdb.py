@@ -80,6 +80,13 @@ def main() -> int:
     oracles = entry.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
 
+    # session warm-up (same rationale as bench.py): absorb JIT/codegen/
+    # reader init so the first measured query isn't order-penalized
+    for wname in ("q1_pricing_summary", "lag_lead", "semi_join_customers"):
+        wfn = qs.get(wname)
+        if wfn is not None:
+            wfn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+
     # ---- phase 1: Spark, every headline query -------------------------
     spark_rows: list[tuple[str, float, float]] = []
     for name in bench.HEADLINE:
