@@ -7,13 +7,16 @@ reverse-engineering (the IND half of the Papenbrock profiling family;
 ``operators/fd.py`` covers the FD half — the reference's profiling stops
 at per-column stats, see operators/profile.py parity note).
 
-Scale posture: each side is reduced to its DISTINCT value set FIRST
-(map-side-combinable hash aggregates — shuffle mass is distinct values,
-never rows), then one value-keyed left join per candidate counts
-containment. Candidate pairs are independent single-key joins unioned at
-the end; nothing is ever keyed wider than one value column, and the
-output is one exact-integer row per candidate. Containment strength in
-ppm by integer division — engine-exact.
+Scale posture: ALL candidates share one two-shuffle plan. Every side is
+tagged (candidate ordinal, value, is_dep/is_ref) and unioned; a single
+(candidate, value) max-aggregate collapses duplicates map-side (shuffle
+mass is distinct values per side, never rows — same mass as per-pair
+distinct-joins), and the containment identity |D ∩ R| = Σ d·r over the
+collapsed flags replaces every join: n_distinct = Σ d, n_contained =
+Σ d·r. Six candidates cost 2 exchanges total instead of 18 (a
+distinct+distinct+join per pair), and the plan shape is independent of
+the candidate count. Containment strength in ppm by integer division —
+engine-exact.
 """
 
 from __future__ import annotations
@@ -34,30 +37,52 @@ def ind_profile(candidates: Sequence[IndCandidate]) -> DataFrame:
     in the referenced column, exact-inclusion flag, and contained-fraction
     in ppm (integer division; NULL dependents are ignored, per SQL FK
     semantics where NULL trivially satisfies the constraint)."""
-    outs = []
-    for dep_label, dep_df, dep_col, ref_label, ref_df, ref_col in candidates:
-        d = (
-            dep_df.select(F.col(dep_col).cast("string").alias("k"))
-            .filter(F.col("k").isNotNull())
-            .distinct()
+    sides = []
+    labels = []
+    for i, (dep_label, dep_df, dep_col, ref_label, ref_df, ref_col) in enumerate(
+        candidates
+    ):
+        labels.append((i, f"{dep_label}.{dep_col}", f"{ref_label}.{ref_col}"))
+        sides.append(
+            dep_df.select(
+                F.lit(i).alias("cand"),
+                F.col(dep_col).cast("string").alias("k"),
+                F.lit(1).alias("d"),
+                F.lit(0).alias("r"),
+            ).filter(F.col("k").isNotNull())
         )
-        r = (
-            ref_df.select(F.col(ref_col).cast("string").alias("k"))
-            .filter(F.col("k").isNotNull())
-            .distinct()
-            .withColumn("__hit__", F.lit(1))
+        sides.append(
+            ref_df.select(
+                F.lit(i).alias("cand"),
+                F.col(ref_col).cast("string").alias("k"),
+                F.lit(0).alias("d"),
+                F.lit(1).alias("r"),
+            ).filter(F.col("k").isNotNull())
         )
-        outs.append(
-            d.join(r, "k", "left").agg(
-                F.lit(f"{dep_label}.{dep_col}").alias("dependent"),
-                F.lit(f"{ref_label}.{ref_col}").alias("referenced"),
-                F.count(F.lit(1)).cast("long").alias("n_distinct"),
-                F.count("__hit__").cast("long").alias("n_contained"),
-            )
+    tagged = sides[0]
+    for s in sides[1:]:
+        tagged = tagged.unionByName(s)
+    per_value = tagged.groupBy("cand", "k").agg(
+        F.max("d").alias("d"), F.max("r").alias("r")
+    )
+    per_cand = per_value.groupBy("cand").agg(
+        F.sum("d").cast("long").alias("n_distinct"),
+        F.sum(F.col("d") * F.col("r")).cast("long").alias("n_contained"),
+    )
+    spark = candidates[0][1].sparkSession
+    lab = spark.createDataFrame(labels, "cand int, dependent string, referenced string")
+    # Left join from the label skeleton: a candidate whose dependent AND
+    # referenced sides are all-NULL must still report a (0, 0) row, which
+    # the groupBy alone would drop.
+    out = (
+        lab.join(F.broadcast(per_cand), "cand", "left")
+        .select(
+            "dependent",
+            "referenced",
+            F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+            F.coalesce("n_contained", F.lit(0)).cast("long").alias("n_contained"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
+    )
     return out.select(
         "dependent",
         "referenced",
