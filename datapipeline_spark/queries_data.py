@@ -2287,8 +2287,7 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall) and ngram_jaccard_pairs (restricted universe)."""
     from datapipeline_spark.dedup import ppjoin_pairs
 
-    # demo scope (1-in-5 docs) + correctness-only (not in the bench
-    # headline): the driver corpus draws from a SMALL synthetic vocabulary,
+    # demo scope (1-in-5 docs): the driver corpus draws from a SMALL synthetic vocabulary,
     # so every prefix token still lands in many docs and candidate volume
     # approaches all-pairs (64 s at sf0.1 unscoped) — the opposite of a
     # real corpus, where the rare-first prefix prunes hard. Operator shape
