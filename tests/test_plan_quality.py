@@ -530,18 +530,23 @@ def test_minhash_dedup_pairs_candidate_bounded(spark):
 
 
 def test_lsh_similar_pairs_bucket_bounded(spark):
-    """Embedding pair generation must be the capped (band, bucket) bucket
-    join, never an O(n²) id-inequality join; vectors join back by id after
-    the distinct candidate set (blocking stage shuffles ids only)."""
+    """Embedding pair generation must be the capped in-row (band, bucket)
+    member-list explode, never an O(n²) id-inequality join NOR a bucket-
+    keyed self-join (which consumed the signature subtree twice); vectors
+    join back by id after the distinct candidate set (the blocking stage
+    shuffles ids only)."""
     from datapipeline_spark.similarity import lsh_similar_pairs
     from datapipeline_spark.tables import load_table
 
     e = load_table(spark, SF, "embeddings")
     plan = _plan(lsh_similar_pairs(e, threshold=0.3))
     assert "CartesianProduct" not in plan
-    assert re.search(r"Join \[band#\d+, bucket#\d+L?\],", plan)
-    # the only non-equi condition is the id_a < id_b tiebreak on a bucket join
     assert "BroadcastNestedLoopJoin" not in plan
+    # blocking = ONE aggregate keyed on (band, bucket) collecting ids...
+    assert re.search(r"HashAggregate.*\[band#\d+, bucket#\d+L?\]", plan)
+    # ...then in-row pair generation (two Generates), no band/bucket join
+    assert not re.search(r"Join \[band#\d+, bucket#\d+L?\],", plan)
+    assert plan.count("Generate") >= 2
 
 
 def test_registry_near_dup_entries_are_lsh_wired():
