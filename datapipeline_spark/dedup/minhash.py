@@ -111,11 +111,17 @@ def lsh_candidate_pairs(
     bands: int = 4,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """Band the signature, bucket-join, emit candidate (id_a < id_b) pairs.
+    """Band the signature, bucket the ids, emit candidate (id_a < id_b)
+    pairs from each bucket's sorted member list IN-ROW (the basket-pair
+    pattern — one groupBy instead of a bucket-keyed self-join plus a
+    separate count gate, which consumed the banded subtree three times).
 
     rows_per_band = num_hashes // bands. Buckets larger than `max_bucket`
-    are dropped (degenerate boilerplate guard — prevents the quadratic
-    blowup that would otherwise dominate at corpus scale).
+    are dropped by the in-row size gate BEFORE any pair materializes
+    (degenerate boilerplate guard — prevents the quadratic blowup that
+    would otherwise dominate at corpus scale; the aggregation buffer holds
+    one bucket's id list linearly, bounded by the largest bucket, never
+    its pair count).
     """
     rows = params.num_hashes // bands
     banded = signatures.select(
@@ -134,14 +140,20 @@ def lsh_candidate_pairs(
             )
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
-    counts = banded.groupBy("band", "sig").count().filter(F.col("count") <= max_bucket)
-    small = banded.join(counts.select("band", "sig"), ["band", "sig"])
-    a = small.select(F.col("band"), F.col("sig"), F.col(id_col).alias("id_a"))
-    b = small.select(F.col("band"), F.col("sig"), F.col(id_col).alias("id_b"))
+    buckets = (
+        banded.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    ids = F.col("ids")
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(ids, F.posexplode(ids).alias("__i__", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(ids, F.col("__i__") + F.lit(2), F.size(ids))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
