@@ -53,6 +53,12 @@ HEAVY = [
     "embedding_similar_pairs",
     "entity_resolution_pipeline",
     "kcore_parts",
+    "bfs_parts",
+    "sssp_parts",
+    "communities_parts",
+    "link_prediction_parts",
+    "prefix_jaccard_join",
+    "inclusion_deps",
     "equidepth_price_bands",
     "q1_pricing_summary",
     "q3_shipping_priority",
