@@ -987,6 +987,56 @@ def test_label_propagation_two_triangles(spark):
     assert again == got
 
 
+def test_label_propagation_min_tie_break(spark):
+    """A node receiving equally many votes for two labels adopts the
+    SMALLER label (the deterministic sync-LPA rule, now carried by
+    mode(lab, deterministic=true))."""
+    from datapipeline_spark.operators.graph import label_propagation
+
+    # node 5 hears from 1 and 2 (one vote each, labels 1 and 2 after
+    # round 1's self-labels) -> must adopt 1, never 2
+    e = spark.createDataFrame(
+        [(1, 5), (2, 5), (5, 1), (5, 2)], "src long, dst long"
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation(e, rounds=1, checkpoint=False).collect()
+    }
+    assert got[5] == 1
+
+
+def test_cooccurrence_edges_strategies_agree(spark):
+    """The default collect_set + in-row explode form and the spilling
+    self-join form must produce the identical distinct edge set,
+    including duplicate (group, item) rows and single-item groups."""
+    from datapipeline_spark.operators.graph import cooccurrence_edges
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 11), (1, 12), (2, 10), (2, 13), (3, 14)],
+        "g long, item long",
+    )
+    s = sorted(
+        map(tuple, cooccurrence_edges(df, "g", "item", strategy="set").collect())
+    )
+    j = sorted(
+        map(tuple, cooccurrence_edges(df, "g", "item", strategy="join").collect())
+    )
+    assert s == j
+    assert (10, 11) in s and (11, 10) in s  # both directions
+    assert all(a != b for a, b in s)  # no self-loops
+    assert not any(a == 14 or b == 14 for a, b in s)  # singleton group
+
+
+def test_undirected_drops_self_loops_both_directions(spark):
+    """_undirected must drop a self-loop entirely (the old union form
+    filtered only one direction's branch)."""
+    from datapipeline_spark.operators.graph import _undirected
+
+    e = spark.createDataFrame([(1, 1), (1, 2)], "src long, dst long")
+    got = sorted(map(tuple, _undirected(e, "src", "dst").collect()))
+    assert got == [(1, 2), (2, 1)]
+
+
 def test_benford_known_distribution(spark):
     from datapipeline_spark.operators.stats import BENFORD_P, benford
 
