@@ -57,6 +57,7 @@ from datapipeline_spark.operators.expect import (
 from datapipeline_spark.operators.graph import (
     bfs_distances,
     cooccurrence_edges,
+    cooccurrence_pairs,
     kcore_nodes,
     pagerank,
     triangle_counts,
@@ -124,5 +125,6 @@ __all__ = [
     "apply_expectations",
     "pagerank",
     "cooccurrence_edges",
+    "cooccurrence_pairs",
     "scd2_history",
 ]

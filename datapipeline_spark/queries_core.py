@@ -3451,15 +3451,18 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-units — rank DIV outdeg per edge, exact bigint sums,
     (85*s) DIV 100 damping — so every iteration is order-independent and
     the final ranks hash-match DuckDB's unrolled-CTE oracle exactly. Each
-    iteration shuffles on the join key then the dst aggregate; the static
-    (src, dst, outdeg) relation is eagerly materialized once inside
-    `pagerank` (localCheckpoint), so iteration count can grow without ever
-    re-deriving the co-occurrence self-join — structural, not a bet on AQE
-    exchange-reuse canonicalization."""
-    from datapipeline_spark.operators.graph import cooccurrence_edges, pagerank
+    iteration joins ranks to the node-count-sized adjacency (pagerank's
+    collect_set dedups the pair stream, so the distinct exchange is
+    skipped entirely — cooccurrence_pairs, not cooccurrence_edges) and
+    aggregates per destination; the static adjacency is eagerly
+    materialized once inside `pagerank` (localCheckpoint), so iteration
+    count can grow without ever re-deriving the co-occurrence pair
+    stream — structural, not a bet on AQE exchange-reuse
+    canonicalization."""
+    from datapipeline_spark.operators.graph import cooccurrence_pairs, pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
+    edges = cooccurrence_pairs(li, group_col="l_orderkey", item_col="l_partkey")
     ranks = pagerank(edges, iterations=3)
     return ranks.select(
         F.col("node").alias("p_partkey"), F.col("rank").cast("long").alias("rank_micros")

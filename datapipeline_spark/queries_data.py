@@ -3427,13 +3427,14 @@ def q_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph (operators/graph.label_propagation): 4 synchronous
     rounds, most-frequent-neighbor label with min-label tie break — the
     deterministic LPA variant, so the unrolled SQL oracle reproduces it
-    bit-for-bit. Per round one source-keyed join + one count aggregate;
-    winner selection rides the same aggregate (max(struct(c, -lab))), no
-    per-round sort. Completes the graph family (pagerank / components /
-    triangles / k-core / BFS). Correctness-only (construction-eager like
-    the other iterative entries)."""
+    bit-for-bit. Adjacency-list rounds: labels join the node-count-sized
+    out-neighbor lists, deliveries explode in-row, one deterministic-mode
+    aggregate per round resolves the vote (min-label ties). The
+    collect_set adjacency dedups the raw cooccurrence_pairs stream, so no
+    distinct exchange anywhere. Completes the graph family (pagerank /
+    components / triangles / k-core / BFS)."""
     from datapipeline_spark.operators.graph import (
-        cooccurrence_edges,
+        cooccurrence_pairs,
         label_propagation,
     )
 
@@ -3442,7 +3443,7 @@ def q_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_orderkey") % 5 == 0)
         .select("l_orderkey", "l_partkey")
     )
-    edges = cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
+    edges = cooccurrence_pairs(li, group_col="l_orderkey", item_col="l_partkey")
     return label_propagation(edges, rounds=4).select(
         F.col("node").alias("p_partkey"), "community"
     )
