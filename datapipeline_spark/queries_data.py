@@ -2330,8 +2330,8 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     two semi-joins per round, lineage checkpointed, early exit at the
     fixpoint. max_rounds=8 doubles as the proof obligation that the
     oracle's unroll depth suffices (the query RAISES if convergence needs
-    more). Correctness-only (construction-eager like the other iterative
-    entries)."""
+    more). In the bench headline since round 5 (timed numbers include the
+    eager iterative construction)."""
     from datapipeline_spark.operators.graph import cooccurrence_edges, kcore_nodes
 
     li = (
@@ -2677,8 +2677,8 @@ def q_bfs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.bfs_distances): level-synchronous frontier expansion,
     per round one frontier-bounded join + anti-join, lineage
     checkpointed. Capped-horizon semantics make the oracle a fixed-depth
-    unrolled min-merge. Correctness-only (construction-eager like the
-    other iterative entries)."""
+    unrolled min-merge. In the bench headline since round 5 (timed
+    numbers include the eager iterative construction)."""
     from datapipeline_spark.operators.graph import bfs_distances, cooccurrence_edges
 
     li = (
@@ -3358,8 +3358,8 @@ def q_sssp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared orders, 3 fixed rounds — exact integer min-plus arithmetic, so
     the unrolled relax/min-merge oracle matches bit-for-bit. Per round one
     source-keyed join + one min aggregate; the weighted companion to
-    bfs_parts, completing the graph family. Correctness-only
-    (construction-eager like the other iterative entries)."""
+    bfs_parts, completing the graph family. In the bench headline since
+    round 5 (timed numbers include the eager iterative construction)."""
     from datapipeline_spark.operators.graph import sssp_distances
 
     li = (
