@@ -43,9 +43,19 @@ def connected_components(
     path for genuinely large match graphs, where per-round job overhead
     amortizes. Pass ``driver_edge_threshold=0`` to force the distributed
     path."""
+    # both directions IN-ROW (one explode): the old two-select union
+    # consumed the (often expensive: LSH / verification) pair subtree
+    # twice before the checkpoint could help
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("__e__")
+        )
+        .select("__e__.a", "__e__.b")
         .distinct()
     )
     if checkpoint:
