@@ -936,9 +936,14 @@ def test_skew_profile_windows_only_over_fof(spark):
     from datapipeline_spark.queries_data import REGISTRY
 
     plan = _plan(REGISTRY["skew_profile_lineitem"][0](spark, SF))
-    # one single-column scan per profiled key, pruned
-    for rs in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
-        assert rs.count(":") == 1, f"unpruned scan: {rs}"
+    # Tagged-union scans for ALL profiled keys (the ind_profile shape),
+    # each pruned to exactly the three key columns — never a scan per key.
+    # The static plan prints the shared fof subtree twice (cum + totals
+    # branches); AQE's ReusedExchange merges them at runtime, so allow 2.
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert 1 <= len(scans) <= 2, f"expected the shared scan, got {len(scans)}"
+    for rs in scans:
+        assert rs.count(":") == 3, f"unpruned scan: {rs}"
     # windows exist and none consumes a raw FileScan directly
     assert "Window" in plan
     for seg in plan.split("Window")[1:]:
