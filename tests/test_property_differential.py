@@ -312,6 +312,49 @@ def test_pagerank_matches_reference_and_is_order_invariant(spark, edges):
     assert got2 == want
 
 
+# ---------------------------------------------------------------- triangles
+
+
+def _ref_triangle_counts(sym_edges):
+    """Pure-python brute force: per-node count of triangles it belongs to.
+    ``sym_edges`` is the symmetric distinct edge set."""
+    from itertools import combinations
+
+    und = {tuple(sorted(e)) for e in sym_edges}
+    nodes = sorted({n for e in und for n in e})
+    counts = {}
+    for u, v, w in combinations(nodes, 3):
+        if (u, v) in und and (u, w) in und and (v, w) in und:
+            for n in (u, v, w):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_triangle_counts_match_brute_force(spark, edges):
+    """Degree-oriented wedge closure (with the in-row corner crediting)
+    must equal the O(n^3) brute force on arbitrary small graphs, and be
+    partition-order invariant."""
+    from datapipeline_spark.operators.graph import triangle_counts
+
+    sym = sorted({(s, d) for s, d in edges} | {(d, s) for s, d in edges})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == _ref_triangle_counts(sym)
+
+    df2 = spark.createDataFrame(sym[::-1], "src long, dst long").repartition(5)
+    got2 = {r.node: r.n_triangles for r in triangle_counts(df2).collect()}
+    assert got2 == got
+
+
 # ---------------------------------------------------------------- scd2
 
 
