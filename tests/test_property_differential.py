@@ -355,6 +355,138 @@ def test_triangle_counts_match_brute_force(spark, edges):
     assert got2 == got
 
 
+# ------------------------------------------------------- label propagation
+
+
+def _ref_lpa(sym_edges, rounds):
+    """Pure-python sync LPA with min-tie: each round every node adopts the
+    most frequent label among its in-neighbors' PREVIOUS labels, ties to
+    the smallest label."""
+    from collections import Counter, defaultdict
+
+    in_nbrs = defaultdict(set)
+    for s, d in sym_edges:
+        in_nbrs[d].add(s)
+    labels = {n: n for n in {s for s, _ in sym_edges}}
+    for _ in range(rounds):
+        new = {}
+        for node, nbrs in in_nbrs.items():
+            c = Counter(labels[a] for a in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[node] = best[0]
+        labels = new
+    return labels
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None)
+def test_label_propagation_matches_reference(spark, edges, rounds):
+    from datapipeline_spark.operators.graph import label_propagation
+
+    sym = sorted({(s, d) for s, d in edges} | {(d, s) for s, d in edges})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, rounds=rounds, checkpoint=False).collect()
+    }
+    assert got == _ref_lpa(sym, rounds)
+
+
+# ------------------------------------------------------------- bfs / sssp
+
+
+def _ref_bfs(sym_edges, sources, max_hops):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in sym_edges:
+        adj[s].add(d)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    for hop in range(1, max_hops + 1):
+        nxt = {d for f in frontier for d in adj[f]} - dist.keys()
+        for n in nxt:
+            dist[n] = hop
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None)
+def test_bfs_matches_reference(spark, edges, max_hops):
+    from datapipeline_spark.operators.graph import bfs_distances
+
+    sym = sorted({(s, d) for s, d in edges} | {(d, s) for s, d in edges})
+    srcs = sorted({s for s, _ in sym})[:2]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in srcs], "node long")
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(df, sdf, max_hops=max_hops, checkpoint=False).collect()
+    }
+    assert got == _ref_bfs(sym, srcs, max_hops)
+
+
+def _ref_sssp(edges_w, sources, rounds):
+    """Capped Bellman-Ford: `rounds` synchronous relaxations of EVERY
+    settled node's out-edges, min-merged."""
+    dist = {s: 0 for s in sources}
+    for _ in range(rounds):
+        new = dict(dist)
+        for s, d, w in edges_w:
+            if s in dist:
+                cand = dist[s] + w
+                if d not in new or cand < new[d]:
+                    new[d] = cand
+        dist = new
+    return dist
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6), st.integers(0, 6), st.integers(1, 9)
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None)
+def test_sssp_matches_reference(spark, edges_w, rounds):
+    from datapipeline_spark.operators.graph import sssp_distances
+
+    srcs = sorted({s for s, _, _ in edges_w})[:2]
+    df = spark.createDataFrame(edges_w, "src long, dst long, w long")
+    sdf = spark.createDataFrame([(s,) for s in srcs], "node long")
+    got = {
+        r.node: r.dist
+        for r in sssp_distances(
+            df, sdf, rounds=rounds, checkpoint=False
+        ).collect()
+    }
+    assert got == _ref_sssp(edges_w, srcs, rounds)
+
+
 # ---------------------------------------------------------------- scd2
 
 
