@@ -400,6 +400,45 @@ def test_label_propagation_matches_reference(spark, edges, rounds):
     assert got == _ref_lpa(sym, rounds)
 
 
+# ---------------------------------------------------------------- k-core
+
+
+def _ref_kcore(sym_edges, k):
+    """Pure-python peel to fixpoint: survivors of iterated deg >= k."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in sym_edges:
+        adj[s].add(d)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < k}
+        if not drop:
+            return alive
+        alive -= drop
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None)
+def test_kcore_matches_reference(spark, edges, k):
+    from datapipeline_spark.operators.graph import kcore_nodes
+
+    sym = sorted({(s, d) for s, d in edges} | {(d, s) for s, d in edges})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r.node for r in kcore_nodes(df, k=k, checkpoint=False).collect()
+    }
+    assert got == _ref_kcore(sym, k)
+
+
 # ------------------------------------------------------------- bfs / sssp
 
 
