@@ -70,6 +70,44 @@ def test_profiling_and_basket_empty(spark, empties):
     assert frequent_pairs(v, "g", "s", min_item_support=2).count() == 0
 
 
+def test_adjacency_operators_survive_hub_degree(spark):
+    """The adjacency-list graph operators carry a documented per-node
+    degree bound (one out-list per row). Pin that a 10k-degree hub — far
+    beyond any co-purchase degree at the demo SFs — flows through
+    pagerank, LPA and BFS with correct structure: star graphs have a
+    closed-form shape (hub rank dominates, every leaf is one hop out)."""
+    from datapipeline_spark.operators.graph import (
+        bfs_distances,
+        label_propagation,
+        pagerank,
+    )
+
+    n = 10_000
+    leaves = spark.range(1, n + 1).select(F.col("id").alias("leaf"))
+    edges = leaves.select(
+        F.lit(0).alias("src"), F.col("leaf").alias("dst")
+    ).union(leaves.select(F.col("leaf").alias("src"), F.lit(0).alias("dst")))
+
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=2).collect()}
+    assert len(ranks) == n + 1
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0)
+
+    labs = {
+        r.node: r.community
+        for r in label_propagation(edges, rounds=2, checkpoint=False).collect()
+    }
+    # round 1: hub adopts min leaf label (1), leaves adopt hub label (0);
+    # round 2: hub hears only 0s -> 0, leaves hear the hub's 1 -> 1
+    assert labs[0] == 0 and labs[1] == 1
+
+    src = spark.createDataFrame([(0,)], "node long")
+    dist = {
+        r.node: r.dist
+        for r in bfs_distances(edges, src, max_hops=2, checkpoint=False).collect()
+    }
+    assert dist[0] == 0 and all(dist[leaf] == 1 for leaf in (1, 2, n))
+
+
 def test_bloom_empty_is_all_zero_bitmap(spark, empties):
     """An empty build side yields the all-zero bitmap — and the filter
     against it keeps NO probe rows (no false positives from emptiness)."""
