@@ -45,7 +45,10 @@ def connected_components(
     path."""
     # both directions IN-ROW (one explode): the old two-select union
     # consumed the (often expensive: LSH / verification) pair subtree
-    # twice before the checkpoint could help
+    # twice before the checkpoint could help. Deliberately NOT
+    # operators/graph._undirected: that helper drops self-loops, while a
+    # degenerate (x, x) pair must still surface vertex x in the output
+    # ("every vertex in pairs").
     edges = (
         pairs.select(
             F.explode(

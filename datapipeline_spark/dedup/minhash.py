@@ -140,22 +140,11 @@ def lsh_candidate_pairs(
             )
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
-    buckets = (
-        banded.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    )
-    ids = F.col("ids")
-    return (
-        buckets.select(ids, F.posexplode(ids).alias("__i__", "id_a"))
-        .select(
-            "id_a",
-            F.explode(
-                F.slice(ids, F.col("__i__") + F.lit(2), F.size(ids))
-            ).alias("id_b"),
-        )
-        .distinct()
-    )
+    from datapipeline_spark.functions.pairs import inrow_pairs
+
+    return inrow_pairs(
+        banded, ["band", "sig"], id_col, max_group_size=max_bucket
+    ).distinct()
 
 
 def jaccard_pairs(

@@ -83,20 +83,27 @@ def prefix_filter_candidates(
         "shingle",
     )
     t = float(threshold)
-    # overlap requirement alpha = ceil(t/(1+t) * (na+nb)); a prefix match
-    # at (pa, pb) can extend to at most min(na-pa, nb-pb)+1 common tokens
-    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
+    # overlap requirement: a prefix match at (pa, pb) can extend to at most
+    # m = min(na-pa, nb-pb)+1 common tokens, and jaccard >= t needs
+    # m >= t/(1+t)·(na+nb). Evaluated in INTEGER arithmetic — the float
+    # form ceil(lit(t/(1+t)) * (na+nb)) rounds ABOVE the exact rational for
+    # many (t, na+nb) combos (e.g. t=0.8, na+nb=63: exact 28, float ceil
+    # 29), silently over-pruning pairs whose jaccard equals the threshold.
+    # T = floor(t·1e6) under-approximates t, so the integer test
+    # m·(1e6+T) >= T·(na+nb) is never stricter than the exact condition:
+    # lossless by construction, at worst a few extra candidates for exact
+    # verification to discard.
+    t_num = int(math.floor(t * 1_000_000))
+    m = (
+        F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")) + 1
+    ).cast("long")
     return (
         a.join(b, "shingle")
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("nb") >= F.col("na") * t)
-            & (F.col("na") >= F.col("nb") * t)
-            & (
-                F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
-                + 1
-                >= alpha
-            )
+            & (F.col("nb") * 1_000_000 >= F.col("na") * t_num)
+            & (F.col("na") * 1_000_000 >= F.col("nb") * t_num)
+            & (m * (1_000_000 + t_num) >= t_num * (F.col("na") + F.col("nb")))
         )
         .select("id_a", "id_b")
         .distinct()

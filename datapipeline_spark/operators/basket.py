@@ -83,28 +83,22 @@ def frequent_pairs(
     count. Two full-data exchanges total, versus three plus a basket-size
     branch for the self-join formulation this replaces.
     """
+    from datapipeline_spark.functions.pairs import inrow_pairs
+
     raw = df.select(F.col(basket_col).alias("basket"), F.col(item_col).alias("item"))
     if min_item_support > 1:
         keep = item_supports(df, basket_col, item_col, min_item_support)
         raw = raw.join(keep.select("item"), "item", "left_semi")
-    baskets = raw.groupBy("basket").agg(
-        F.sort_array(F.collect_set("item")).alias("__items__")
-    )
-    if max_basket_items is not None:
-        baskets = baskets.filter(F.size("__items__") <= max_basket_items)
-    # two streaming Generates (posexplode → explode of the tail slice)
-    # rather than one nested transform(transform(...)): building the full
-    # array-of-struct pair list per basket allocates O(k²) before the
-    # explode, while Generate streams pairs row-at-a-time inside codegen
-    items = F.col("__items__")
+    # the shared in-row pair core (functions/pairs.inrow_pairs): collect_set
+    # + size gate + two streaming Generates — see that module's docstring
     pairs = (
-        baskets.filter(F.size(items) >= 2)
-        .select(items, F.posexplode(items).alias("__i__", "ia"))
-        .select(
-            "ia",
-            F.explode(
-                F.slice(items, F.col("__i__") + F.lit(2), F.size(items))
-            ).alias("ib"),
+        inrow_pairs(
+            raw,
+            ["basket"],
+            "item",
+            out_a="ia",
+            out_b="ib",
+            max_group_size=max_basket_items,
         )
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))

@@ -40,8 +40,11 @@ def skew_profile(
     once, and the per-key frequency-of-frequency tables ride
     key-partitioned windows. One scan + two full-data exchanges total,
     independent of the candidate count — the old per-key loop scanned and
-    shuffled once per key. Values are profiled under a string cast (cast
-    preserves distinctness; only frequencies surface downstream)."""
+    shuffled once per key. Values are profiled under a string cast so all
+    candidates share one column: injective for the numeric/string/date
+    key types shuffle keys are made of (only frequencies surface
+    downstream); binary keys could collide under string rendering — cast
+    or hash them to a comparable form first."""
     pairs = df.select(
         F.explode(
             F.array(

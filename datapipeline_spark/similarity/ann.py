@@ -459,22 +459,11 @@ def lsh_similar_pairs(
             )
         ).alias("bb"),
     ).select("bid", "bb.band", "bb.bucket")
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("bid")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    )
-    ids = F.col("ids")
-    cand = (
-        buckets.select(ids, F.posexplode(ids).alias("__i__", "id_a"))
-        .select(
-            "id_a",
-            F.explode(
-                F.slice(ids, F.col("__i__") + F.lit(2), F.size(ids))
-            ).alias("id_b"),
-        )
-        .distinct()
-    )
+    from datapipeline_spark.functions.pairs import inrow_pairs
+
+    cand = inrow_pairs(
+        banded, ["band", "bucket"], "bid", max_group_size=max_bucket
+    ).distinct()
     vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     return (
         cand.join(vecs.withColumnsRenamed({"vid": "id_a", "v": "va"}), "id_a")

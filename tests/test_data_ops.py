@@ -672,6 +672,24 @@ def test_ppjoin_equals_brute_force_at_multiple_thresholds(spark):
         assert pp == brute, t
 
 
+def test_prefix_position_filter_keeps_threshold_boundary_pair(spark):
+    """Losslessness at the exact threshold boundary: jaccard == t must
+    survive the position filter. A float-computed
+    ceil(lit(t/(1+t)) * (na+nb)) rounds ABOVE the exact rational for
+    t=0.8, na+nb=63 (exact overlap requirement 28, float ceil 29) and
+    silently dropped this pair — the integer-arithmetic form must not."""
+    from datapipeline_spark.dedup.ppjoin import prefix_filter_candidates
+
+    shared = [f"s{i:02d}" for i in range(28)]
+    a_only = ["a0", "a1"]
+    b_only = ["b0", "b1", "b2", "b3", "b4"]
+    rows = [(1, s) for s in shared + a_only] + [(2, s) for s in shared + b_only]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    # |A|=30, |B|=33, inter=28 -> jaccard = 28/35 = 0.8 exactly
+    cand = {(r.id_a, r.id_b) for r in prefix_filter_candidates(sh, "doc_id", 0.8).collect()}
+    assert (1, 2) in cand
+
+
 def test_prefix_filter_candidate_volume_is_bounded(spark):
     """The candidate set is a strict subset of all co-token pairs — the
     rare-first prefix keeps boilerplate tokens out of the join keys."""
