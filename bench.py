@@ -250,6 +250,7 @@ HEADLINE = [
     "near_dup_clusters",
     "dedup_representatives",
     "prefix_jaccard_join",
+    "prefix_jaccard_join_capped",
     "kcore_parts",
     "bfs_parts",
     "sssp_parts",

@@ -34,6 +34,8 @@ def prefix_filter_candidates(
     shingles: DataFrame,
     id_col: str,
     threshold: float,
+    max_prefix_group: int | None = None,
+    on_exceed: str = "error",
 ) -> DataFrame:
     """Distinct (id_a, id_b) candidate pairs via prefix filtering.
 
@@ -47,9 +49,31 @@ def prefix_filter_candidates(
     exactly the prune that bites when a small vocabulary makes bare
     prefix collisions near-all-pairs (sf0.1 documents: 212k -> 131k
     candidates, 4.4 s -> 2.8 s, bit-identical output).
+
+    Degenerate-corpus guard (`max_prefix_group`): on a corpus whose
+    vocabulary is small relative to document count, even the rare-first
+    prefix tokens collide across a large share of documents and the exact
+    join's OUTPUT is inherently quadratic — no lossless filter can bound
+    it. `max_prefix_group` caps the size of a prefix-token group before any
+    pair is generated (mirroring `inrow_pairs`' max_group_size):
+
+    - ``on_exceed="error"`` (default): a pre-flight aggregate over the
+      prefix stream measures the largest group and the exact candidate-pair
+      count; if any group exceeds the cap, raise with the measured numbers
+      and route the caller to the capped LSH path (`minhash_lsh_pairs`) —
+      the production posture for degenerate corpora.
+    - ``on_exceed="drop"``: prefix groups larger than the cap are dropped
+      before the self-join. Pairs whose EVERY shared prefix token is
+      boilerplate are lost (documented recall trade, deterministic — an
+      oracle can mirror the cap exactly); all other pairs still verify
+      exactly.
+
+    With `max_prefix_group=None` (default) the join is exact and unguarded.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    if on_exceed not in ("error", "drop"):
+        raise ValueError("on_exceed must be 'error' or 'drop'")
     dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     toks = shingles.join(dfreq, "shingle").select(id_col, "shingle", "df")
     per_doc = toks.groupBy(id_col).agg(
@@ -58,8 +82,16 @@ def prefix_filter_candidates(
         ).alias("toks"),
         F.count(F.lit(1)).alias("n"),
     )
-    # prefix length p = n - ceil(t*n) + 1
-    p = (F.col("n") - F.ceil(F.col("n") * F.lit(float(threshold))) + 1).cast("int")
+    # prefix length p = n - ceil(t·n) + 1, in INTEGER arithmetic: with
+    # T = floor(t·1e6), ceil(n·T / 1e6) = (n·T + 999999) DIV 1e6 is the
+    # ceil of an UNDER-approximation of t·n, so it never exceeds the exact
+    # ceil and the prefix can only come out longer — lossless. The float
+    # form F.ceil(n * lit(t)) overshoots exact integers for some (t, n)
+    # (e.g. t=0.07, n=100: float ceil 8 vs exact 7), shortening the prefix
+    # by one token — the same float over-pruning class the position filter
+    # had.
+    t_num = int(math.floor(float(threshold) * 1_000_000))
+    p = F.expr(f"CAST(n - ((n * {t_num} + 999999) DIV 1000000) + 1 AS INT)")
     prefix = per_doc.select(
         F.col(id_col),
         F.col("n"),
@@ -70,6 +102,40 @@ def prefix_filter_candidates(
         (F.col("pos0") + 1).alias("pos"),  # 1-based position in sorted order
         F.col("pt.shingle").alias("shingle"),
     )
+    if max_prefix_group is not None:
+        # the prefix stream is consumed twice below (the group-size
+        # aggregate + both sides of the self-join): one lazy checkpoint so
+        # the first action materializes it exactly once
+        prefix = prefix.localCheckpoint(eager=False)
+        groups = prefix.groupBy("shingle").agg(F.count(F.lit(1)).alias("__g__"))
+        if on_exceed == "error":
+            stats = groups.agg(
+                F.max("__g__").alias("gmax"),
+                F.sum(
+                    F.col("__g__") * (F.col("__g__") - F.lit(1)) / F.lit(2)
+                ).alias("cand_bound"),
+            ).first()
+            gmax = stats["gmax"] or 0
+            if gmax > max_prefix_group:
+                raise ValueError(
+                    f"prefix_filter_candidates: degenerate corpus — the "
+                    f"largest prefix-token group has {gmax} documents "
+                    f"(cap {max_prefix_group}); pair generation is bounded "
+                    f"by ~{int(stats['cand_bound'] or 0)} candidates and the "
+                    f"exact join's output is inherently quadratic here. Use "
+                    f"the capped LSH path (minhash_lsh_pairs / "
+                    f"minhash_dedup_pairs with max_bucket) for this corpus, "
+                    f"or pass on_exceed='drop' to trade recall on "
+                    f"boilerplate-only pairs for a bounded plan."
+                )
+        else:
+            prefix = prefix.join(
+                groups.filter(F.col("__g__") <= max_prefix_group).select(
+                    "shingle"
+                ),
+                "shingle",
+                "leftsemi",
+            )
     a = prefix.select(
         F.col(id_col).alias("id_a"),
         F.col("n").alias("na"),
@@ -82,18 +148,16 @@ def prefix_filter_candidates(
         F.col("pos").alias("pb"),
         "shingle",
     )
-    t = float(threshold)
     # overlap requirement: a prefix match at (pa, pb) can extend to at most
     # m = min(na-pa, nb-pb)+1 common tokens, and jaccard >= t needs
     # m >= t/(1+t)·(na+nb). Evaluated in INTEGER arithmetic — the float
     # form ceil(lit(t/(1+t)) * (na+nb)) rounds ABOVE the exact rational for
     # many (t, na+nb) combos (e.g. t=0.8, na+nb=63: exact 28, float ceil
     # 29), silently over-pruning pairs whose jaccard equals the threshold.
-    # T = floor(t·1e6) under-approximates t, so the integer test
-    # m·(1e6+T) >= T·(na+nb) is never stricter than the exact condition:
-    # lossless by construction, at worst a few extra candidates for exact
-    # verification to discard.
-    t_num = int(math.floor(t * 1_000_000))
+    # T = floor(t·1e6) (t_num above) under-approximates t, so the integer
+    # test m·(1e6+T) >= T·(na+nb) is never stricter than the exact
+    # condition: lossless by construction, at worst a few extra candidates
+    # for exact verification to discard.
     m = (
         F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")) + 1
     ).cast("long")
@@ -116,12 +180,18 @@ def ppjoin_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     shingle_words: int = 2,
+    max_prefix_group: int | None = None,
+    on_exceed: str = "error",
 ) -> DataFrame:
     """End-to-end exact similarity join: shingle → prefix-filter candidates
     → candidate-bounded exact jaccard. Returns exactly the brute-force
-    all-pairs result (id_a, id_b, jaccard >= threshold) with a bounded plan."""
+    all-pairs result (id_a, id_b, jaccard >= threshold) with a bounded plan.
+    `max_prefix_group`/`on_exceed` engage the degenerate-corpus guard — see
+    `prefix_filter_candidates`."""
     from datapipeline_spark.dedup.minhash import word_shingles
 
     sh = word_shingles(df, id_col, text_col, shingle_words)
-    cand = prefix_filter_candidates(sh, id_col, threshold)
+    cand = prefix_filter_candidates(
+        sh, id_col, threshold, max_prefix_group, on_exceed
+    )
     return jaccard_pairs(sh, id_col, cand, threshold)

@@ -2297,6 +2297,70 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppjoin_pairs(d, threshold=0.5)
 
 
+# prefix-group cap for the guarded PPJoin variant: groups above this are
+# dropped before pair generation (deterministic, mirrored in the oracle)
+_PPJ_CAP = 64
+
+
+@query(
+    "prefix_jaccard_join_capped",
+    """
+WITH {bigrams}
+, dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+toks AS (
+  SELECT sh.doc_id, sh.s, dfq.df,
+         row_number() OVER (PARTITION BY sh.doc_id ORDER BY dfq.df, sh.s) AS pos,
+         count(*) OVER (PARTITION BY sh.doc_id) AS n
+  FROM sh JOIN dfq USING (s)
+),
+pref AS (
+  SELECT doc_id, s, pos, n FROM toks
+  WHERE pos <= n - ((n * 500000 + 999999) // 1000000) + 1
+),
+keepg AS (SELECT s FROM pref GROUP BY s HAVING count(*) <= {cap}),
+pk AS (SELECT pref.* FROM pref JOIN keepg USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pk a JOIN pk b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE b.n * 1000000 >= a.n * 500000
+    AND a.n * 1000000 >= b.n * 500000
+    AND (least(a.n - a.pos, b.n - b.pos) + 1) * 1500000 >= 500000 * (a.n + b.n)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ic
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(ic * 1.0 / (sa.n + sb.n - ic), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(ic * 1.0 / (sa.n + sb.n - ic), 6) >= 0.5
+""".format(bigrams=BIGRAMS, cap=_PPJ_CAP),
+)
+def q_prefix_jaccard_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GUARDED form of the exact set-similarity join (dedup/ppjoin.py
+    `max_prefix_group` + `on_exceed='drop'`): prefix-token groups larger
+    than the cap are dropped before any pair is generated, so the plan is
+    bounded by cap²/2 pairs per surviving group even on the adversarial
+    small-vocabulary corpus where the unguarded exact join's output is
+    quadratic (prefix_jaccard_join runs 1-in-5 scoped for exactly that
+    reason; this variant runs the FULL documents table). The trade is
+    deterministic and mirrored token-for-token in the oracle: a pair whose
+    every shared prefix token is boilerplate is dropped; all surviving
+    candidates verify with exact jaccard. The integer prefix length
+    ((n·T + 999999) DIV 1e6 with T = floor(t·1e6)) and the integer
+    position/length filters are identical in both engines."""
+    from datapipeline_spark.dedup import ppjoin_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ppjoin_pairs(
+        d, threshold=0.5, max_prefix_group=_PPJ_CAP, on_exceed="drop"
+    )
+
+
 def _kcore_sql(k: int = 12, rounds: int = 8) -> str:
     """Unrolled peeling oracle: peeling is monotone with a unique fixpoint,
     so unrolling AT LEAST as many rounds as convergence takes (asserted

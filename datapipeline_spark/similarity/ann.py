@@ -424,7 +424,8 @@ def lsh_similar_pairs(
     """Sign-LSH-blocked cosine pairs — the 100 TB form of the pair surface.
 
     Candidate generation collects each (band, bucket)'s member ids ONCE
-    (collect_list — the basket-pair pattern) and explodes the (id_a <
+    (collect_set — sorted and deduped; ids are unique per (band, bucket)
+    so the dedup is a no-op, the basket-pair pattern) and explodes the (id_a <
     id_b) pairs in-row from the sorted list, with buckets larger than
     `max_bucket` dropped by an in-row size gate BEFORE any pair
     materializes (degenerate-region guard, mirroring the MinHash path).

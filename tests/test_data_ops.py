@@ -690,6 +690,70 @@ def test_prefix_position_filter_keeps_threshold_boundary_pair(spark):
     assert (1, 2) in cand
 
 
+def test_prefix_length_integer_ceil_keeps_low_threshold_pair(spark):
+    """Prefix LENGTH must also be integer-exact: float ceil(n * lit(t))
+    overshoots exact integers (t=0.07, n=100: float ceil 8 vs exact 7),
+    shortening the prefix by one token. Construct the pair that only
+    matches at A's 94th-ranked token — exact p = 100 - 7 + 1 = 94 keeps
+    it, the float form's p = 93 drops it."""
+    from datapipeline_spark.dedup.ppjoin import prefix_filter_candidates
+
+    a_only = [f"a{i:02d}" for i in range(93)]  # df=1, rank before shared
+    shared = [f"s{i}" for i in range(7)]  # df=2, A's ranks 94..100
+    rows = [(1, s) for s in a_only + shared] + [(2, s) for s in shared]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    # jaccard = 7/100 = 0.07 exactly; overlap requirement and position
+    # filter both sit at equality — every rounding must be lossless
+    cand = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_candidates(sh, "doc_id", 0.07).collect()
+    }
+    assert (1, 2) in cand
+
+
+def test_prefix_group_cap_error_mode_raises_with_lsh_guidance(spark):
+    """On a degenerate corpus (every doc shares the same rare tokens) the
+    pre-flight guard must fail fast and route to the capped LSH path."""
+    import pytest
+
+    from datapipeline_spark.dedup.ppjoin import prefix_filter_candidates
+
+    rows = [(i, f"t{j}") for i in range(20) for j in range(4)]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        prefix_filter_candidates(
+            sh, "doc_id", 0.5, max_prefix_group=10, on_exceed="error"
+        ).collect()
+
+
+def test_prefix_group_cap_drop_is_subset_of_exact(spark):
+    """Drop mode loses only pairs whose EVERY shared prefix token is in an
+    over-cap group: the result is a subset of the exact join with
+    identical jaccard values, and a cap above every group size is exact."""
+    from datapipeline_spark.dedup import ppjoin_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ppjoin_pairs(d, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ppjoin_pairs(
+            d, threshold=0.5, max_prefix_group=64, on_exceed="drop"
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert all(exact[k] == v for k, v in capped.items())
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ppjoin_pairs(
+            d, threshold=0.5, max_prefix_group=10**9, on_exceed="drop"
+        ).collect()
+    }
+    assert uncapped == exact
+
+
 def test_prefix_filter_candidate_volume_is_bounded(spark):
     """The candidate set is a strict subset of all co-token pairs — the
     rare-first prefix keeps boilerplate tokens out of the join keys."""

@@ -58,6 +58,7 @@ HEAVY = [
     "communities_parts",
     "link_prediction_parts",
     "prefix_jaccard_join",
+    "prefix_jaccard_join_capped",
     "inclusion_deps",
     "equidepth_price_bands",
     "q1_pricing_summary",
