@@ -2390,12 +2390,14 @@ SELECT DISTINCT a AS p_partkey FROM e{rounds}
 @query("kcore_parts", _kcore_sql())
 def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """12-core of the (1-in-5-orders-scoped) co-purchase graph
-    (operators/graph.kcore_nodes): iterative peeling — degree aggregate +
-    two semi-joins per round, lineage checkpointed, early exit at the
-    fixpoint. max_rounds=8 doubles as the proof obligation that the
+    (operators/graph.kcore_nodes): FRONTIER peeling over a static
+    adjacency table — per-round work proportional to the peeled frontier,
+    sparse convergence probes (every 4th round), lineage checkpointed
+    every 2nd. max_rounds=8 doubles as the proof obligation that the
     oracle's unroll depth suffices (the query RAISES if convergence needs
     more). In the bench headline since round 5 (timed numbers include the
-    eager iterative construction)."""
+    iterative construction); round 6 rebuilt the loop from the per-round
+    edge-relation form (2.5 s) to this one (~1.8 s at sf0.1)."""
     from datapipeline_spark.operators.graph import cooccurrence_edges, kcore_nodes
 
     li = (
