@@ -4810,12 +4810,16 @@ def q_recsys_eval_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     counts = train.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    # top-5 via orderBy().limit() — compiles to TakeOrderedAndProject
+    # (distributed per-partition top-k + driver merge), NOT an
+    # unpartitioned row_number window over the whole part domain (which
+    # single-partition-sorts the full aggregate at 100x scale). The rank
+    # window then runs on the 5 surviving rows only.
     w = Window.orderBy(F.desc("c"), F.asc("l_partkey"))
-    # rank window runs on the aggregated part table (bounded by the part
-    # domain); only 5 rows survive to broadcast
     top5 = (
-        counts.withColumn("rec_rank", F.row_number().over(w))
-        .filter(F.col("rec_rank") <= 5)
+        counts.orderBy(F.desc("c"), F.asc("l_partkey"))
+        .limit(5)
+        .withColumn("rec_rank", F.row_number().over(w))
         .select("l_partkey", "rec_rank")
     )
     test = (
