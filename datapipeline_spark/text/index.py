@@ -131,6 +131,10 @@ def bm25_scores(
     # ≤256-row bucket table (bounded global window, intentional); phase 2
     # = within-bucket row_number + offset. Identical output to the naive
     # global window.
+    # the scored subtree (tf/lens/stats joins) is consumed by the range
+    # aggregate, the bucket counts, and the final join — one lazy
+    # checkpoint so it materializes once (single-consumption pattern)
+    scored = scored.localCheckpoint(eager=False)
     rng = F.broadcast(
         scored.agg(F.min("s9").alias("__lo__"), F.max("s9").alias("__hi__"))
     )
