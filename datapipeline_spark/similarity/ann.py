@@ -218,22 +218,18 @@ def lsh_knn(
 
     def banded_ids(df: DataFrame, role: str) -> DataFrame:
         s = random_hyperplane_signature(df, vec_col, dim, planes, seed)
+        # one parsed expression instead of per-band Column ops: the
+        # band/bucket structs are generated by a transform over a literal
+        # sequence (the bloom-bitmap construction-time fix generalized —
+        # each F.lit/shiftright/bitwiseAND chain was a Py4J round-trip,
+        # ~0.13 s per banded_ids call at bands=4)
+        bb = F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), b -> "
+            f"struct(CAST(b AS INT) AS band, "
+            f"shiftright(rh_sig, b * {bits}) & {(1 << bits) - 1} AS bucket)))"
+        )
         return s.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            (
-                                F.shiftright(F.col("rh_sig"), b * bits)
-                                .bitwiseAND(F.lit((1 << bits) - 1))
-                            ).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
+            F.col(id_col).alias(f"{role}_id"), bb.alias("bb")
         ).select(f"{role}_id", "bb.band", "bb.bucket")
 
     from datapipeline_spark.tables import spread
@@ -443,21 +439,14 @@ def lsh_similar_pairs(
     """
     bits = planes // bands
     sig = random_hyperplane_signature(df, vec_col, dim, planes, seed)
+    # one parsed expression for the band/bucket explosion (same
+    # construction-time fix as lsh_knn's banded_ids)
     banded = sig.select(
         F.col(id_col).alias("bid"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (
-                            F.shiftright(F.col("rh_sig"), b * bits)
-                            .bitwiseAND(F.lit((1 << bits) - 1))
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
+        F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), b -> "
+            f"struct(CAST(b AS INT) AS band, "
+            f"shiftright(rh_sig, b * {bits}) & {(1 << bits) - 1} AS bucket)))"
         ).alias("bb"),
     ).select("bid", "bb.band", "bb.bucket")
     from datapipeline_spark.functions.pairs import inrow_pairs
