@@ -3190,38 +3190,89 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(snap, chg, keys=["user_id"], seq=["time", "event_id"])
 
 
-@query("approx_distinct_users", None)  # rows-only: HLL++ estimates are
-# engine-specific (Spark relativeSD=0.01 vs DuckDB's own sketch), so there
-# is no cross-engine value oracle; the error bound is asserted in
-# tests/test_sketch.py instead.
+def _approx_distinct_sql(p: int = 10) -> str:
+    """Oracle for approx_distinct_users: the deterministic-HLL register
+    computation replayed in ANSI SQL (the _hll_sql pattern from
+    queries_data.py), per event_type over the deduped (type, user) pairs,
+    joined with the exact count."""
+    from datapipeline_spark.sketch.hll import alpha_numerator
+
+    m = 1 << p
+    rem_bits = 60 - p
+    mask = (1 << rem_bits) - 1
+    rho_max = rem_bits + 1
+    num = repr(alpha_numerator(p))
+    return f"""
+WITH per AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS h
+  FROM per
+),
+r AS (
+  SELECT event_type, h >> {rem_bits} AS reg,
+         max(CASE WHEN (h & {mask}) = 0 THEN {rho_max}
+                  ELSE {rho_max} - length(bin(h & {mask})) END) AS rho
+  FROM h GROUP BY event_type, reg
+),
+s AS (
+  SELECT event_type, count(*)::BIGINT AS n_registers,
+         (sum(1::BIGINT << ({rho_max} - rho))
+          + ({m} - count(*)) * (1::BIGINT << {rho_max}))::BIGINT
+           AS scaled_harmonic
+  FROM r GROUP BY event_type
+),
+e AS (SELECT event_type, count(*)::BIGINT AS exact_users FROM per GROUP BY 1)
+SELECT s.event_type,
+       CAST(floor({num} / scaled_harmonic::DOUBLE) AS BIGINT) AS approx_users_raw,
+       n_registers, scaled_harmonic, exact_users
+FROM s JOIN e ON s.event_type = e.event_type
+"""
+
+
+@query("approx_distinct_users", _approx_distinct_sql())
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct counting (HLL++, SURVEY.md §2.6 approx-distinct
-    row): per-type unique users with approx_count_distinct(rsd=0.01)
-    alongside the exact count and the relative error. At 100 TB this is THE
-    swap for distinct_daily_users: HLL state is a few KB per group (vs the
-    exact path's shuffle of every distinct (group, user) pair), merges
-    associatively map-side, and composes with rollups. Deterministic for a
-    fixed input (hash-based, order-independent), but not across engines."""
+    """Approximate distinct counting (SURVEY.md §2.6 approx-distinct row):
+    per-type unique users estimated by the deterministic HyperLogLog
+    sketch (sketch/hll.py) alongside the exact count and the relative
+    error. At 100 TB this is THE swap for distinct_daily_users: HLL state
+    is at most m=1024 register rows per group (vs the exact path's shuffle
+    of every distinct (group, user) pair), merges associatively map-side,
+    and composes with rollups. The engine-native approx_count_distinct
+    (HLL++) computes the same quantity cheaper but its sketch state is
+    engine-opaque; the md5-register sketch is bit-replayable in ANSI SQL,
+    which is what promoted this query from rows-only to an exact value
+    oracle (round 6). The RAW (uncorrected) estimate plus the full register
+    summary (n_registers, scaled_harmonic) are emitted — the ln-based
+    small-range correction is not bit-stable cross-engine, so it stays
+    driver-side (sketch/hll.corrected_estimate; tests/test_sketch.py
+    asserts the corrected estimate's error bound from these columns)."""
+    from datapipeline_spark.sketch.hll import hll_estimate, hll_registers
+
     s = events_stream(spark, sf_dir)
     # dedup (type, user) pairs first: the exact count becomes a plain
-    # count(*) and the HLL sees the same distinct set, so mixing the two
-    # aggregates no longer plans an Expand (2x row duplication) — measured
-    # 1.28 s -> 0.7 s at sf0.1; the remaining cost is the dedup shuffle the
-    # exact count inherently needs
-    per = s.select("event_type", "user_id").distinct()
-    out = per.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("exact_users"),
+    # count(*) and the sketch sees the same distinct set; one lazy
+    # checkpoint since the deduped pairs feed both the register aggregate
+    # and the exact count
+    per = s.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=False
     )
-    return out.select(
+    est = hll_estimate(
+        hll_registers(per, "user_id", groups=["event_type"]),
+        groups=["event_type"],
+    )
+    exact = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_users")
+    )
+    # explicit floor: DuckDB's double->BIGINT cast rounds half-even while
+    # Spark's truncates — at sf0.1 the estimate landed at 1714.99…, one
+    # engine said 1714 and the other 1715
+    return est.join(exact, "event_type").select(
         "event_type",
-        "approx_users",
+        F.floor(F.col("est_raw")).cast("long").alias("approx_users_raw"),
+        "n_registers",
+        "scaled_harmonic",
         "exact_users",
-        F.round(
-            F.abs(F.col("approx_users") - F.col("exact_users"))
-            / F.col("exact_users"),
-            6,
-        ).alias("rel_err"),
     )
 
 

@@ -46,12 +46,17 @@ def test_cm_unseen_key_estimates_zero_or_collision(spark):
 
 
 def test_approx_distinct_within_bound(spark):
+    """The CORRECTED estimate (driver-side linear counting at small range,
+    sketch/hll.corrected_estimate) must track the exact count; the query
+    itself emits only the bit-deterministic raw pieces."""
     from datapipeline_spark.queries_core import approx_distinct_users
+    from datapipeline_spark.sketch.hll import corrected_estimate
 
     rows = approx_distinct_users(spark, "/root/testdata/sf0.001").collect()
     assert len(rows) > 0
     for r in rows:
-        assert r.rel_err <= 0.05  # rsd=0.01 -> 5 sigma headroom
+        est = corrected_estimate(r.n_registers, r.scaled_harmonic)
+        assert abs(est - r.exact_users) / r.exact_users <= 0.05, r
 
 
 def test_hll_accuracy_and_merge_associativity(spark):
