@@ -211,18 +211,22 @@ def preview(
     stream: str | None = None,
 ) -> DataFrame:
     """Materialization-point preview (reference preview boundaries,
-    execution/pipeline.py:46-65 + config/preview.py:4-20):
+    execution/pipeline.py:46-65 + config/preview.py:4-20 — all SIX stages):
 
+    - ``input``       loader→parser output of one stream (requires
+                      ``stream=``), before the canonical mapper
+    - ``canonical``   after map_records/combine_records, before operators
+                      (requires ``stream=``)
     - ``records``     one compiled stream (requires ``stream=``)
     - ``series``      the long series frame feeding sample assembly
     - ``samples``     the wide frame BEFORE postprocess/splits
     - ``postprocess`` the final dataset frame (single output or labeled)
     """
     compiled = open_project(spark, project_dir)
-    if stage == "records":
+    if stage in ("input", "canonical", "records"):
         if stream is None:
-            raise ValueError("preview stage 'records' requires stream=")
-        return compiled.stream(stream)
+            raise ValueError(f"preview stage {stage!r} requires stream=")
+        return compiled.stream_at(stream, stage)
     if stage == "series":
         from datapipeline_spark.plans.artifacts import _build_series
 
@@ -242,7 +246,8 @@ def preview(
             return next(iter(outs.values()))
         return build.samples
     raise ValueError(
-        f"unknown preview stage {stage!r}; use records|series|samples|postprocess"
+        f"unknown preview stage {stage!r}; use "
+        "input|canonical|records|series|samples|postprocess"
     )
 
 

@@ -380,7 +380,17 @@ def main(argv: list[str] | None = None) -> int:
 
     v = sub.add_parser("preview", help="show a pipeline materialization point")
     v.add_argument("project")
-    v.add_argument("stage", choices=["records", "series", "samples", "postprocess"])
+    v.add_argument(
+        "stage",
+        choices=[
+            "input",
+            "canonical",
+            "records",
+            "series",
+            "samples",
+            "postprocess",
+        ],
+    )
     v.add_argument("--stream", default=None)
     v.add_argument("--limit", type=int, default=10)
     v.set_defaults(fn=cmd_preview)

@@ -260,6 +260,60 @@ class CompiledProject:
         self._partitions[stream_id] = partition_by
         return df
 
+    def stream_at(self, stream_id: str, point: str = "records") -> DataFrame:
+        """A stream truncated at a reference preview boundary (reference
+        operations/runtime/dataset.py:150-172 `_record_preview_stream`):
+
+        - ``input``      loader→parser output, before the canonical mapper
+                         (for aligned/broadcast streams: the merged frame
+                         before the combiner — the reference's "input node"
+                         of those pipelines IS the alignment);
+        - ``canonical``  after map_records / combine_records, before the
+                         stream's operators;
+        - ``records``    the full compiled stream (== ``stream``).
+
+        Derived streams mirror the reference exactly: both ``input`` and
+        ``canonical`` return the UPSTREAM stream's full records (the
+        derived pipeline truncated at the upstream's stage count).
+        """
+        if point == "records":
+            return self.stream(stream_id)
+        if point not in ("input", "canonical"):
+            raise ValueError(
+                f"unknown preview point {point!r}; use input|canonical|records"
+            )
+        cfg = self.definition.streams.get(stream_id)
+        if cfg is None:
+            raise KeyError(f"unknown stream {stream_id!r}")
+        frm = cfg.from_
+        if isinstance(frm, SourceFrom):
+            df = load_source(
+                self.spark, self.definition.sources[frm.source], self.definition
+            )
+            return df if point == "input" else self._map(df, cfg)
+        if isinstance(frm, StreamFrom):
+            return self.stream(frm.stream)
+        if isinstance(frm, BroadcastFrom):
+            primary = self.stream(frm.stream)
+            global_df = self.stream(frm.broadcast)
+            prefix = _sanitize(frm.broadcast) + "_"
+            joined = broadcast_stream(primary, global_df, prefix=prefix)
+            if point == "input":
+                return joined
+            refs = {frm.stream: "", frm.broadcast: prefix}
+            return self._combine(joined, refs, cfg)
+        if isinstance(frm, AlignFrom):
+            inputs = {sid: self.stream(sid) for sid in frm.align}
+            parts = [tuple(self.partition_by(sid)) for sid in frm.align]
+            partition_by = cfg.partition_by or list(parts[0])
+            named = {_sanitize(sid): df for sid, df in inputs.items()}
+            joined = align_streams(named, partition_by)
+            if point == "input":
+                return joined
+            refs = {sid: _sanitize(sid) + "_" for sid in frm.align}
+            return self._combine(joined, refs, cfg)
+        raise TypeError(f"unsupported from: {frm!r}")  # pragma: no cover
+
     # ----------------------------------------------------------------- #
 
     def _build(self, cfg: StreamConfig) -> tuple[DataFrame, list[str]]:

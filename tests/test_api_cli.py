@@ -193,6 +193,51 @@ def test_preview_stages(spark, project, capsys):
         preview(spark, project, "records")
 
 
+def test_preview_input_and_canonical_stages(spark, project):
+    """The two record-level boundaries the reference exposes before the
+    full stream (config/preview.py:4-20, operations/runtime/dataset.py:
+    150-172): `input` = loader→parser output, `canonical` = after the
+    mapper; derived streams return the upstream's records at both."""
+    from datapipeline_spark.api import preview
+
+    # a stream with a canonical mapper: input sees raw (time, loc, value),
+    # canonical sees the mapper's (time, value) projection
+    _write(
+        project / "streams" / "m2.yaml",
+        """id: s.m2
+from: { source: src.m }
+partition_by: []
+map: { entrypoint: encode_time, args: { mode: linear } }
+""",
+    )
+    inp = preview(spark, project, "input", stream="s.m2")
+    assert set(inp.columns) >= {"time", "loc", "value"}
+    canon = preview(spark, project, "canonical", stream="s.m2")
+    assert set(canon.columns) == {"time", "value"}
+    assert canon.count() == inp.count() == 12
+
+    # no mapper: input == canonical == the parsed frame
+    no_map = preview(spark, project, "canonical", stream="s.m")
+    assert no_map.columns == preview(spark, project, "input", stream="s.m").columns
+
+    # derived stream: both boundaries are the UPSTREAM stream's records
+    _write(
+        project / "streams" / "d.yaml",
+        """id: s.d
+from: { stream: s.m }
+""",
+    )
+    up = preview(spark, project, "records", stream="s.m")
+    for point in ("input", "canonical"):
+        got = preview(spark, project, point, stream="s.d")
+        assert got.columns == up.columns and got.count() == up.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires stream"):
+        preview(spark, project, "input")
+
+
 def test_sql_over_project_streams(spark, project):
     """register_views exposes compiled streams as lazy temp views; spark.sql
     composes with the whole transform chain through Catalyst."""
