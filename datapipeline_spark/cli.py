@@ -136,6 +136,13 @@ def cmd_version(args) -> int:
     return 0
 
 
+def cmd_env(args) -> int:
+    from datapipeline_spark.plans.scaffold import env_report
+
+    print(env_report())
+    return 0
+
+
 def cmd_sql(args) -> int:
     from datapipeline_spark.api import sql
 
@@ -371,6 +378,9 @@ def main(argv: list[str] | None = None) -> int:
 
     ver = sub.add_parser("version", help="print engine + pyspark versions")
     ver.set_defaults(fn=cmd_version)
+
+    envp = sub.add_parser("env", help="show engine environment details")
+    envp.set_defaults(fn=cmd_env)
 
     cl = sub.add_parser("clean", help="inspect or remove stale run outputs/staging")
     cl.add_argument("--project", default=None)

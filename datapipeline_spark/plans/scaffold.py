@@ -172,6 +172,32 @@ def version_report() -> str:
     return f"datapipeline-spark {__version__} (pyspark {pyspark.__version__})"
 
 
+def env_report() -> str:
+    """Environment details beyond the one-line version (reference `jerry
+    env`, cli/version.py:23-34): install location, interpreter, JVM."""
+    import os
+    import platform
+    import sys
+    from pathlib import Path
+
+    import pyspark
+
+    import datapipeline_spark
+
+    from datapipeline_spark import __version__
+
+    return "\n".join(
+        [
+            f"datapipeline-spark: {__version__}",
+            f"package: {Path(datapipeline_spark.__file__).resolve().parent}",
+            f"pyspark: {pyspark.__version__} ({Path(pyspark.__file__).resolve().parent})",
+            f"python: {sys.executable}",
+            f"python-version: {platform.python_version()}",
+            f"java-home: {os.environ.get('JAVA_HOME', '(unset)')}",
+        ]
+    )
+
+
 # ------------------------------------------------------------------- cleanup
 
 

@@ -84,3 +84,16 @@ def test_plugin_init_registers(tmp_path):
     with pytest.raises(ValueError, match="identifier"):
         plugin_init(str(tmp_path), "not-an-identifier")
     assert version_report().startswith("datapipeline-spark ")
+
+
+def test_env_report_and_cli(capsys):
+    """`env` mirrors the reference's `jerry env` (cli/parser_builder.py:36,
+    cli/version.py:23-34): install location + interpreter + JVM details."""
+    from datapipeline_spark import cli
+    from datapipeline_spark.plans.scaffold import env_report
+
+    rep = env_report()
+    for key in ("datapipeline-spark:", "pyspark:", "python:", "java-home:"):
+        assert key in rep
+    assert cli.main(["env"]) == 0
+    assert "pyspark:" in capsys.readouterr().out
