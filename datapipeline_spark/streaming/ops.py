@@ -556,6 +556,9 @@ def _is_rocksdb_session(spark) -> bool:
             == ROCKSDB_PROVIDER
         )
     except Exception:
+        # conf probe only: some session states raise on unknown streaming
+        # keys — "couldn't read the conf" and "not RocksDB" route the same
+        # way (the caller picks the HDFS-backed default provider)
         return False
 
 
