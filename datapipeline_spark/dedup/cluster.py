@@ -62,10 +62,13 @@ def connected_components(
         .distinct()
     )
     if checkpoint:
-        # the loop runs actions every round — without materializing the edge
-        # list here, the (often expensive: LSH / O(n²) cosine) pair
-        # generation upstream would be recomputed every round
-        edges = edges.localCheckpoint(eager=True)
+        # the loop runs actions every round — without a checkpoint here,
+        # the (often expensive: LSH / O(n²) cosine) pair generation
+        # upstream would be recomputed every round. LAZY: the driver-path
+        # probe (or the first loop action) materializes it; partitions the
+        # early-exiting probe never touched are computed and stored at
+        # their first consumer, never twice.
+        edges = edges.localCheckpoint(eager=False)
     if driver_edge_threshold > 0:
         n_edges = edges.limit(driver_edge_threshold + 1).count()
         if n_edges <= driver_edge_threshold:

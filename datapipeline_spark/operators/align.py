@@ -79,7 +79,7 @@ def broadcast_stream(
     raises at execution time (reference: missing match = error,
     broadcast.py:43-57); unused broadcast keys are ignored.
 
-    ``stage`` eagerly materializes the global side (localCheckpoint) before
+    ``stage`` stages the global side behind a (lazy) localCheckpoint before
     the broadcast. Use it whenever `global_df` DERIVES FROM `primary`
     (e.g. a collapsed aggregate of the same stream): without staging the
     shared subtree is planned twice — once under the broadcast, once on the
@@ -95,7 +95,10 @@ def broadcast_stream(
     marker = f"{prefix}__matched__"
     right = right.withColumn(marker, F.lit(True))
     if stage:
-        right = right.localCheckpoint(eager=True)
+        # lazy: the broadcast exchange is the first (and only) consumer —
+        # it materializes the staged side once; eager just paid the same
+        # job earlier, at build time
+        right = right.localCheckpoint(eager=False)
     joined = primary.join(F.broadcast(right), on=time_field, how="left")
     if strict:
         # expressed as a filter so column pruning can't elide the check
