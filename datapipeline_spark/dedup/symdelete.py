@@ -61,11 +61,15 @@ def deletion_join(
     (k in {1, 2}). Output: ``block_cols + (id_a, id_b, dist)`` — exactly
     the naive ``a JOIN b ON block AND id_a < id_b WHERE lev <= k``.
 
-    Plan: one explode to (block, variant, id), a self-equi-join on
-    (block, variant) — candidate volume is Σ bucket², with buckets sized
+    Plan: one explode to (block, variant, id), then IN-ROW pair generation
+    per (block, variant) bucket (one collect_set groupBy + (i < j)
+    explode — the basket-pair pattern, functions/pairs.py) instead of a
+    variant-keyed self-equi-join: the exploded variant stream is consumed
+    ONCE, one exchange feeds the pair stream, and no join ever keys on the
+    variant alone. Candidate volume is still Σ bucket², with buckets sized
     by how many strings share a full deletion variant (tiny unless the
-    strings genuinely collide) — then distinct id pairs rejoin the
-    original strings for bounded-levenshtein verification.
+    strings genuinely collide); distinct id pairs then rejoin the original
+    strings for bounded-levenshtein verification.
     """
     bc = list(block_cols)
     base = df.select(
@@ -74,12 +78,20 @@ def deletion_join(
     exploded = base.select(
         *bc, "__id__", F.explode(deletion_variants("__s__", k)).alias("__v__")
     )
-    a = exploded.select(*bc, F.col("__id__").alias("id_a"), "__v__")
-    b = exploded.select(*bc, F.col("__id__").alias("id_b"), "__v__")
+    buckets = exploded.groupBy(*bc, "__v__").agg(
+        F.sort_array(F.collect_set("__id__")).alias("__ids__")
+    )
+    ms = F.col("__ids__")
     cand = (
-        a.join(b, [*bc, "__v__"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(*bc, "id_a", "id_b")
+        buckets.filter(F.size(ms) >= 2)
+        .select(*bc, ms, F.posexplode(ms).alias("__i__", "id_a"))
+        .select(
+            *bc,
+            "id_a",
+            F.explode(
+                F.slice(ms, F.col("__i__") + F.lit(2), F.size(ms))
+            ).alias("id_b"),
+        )
         .distinct()
     )
     strs = base
