@@ -117,3 +117,16 @@ def test_bloom_empty_is_all_zero_bitmap(spark, empties):
     assert all(w == 0 for w in words)
     probe = spark.createDataFrame([(1,), (2,)], "y long")
     assert bloom_filter_keys(probe, "y", words).count() == 0
+
+
+def test_ppjoin_guard_on_empty_corpus(spark, empties):
+    """Both guard modes degrade cleanly on an empty corpus: the error
+    pre-flight sees no groups (max None -> 0) and proceeds to an empty
+    result instead of raising."""
+    from datapipeline_spark.dedup import ppjoin_pairs
+
+    for mode in ("error", "drop"):
+        out = ppjoin_pairs(
+            empties["docs"], threshold=0.5, max_prefix_group=10, on_exceed=mode
+        )
+        assert out.count() == 0

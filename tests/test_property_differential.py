@@ -1297,3 +1297,84 @@ def test_ols2_collinear_is_null(spark):
     df = spark.createDataFrame(rows, "g: string, x1: long, x2: long, y: long")
     r = ols2(df, "x1", "x2", "y", ["g"]).collect()[0]
     assert r["b1"] is None and r["b2"] is None and r["intercept"] is None
+
+
+# --------------------------------------------------- capped prefix join
+
+
+def _ref_ppjoin_capped(docs, t, cap):
+    """Pure-python transcription of ppjoin_pairs(max_prefix_group=cap,
+    on_exceed='drop'): rare-first prefixes with the integer prefix length,
+    over-cap prefix groups dropped before pair generation, surviving
+    candidates (length + position filtered) verified with exact jaccard
+    rounded to 6."""
+    import itertools
+    from collections import Counter, defaultdict
+
+    sh = {
+        i: {f"{w[j]} {w[j+1]}" for j in range(len(w) - 1)}
+        for i, w in docs.items()
+        if len(w) >= 2
+    }
+    sh = {i: s for i, s in sh.items() if s}
+    dfreq = Counter(s for ss in sh.values() for s in ss)
+    t_num = int(t * 1_000_000)
+    prefix = {}  # id -> {shingle: (pos, n)}
+    for i, ss in sh.items():
+        toks = sorted(ss, key=lambda s: (dfreq[s], s))
+        n = len(toks)
+        p = n - ((n * t_num + 999_999) // 1_000_000) + 1
+        prefix[i] = {s: (pos + 1, n) for pos, s in enumerate(toks[:p])}
+    groups = Counter(s for pp in prefix.values() for s in pp)
+    surviving = {s for s, g in groups.items() if g <= cap}
+    by_shingle = defaultdict(list)
+    for i, pp in prefix.items():
+        for s in pp:
+            if s in surviving:
+                by_shingle[s].append(i)
+    cand = set()
+    for s, ids in by_shingle.items():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            pa, na = prefix[a][s]
+            pb, nb = prefix[b][s]
+            if nb * 1_000_000 < na * t_num or na * 1_000_000 < nb * t_num:
+                continue
+            m = min(na - pa, nb - pb) + 1
+            if m * (1_000_000 + t_num) >= t_num * (na + nb):
+                cand.add((a, b))
+    out = set()
+    for a, b in cand:
+        inter = len(sh[a] & sh[b])
+        j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+        if j >= t:
+            out.add((a, b))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=2, max_size=8),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+    st.integers(1, 6),
+)
+@settings(max_examples=12, deadline=None)
+def test_capped_ppjoin_matches_reference(spark, word_lists, t, cap):
+    """The drop-mode guard's semantics are deterministic and must match a
+    direct transcription: over-cap prefix groups never generate pairs, and
+    the tiny vocabulary here forces the cap to bite."""
+    from datapipeline_spark.dedup import ppjoin_pairs
+
+    docs = {i: w for i, w in enumerate(word_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in ppjoin_pairs(
+            df, threshold=t, max_prefix_group=cap, on_exceed="drop"
+        ).collect()
+    }
+    assert got == _ref_ppjoin_capped(docs, t, cap)
