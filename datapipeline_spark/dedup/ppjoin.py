@@ -61,7 +61,12 @@ def prefix_filter_candidates(
       prefix stream measures the largest group and the exact candidate-pair
       count; if any group exceeds the cap, raise with the measured numbers
       and route the caller to the capped LSH path (`minhash_lsh_pairs`) —
-      the production posture for degenerate corpora.
+      the production posture for degenerate corpora. NOTE: the pre-flight
+      is an EAGER Spark job at construction time (the same documented
+      eager-construction class as the bloom bitmap / IVF centroid fit) —
+      a fail-fast guard must measure before the plan is handed back;
+      callers that only want a bounded plan without the build-time scan
+      should use ``on_exceed="drop"``, which is fully lazy.
     - ``on_exceed="drop"``: prefix groups larger than the cap are dropped
       before the self-join. Pairs whose EVERY shared prefix token is
       boilerplate are lost (documented recall trade, deterministic — an

@@ -274,7 +274,10 @@ class CompiledProject:
 
         Derived streams mirror the reference exactly: both ``input`` and
         ``canonical`` return the UPSTREAM stream's full records (the
-        derived pipeline truncated at the upstream's stage count).
+        derived pipeline truncated at the upstream's stage count —
+        reference dataset.py:151-157 excludes the derived stream's OWN
+        stages, its mapper included, at both boundaries; the mapper first
+        appears in ``records``).
         """
         if point == "records":
             return self.stream(stream_id)
@@ -294,27 +297,42 @@ class CompiledProject:
         if isinstance(frm, StreamFrom):
             return self.stream(frm.stream)
         if isinstance(frm, BroadcastFrom):
-            primary = self.stream(frm.stream)
-            global_df = self.stream(frm.broadcast)
-            prefix = _sanitize(frm.broadcast) + "_"
-            joined = broadcast_stream(primary, global_df, prefix=prefix)
-            if point == "input":
-                return joined
-            refs = {frm.stream: "", frm.broadcast: prefix}
-            return self._combine(joined, refs, cfg)
+            joined, refs = self._broadcast_joined(frm)
+            return joined if point == "input" else self._combine(joined, refs, cfg)
         if isinstance(frm, AlignFrom):
-            inputs = {sid: self.stream(sid) for sid in frm.align}
-            parts = [tuple(self.partition_by(sid)) for sid in frm.align]
-            partition_by = cfg.partition_by or list(parts[0])
-            named = {_sanitize(sid): df for sid, df in inputs.items()}
-            joined = align_streams(named, partition_by)
-            if point == "input":
-                return joined
-            refs = {sid: _sanitize(sid) + "_" for sid in frm.align}
-            return self._combine(joined, refs, cfg)
+            joined, refs, _ = self._align_joined(cfg, frm)
+            return joined if point == "input" else self._combine(joined, refs, cfg)
         raise TypeError(f"unsupported from: {frm!r}")  # pragma: no cover
 
     # ----------------------------------------------------------------- #
+
+    def _broadcast_joined(
+        self, frm: BroadcastFrom
+    ) -> tuple[DataFrame, dict[str, str]]:
+        """Shared broadcast-merge assembly (one code path for _build and
+        the preview boundaries, so they cannot drift)."""
+        primary = self.stream(frm.stream)
+        global_df = self.stream(frm.broadcast)
+        prefix = _sanitize(frm.broadcast) + "_"
+        joined = broadcast_stream(primary, global_df, prefix=prefix)
+        return joined, {frm.stream: "", frm.broadcast: prefix}
+
+    def _align_joined(
+        self, cfg: StreamConfig, frm: AlignFrom
+    ) -> tuple[DataFrame, dict[str, str], list[str]]:
+        """Shared n-way alignment assembly, including the partition_by
+        consistency validation (one code path for _build and preview)."""
+        inputs = {sid: self.stream(sid) for sid in frm.align}
+        parts = [tuple(self.partition_by(sid)) for sid in frm.align]
+        if len(set(parts)) != 1:
+            raise ValueError(
+                f"stream {cfg.id}: aligned inputs disagree on partition_by {parts}"
+            )
+        partition_by = cfg.partition_by or list(parts[0])
+        named = {_sanitize(sid): df for sid, df in inputs.items()}
+        joined = align_streams(named, partition_by)
+        refs = {sid: _sanitize(sid) + "_" for sid in frm.align}
+        return joined, refs, partition_by
 
     def _build(self, cfg: StreamConfig) -> tuple[DataFrame, list[str]]:
         frm = cfg.from_
@@ -327,24 +345,11 @@ class CompiledProject:
             partition_by = cfg.partition_by or self.partition_by(frm.stream)
             df = self._map(df, cfg)
         elif isinstance(frm, BroadcastFrom):
-            primary = self.stream(frm.stream)
-            global_df = self.stream(frm.broadcast)
             partition_by = cfg.partition_by or self.partition_by(frm.stream)
-            prefix = _sanitize(frm.broadcast) + "_"
-            joined = broadcast_stream(primary, global_df, prefix=prefix)
-            refs = {frm.stream: "", frm.broadcast: prefix}
+            joined, refs = self._broadcast_joined(frm)
             df = self._combine(joined, refs, cfg)
         elif isinstance(frm, AlignFrom):
-            inputs = {sid: self.stream(sid) for sid in frm.align}
-            parts = [tuple(self.partition_by(sid)) for sid in frm.align]
-            if len(set(parts)) != 1:
-                raise ValueError(
-                    f"stream {cfg.id}: aligned inputs disagree on partition_by {parts}"
-                )
-            partition_by = cfg.partition_by or list(parts[0])
-            named = {_sanitize(sid): df for sid, df in inputs.items()}
-            joined = align_streams(named, partition_by)
-            refs = {sid: _sanitize(sid) + "_" for sid in frm.align}
+            joined, refs, partition_by = self._align_joined(cfg, frm)
             df = self._combine(joined, refs, cfg)
         else:  # pragma: no cover
             raise TypeError(f"unsupported from: {frm!r}")

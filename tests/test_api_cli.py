@@ -220,17 +220,25 @@ map: { entrypoint: encode_time, args: { mode: linear } }
     no_map = preview(spark, project, "canonical", stream="s.m")
     assert no_map.columns == preview(spark, project, "input", stream="s.m").columns
 
-    # derived stream: both boundaries are the UPSTREAM stream's records
+    # derived stream: both boundaries are the UPSTREAM stream's records —
+    # even when the derived stream declares its OWN mapper (the reference
+    # truncates at the upstream's stage count, dataset.py:151-157, so the
+    # derived mapper first appears at `records`)
     _write(
         project / "streams" / "d.yaml",
         """id: s.d
 from: { stream: s.m }
+map: { entrypoint: encode_time, args: { mode: linear } }
 """,
     )
     up = preview(spark, project, "records", stream="s.m")
     for point in ("input", "canonical"):
         got = preview(spark, project, point, stream="s.d")
         assert got.columns == up.columns and got.count() == up.count()
+    assert set(preview(spark, project, "records", stream="s.d").columns) == {
+        "time",
+        "value",
+    }
 
     import pytest as _pytest
 

@@ -40,7 +40,13 @@ def main() -> int:
             failures.append(f"{label}: claim not found (pattern {pattern!r})")
             return
         got = m.group(1)
-        if str(got) != str(expected):
+        # numeric claims compare as numbers ("0.90" in prose must match an
+        # artifact value of 0.9); everything else compares as strings
+        try:
+            equal = float(got) == float(expected)
+        except (TypeError, ValueError):
+            equal = str(got) == str(expected)
+        if not equal:
             failures.append(f"{label}: README says {got!r}, head measures {expected!r}")
 
     n_queries = len(entry.queries())
