@@ -107,11 +107,14 @@ def prefix_filter_candidates(
         (F.col("pos0") + 1).alias("pos"),  # 1-based position in sorted order
         F.col("pt.shingle").alias("shingle"),
     )
+    # the prefix stream is consumed at least twice below (both sides of
+    # the candidate join; the guard adds a group-size aggregate): one lazy
+    # checkpoint so the first action materializes it exactly once — the
+    # unguarded plan otherwise carried both sides' full
+    # scan→df-join→sort→slice subtrees (40 scan copies at 2-word shingles)
+    # and relied on AQE exchange reuse to rescue the runtime
+    prefix = prefix.localCheckpoint(eager=False)
     if max_prefix_group is not None:
-        # the prefix stream is consumed twice below (the group-size
-        # aggregate + both sides of the self-join): one lazy checkpoint so
-        # the first action materializes it exactly once
-        prefix = prefix.localCheckpoint(eager=False)
         groups = prefix.groupBy("shingle").agg(F.count(F.lit(1)).alias("__g__"))
         if on_exceed == "error":
             stats = groups.agg(
@@ -195,7 +198,12 @@ def ppjoin_pairs(
     `prefix_filter_candidates`."""
     from datapipeline_spark.dedup.minhash import word_shingles
 
-    sh = word_shingles(df, id_col, text_col, shingle_words)
+    # the shingle stream feeds the document-frequency aggregate, the
+    # per-doc token sort, the size table, and both intersection sides of
+    # the verification (~5 consumers) — lazy checkpoint, minhash-path style
+    sh = word_shingles(df, id_col, text_col, shingle_words).localCheckpoint(
+        eager=False
+    )
     cand = prefix_filter_candidates(
         sh, id_col, threshold, max_prefix_group, on_exceed
     )

@@ -55,6 +55,11 @@ def span_corrupt(
     toks = toks.withColumn("mrank", F.sum("m").over(w)).withColumn(
         "island", F.when(F.col("m") == 1, F.col("pos") - F.col("mrank"))
     )
+    # the tokenize+hash+island subtree is consumed twice (the span
+    # numbering branch and the join's probe side) — one lazy checkpoint so
+    # it tokenizes and windows once (the plan otherwise carried two full
+    # scan→explode→window copies, one under the broadcast)
+    toks = toks.localCheckpoint(eager=False)
     # span numbering: dense rank of islands among this doc's masked rows
     wspan = Window.partitionBy("id").orderBy("island")
     spans = (
