@@ -67,7 +67,10 @@ def connected_components(
         # upstream would be recomputed every round. LAZY: the driver-path
         # probe (or the first loop action) materializes it; partitions the
         # early-exiting probe never touched are computed and stored at
-        # their first consumer, never twice.
+        # their first consumer, never twice. (Round-7 idle-host A/B on
+        # near_dup_clusters @ sf0.1, min-of-3 alternating: lazy 2.81 s vs
+        # eager 3.02 s — the r6 driver-bench swing was ambient drift, the
+        # whole LSH family moved together; lazy stays.)
         edges = edges.localCheckpoint(eager=False)
     if driver_edge_threshold > 0:
         n_edges = edges.limit(driver_edge_threshold + 1).count()

@@ -2740,25 +2740,37 @@ SELECT node AS p_partkey, dist::INTEGER AS dist FROM d{max_hops}
 def q_bfs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distances (<=3) over the (1-in-7-scoped)
     co-purchase graph from the ~1% of parts with p_partkey % 97 = 0
-    (operators/graph.bfs_distances): level-synchronous frontier expansion,
-    per round one frontier-bounded join + anti-join, lineage
-    checkpointed. Capped-horizon semantics make the oracle a fixed-depth
-    unrolled min-merge. In the bench headline since round 5 (timed
-    numbers include the eager iterative construction)."""
-    from datapipeline_spark.operators.graph import bfs_distances, cooccurrence_edges
+    (operators/graph.bfs_distances, minmerge strategy — the oracle's own
+    unrolled shape). Hop 1 never touches the adjacency: sources are a
+    predicate over the pair stream, so d1 = min-merge(sources ∪ filtered
+    pair dsts) rides one aggregate that AQE materializes IN PARALLEL with
+    the adjacency build (round-7 A/B: 1.29 s -> 1.07 s, bit-identical).
+    The raw cooccurrence_pairs stream feeds both (no distinct exchange —
+    the adjacency collect_set and the d1 min dedup for free)."""
+    from datapipeline_spark.operators.graph import bfs_distances, cooccurrence_pairs
 
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 7 == 0)
         .select("l_orderkey", "l_partkey")
     )
-    edges = cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
-    sources = li.filter(F.col("l_partkey") % 97 == 0).select(
-        F.col("l_partkey").alias("node")
+    pairs = cooccurrence_pairs(li, group_col="l_orderkey", item_col="l_partkey")
+    d1 = (
+        li.filter(F.col("l_partkey") % 97 == 0)
+        .select(
+            F.col("l_partkey").alias("node"), F.lit(0).cast("int").alias("dist")
+        )
+        .unionByName(
+            pairs.filter(F.col("src") % 97 == 0).select(
+                F.col("dst").alias("node"), F.lit(1).cast("int").alias("dist")
+            )
+        )
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist"))
     )
-    return bfs_distances(edges, sources, max_hops=3).select(
-        F.col("node").alias("p_partkey"), "dist"
-    )
+    return bfs_distances(
+        pairs, None, max_hops=3, initial=d1, initial_hops=1
+    ).select(F.col("node").alias("p_partkey"), "dist")
 
 
 _CUST_REV_CENTS = """
@@ -3424,8 +3436,14 @@ def q_sssp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared orders, 3 fixed rounds — exact integer min-plus arithmetic, so
     the unrolled relax/min-merge oracle matches bit-for-bit. Per round one
     source-keyed join + one min aggregate; the weighted companion to
-    bfs_parts, completing the graph family. In the bench headline since
-    round 5 (timed numbers include the eager iterative construction)."""
+    bfs_parts, completing the graph family. Round-7 shape (A/B 1.98 s ->
+    1.37 s at sf0.1, bit-identical): edge pairs are generated IN-ROW
+    (groupBy order + double explode — no self-join), the adjacency takes
+    the RAW weighted pair stream (the per-(src,dst) edge min is subsumed
+    by the round min-merge), and round 1 never touches the adjacency —
+    sources are a predicate over the pair stream, so d1 = min-merge over
+    (src,0)/(dst,w) structs exploded in-row from the filtered pairs,
+    materialized by AQE in parallel with the adjacency build."""
     from datapipeline_spark.operators.graph import sssp_distances
 
     li = (
@@ -3433,28 +3451,39 @@ def q_sssp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_orderkey") % 5 == 0)
         .select("l_orderkey", "l_partkey", "l_quantity")
     )
-    a = li.select(
-        F.col("l_orderkey").alias("__o"),
-        F.col("l_partkey").alias("src"),
-        F.col("l_quantity").alias("qa"),
+    sets = li.groupBy("l_orderkey").agg(
+        F.collect_set(F.struct("l_partkey", "l_quantity")).alias("__it__")
     )
-    b = li.select(
-        F.col("l_orderkey").alias("__o"),
-        F.col("l_partkey").alias("dst"),
-        F.col("l_quantity").alias("qb"),
+    pairs = (
+        sets.select(F.explode("__it__").alias("x"), "__it__")
+        .select("x", F.explode("__it__").alias("y"))
+        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+            (F.col("x.l_quantity") + F.col("y.l_quantity")).cast("long").alias("w"),
+        )
     )
-    edges = (
-        a.join(b, "__o")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.min((F.col("qa") + F.col("qb")).cast("long")).alias("w"))
+    d1 = (
+        pairs.filter(F.col("src") % 500 == 0)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("node"),
+                        F.lit(0).cast("long").alias("dist"),
+                    ),
+                    F.struct(F.col("dst").alias("node"), F.col("w").alias("dist")),
+                )
+            ).alias("__r__")
+        )
+        .select("__r__.node", "__r__.dist")
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist"))
     )
-    sources = edges.filter(F.col("src") % 500 == 0).select(
-        F.col("src").alias("node")
-    ).distinct()
-    return sssp_distances(edges, sources, rounds=3).select(
-        F.col("node").alias("p_partkey"), "dist"
-    )
+    return sssp_distances(
+        pairs, None, rounds=3, initial=d1, initial_rounds=1
+    ).select(F.col("node").alias("p_partkey"), "dist")
 
 
 def _lpa_sql(rounds: int = 4) -> str:
@@ -3495,10 +3524,13 @@ def q_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic LPA variant, so the unrolled SQL oracle reproduces it
     bit-for-bit. Adjacency-list rounds: labels join the node-count-sized
     out-neighbor lists, deliveries explode in-row, one deterministic-mode
-    aggregate per round resolves the vote (min-label ties). The
-    collect_set adjacency dedups the raw cooccurrence_pairs stream, so no
-    distinct exchange anywhere. Completes the graph family (pagerank /
-    components / triangles / k-core / BFS)."""
+    aggregate per round resolves the vote (min-label ties). Round 1 is an
+    in-row array_min (self-label votes are singletons — min-tie wins), so
+    only 3 joined rounds execute; no checkpoint at this horizon (round-7
+    A/B: 1.94 s -> 1.62 s, bit-identical). The collect_set adjacency
+    dedups the raw cooccurrence_pairs stream, so no distinct exchange
+    anywhere. Completes the graph family (pagerank / components /
+    triangles / k-core / BFS)."""
     from datapipeline_spark.operators.graph import (
         cooccurrence_pairs,
         label_propagation,
