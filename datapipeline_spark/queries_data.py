@@ -3722,12 +3722,13 @@ SELECT ia, ib, pair_support FROM pairs WHERE pair_support >= 2
 def q_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori-pruned frequent pair mining at part granularity
     (operators/basket.py frequent_pairs): items below support 5 never
-    enter the per-basket item collect (downward closure — a frequent pair
-    needs two frequent members), so the in-row (i < j) pair explode fans
-    out over frequent items only. This is the 100 TB posture: the prune
-    bounds the quadratic stage by the post-prune basket width, and the
-    optional max_basket_items cap (exercised in pytest) gates oversized
-    baskets in-row BEFORE any pair materializes — skew-independent."""
+    enter the pair join (downward closure — a frequent pair needs two
+    frequent members). Round-7 plan: one repartition(basket) exchange
+    feeds dedup, prune, and a co-partitioned codegen self-join — no
+    ObjectHashAggregate, three exchanges total. The prune bounds the
+    quadratic stage by the post-prune basket width, and the optional
+    max_basket_items cap (exercised in pytest) gates oversized baskets
+    BEFORE any pair materializes — skew-independent."""
     from datapipeline_spark.operators.basket import frequent_pairs
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")

@@ -769,13 +769,23 @@ def test_frequent_pairs_plan_apriori_prune(spark):
     from datapipeline_spark.queries_data import q_frequent_part_pairs
 
     plan = _plan(q_frequent_part_pairs(spark, SF))
-    # the raw rows are semi-joined to the frequent-item set BEFORE the
-    # per-basket collect — the a-priori prune that bounds the quadratic stage
+    # the deduped rows are semi-joined to the frequent-item set BEFORE the
+    # pair join — the a-priori prune that bounds the quadratic stage
     assert plan.count("LeftSemi") >= 1
-    # pairs come from in-row Generate (posexplode + slice-explode), not a
-    # basket-keyed self-join: no join wider than the semi-join may appear
-    assert plan.count("Generate") >= 2
-    assert "SortMergeJoin" not in plan
+    # round-7 shape: every basket-keyed stage rides ONE repartition(basket)
+    # exchange (the static pre-AQE plan prints one clone per consumer —
+    # identical subtrees, deduped by runtime exchange reuse; what must
+    # NEVER appear is a (basket, item)-keyed or other wider exchange), and
+    # nothing falls back to an object aggregate
+    import re as _re
+
+    parts = set(_re.findall(r"hashpartitioning\(([^)]*?), \d+\)", plan))
+    basket_keyed = {p for p in parts if p.startswith("basket#")}
+    assert basket_keyed, plan  # the co-partitioning exchange exists
+    assert not any(
+        "basket#" in p and p not in basket_keyed for p in parts
+    ), parts  # no wider basket-keyed exchange (e.g. (basket, item))
+    assert "ObjectHashAggregate" not in plan
     # support threshold applied on the aggregated counts, not post-join
     assert "(support" in plan or "support#" in plan
 
