@@ -81,21 +81,43 @@ def bloom_filter_keys(
     k: int = K_DEFAULT,
 ) -> DataFrame:
     """Map-side filter: keep probe rows whose key hits all k bits. Pure
-    JVM expressions against one array literal — no shuffle, no join.
+    JVM expressions against one packed-binary literal — no shuffle, no
+    join.
 
-    The bitmap is emitted as ONE parsed SQL expression, not ``F.lit(list)``:
-    lit() on a 4096-element Python list expands to 4096 Py4J ``lit`` calls
-    plus a 4096-arg ``array`` call (~7.5 s of pure driver-side round-trips
-    per invocation, measured). A single ``F.expr("array(...L)")`` string is
-    one Py4J call; Catalyst constant-folds the CreateArray into a literal
-    before codegen, so the executed plan is identical."""
-    arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
-    one = F.lit(1).cast("long")
+    The bitmap ships as ONE base64 string literal decoded by
+    ``unbase64(lit(...))`` — a single Py4J call carrying the string as
+    DATA, constant-folded to a binary literal before codegen (unbase64 is
+    a deterministic unary over a literal; no higher-order function is
+    involved, which is what made the split-CSV variant non-foldable and
+    ~300x slower per row — round-7 A/B). Each probe row then tests k
+    BYTES: substring(bin, pos DIV 8 + 1, 1) -> ISO-8859-1 decode ->
+    ascii() codepoint -> bit AND. Versus the previous
+    ``F.expr("array(...L)")`` form this trades ~+0.1 s of per-query scan
+    work (the decode/ascii pair) for -0.3 s of construction (parsing a
+    35 KB SQL array expression), a net win under the rebuild-per-run
+    protocol — and construction stays flat in m where the parse grew
+    linearly. (``F.lit(list)`` remains off the table: 4096 Py4J calls,
+    ~7.5 s.) Bytes are packed little-endian per 64-bit word, so bit n of
+    word w lives at byte 8w + n DIV 8, bit n % 8."""
+    import base64
+    import struct
+
+    packed = struct.pack(
+        f"<{len(words)}Q", *(w & 0xFFFFFFFFFFFFFFFF for w in words)
+    )
+    bin_ = F.unbase64(F.lit(base64.b64encode(packed).decode()))
     pred = None
     for pos in _positions(F.col(key), m_bits, k):
-        word = F.element_at(arr, F.shiftright(pos, 6).cast("int") + F.lit(1))
-        bit = F.call_function("shiftleft", one, (pos % 64).cast("int"))
-        cond = word.bitwiseAND(bit) != 0
+        byte = F.ascii(
+            F.decode(
+                F.substring(
+                    bin_, (F.shiftright(pos, 3) + F.lit(1)).cast("int"), 1
+                ),
+                "ISO-8859-1",
+            )
+        )
+        bit = F.call_function("shiftleft", F.lit(1), (pos % 8).cast("int"))
+        cond = byte.bitwiseAND(bit) != 0
         pred = cond if pred is None else (pred & cond)
     return probe.filter(pred)
 
@@ -115,7 +137,15 @@ def bloom_prefilter_join(
 
     Inner joins only: pre-filtering the probe side would silently drop
     unmatched probe rows under left/outer semantics, so any other `how`
-    is rejected rather than quietly wrong."""
+    is rejected rather than quietly wrong.
+
+    Two-phase by design: the bitmap job is phase 1 of the algorithm (its
+    cost shows up as construction time under rebuild-per-run benching —
+    that is real work, not Py4J waste). An in-plan variant (bitmap as a
+    1-row broadcast frame crossJoined onto the probe) was A/B'd in round
+    7 and REJECTED: construction fell 0.9 -> 0.35 s but total rose
+    1.4 -> 2.0 s — the BroadcastNestedLoopJoin breaks the probe scan's
+    whole-stage codegen fusion, which costs more than the collect saved."""
     if how not in ("inner",):
         raise ValueError(
             "bloom_prefilter_join only preserves semantics for how='inner' "

@@ -1288,11 +1288,16 @@ def q_ivf_knn_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned quantizer; this one pins the distributed plumbing bit-for-bit."""
     from datapipeline_spark.similarity.ann import ivf_knn
 
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    raw = load_table(spark, sf_dir, "embeddings")
+    # seeds collect from the UNSPREAD scan: the vec_id < 8 filter pushes to
+    # parquet and the 8-row collect is one narrow job — collecting through
+    # spread()'s round-robin exchange paid a full-table repartition at
+    # construction time (round-7 build profile)
     seeds = [
         [float(x) for x in r.embedding]
-        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        for r in raw.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
     ]
+    e = spread(raw)
     queries = e.filter(F.col("vec_id") < 10)
     out = ivf_knn(e, queries, nprobe=3, k=3, centroids=seeds)
     return out.withColumn("rank", F.col("rank").cast("long"))
