@@ -211,6 +211,67 @@ def write_bucketed_table(
     w.saveAsTable(name)
 
 
+def ensure_bucketed_table(
+    spark,
+    df_factory,
+    name: str,
+    bucket_by: Sequence[str],
+    num_buckets: int,
+    sort_by: Sequence[str] = (),
+    path: str | None = None,
+) -> DataFrame:
+    """Return the bucketed table ``name``, staging it AT MOST ONCE across
+    processes (the artifact-fingerprint discipline applied to bucketed
+    layouts — callers encode source-file fingerprints into ``name``/
+    ``path`` so stale data can never be re-served). ``df_factory`` is a
+    zero-arg callable producing the source DataFrame — called ONLY when
+    the table actually has to be written (building the source frame just
+    to read its schema cost ~0.5 s per table on the hit path).
+
+    Resolution order: (1) live catalog entry — free; (2) finished files on
+    disk at ``path`` (committer ``_SUCCESS`` marker plus the ``_schema.ddl``
+    sidecar written at staging time) — re-register them with an
+    external-table DDL carrying the same CLUSTERED/SORTED BY spec, which
+    restores Catalyst's bucket metadata (and therefore the zero-Exchange
+    join plan) WITHOUT rewriting a byte: the session catalog is in-memory
+    per process, so before this, every new process paid the full staging
+    write again (3.9 s per bench invocation for bucketed_join_revenue;
+    the DDL itself is ~0.05 s warm, ~0.4 s for the first DDL in a
+    process); (3) actually write the table (and the sidecar)."""
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+    sidecar = os.path.join(path, "_schema.ddl") if path is not None else None
+    if (
+        sidecar is not None
+        and os.path.exists(os.path.join(path, "_SUCCESS"))
+        and os.path.exists(sidecar)
+    ):
+        with open(sidecar) as f:
+            cols = f.read().strip()
+        sort_clause = (
+            " SORTED BY (" + ", ".join(f"`{c}`" for c in sort_by) + ")"
+            if sort_by
+            else ""
+        )
+        spark.sql(
+            f"CREATE TABLE `{name}` ({cols}) USING parquet "
+            f"CLUSTERED BY ({', '.join(f'`{c}`' for c in bucket_by)})"
+            f"{sort_clause} INTO {num_buckets} BUCKETS LOCATION '{path}'"
+        )
+        return spark.table(name)
+    df = df_factory()
+    write_bucketed_table(df, name, bucket_by, num_buckets, sort_by, path)
+    if sidecar is not None:
+        with open(sidecar, "w") as f:
+            f.write(
+                ", ".join(
+                    f"`{fld.name}` {fld.dataType.simpleString()}"
+                    for fld in df.schema.fields
+                )
+            )
+    return spark.table(name)
+
+
 def write_pickle(df: DataFrame, path: str, overwrite: bool = True) -> int:
     """Pickle-stream export sink (reference io/writers/pickle_writer.py:1-21,
     io/factory.py:53-55): one local file of consecutively pickled row dicts,

@@ -181,6 +181,64 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_right")
 
 
+def test_ensure_bucketed_table_reregisters_without_rewrite(spark, tmp_path):
+    """Cross-process staging cache: after the catalog entry is gone (a new
+    process), ensure_bucketed_table must re-register the finished files by
+    DDL — no rewrite (file mtimes untouched), identical rows, and the
+    bucket metadata restored so the co-located join still plans with zero
+    Exchange."""
+    import os
+
+    from datapipeline_spark.io.writers import ensure_bucketed_table
+
+    path_l = str(tmp_path / "el")
+    path_r = str(tmp_path / "er")
+    left = spark.range(500).selectExpr("id AS k", "id * 2.0 AS lv")
+    right = spark.range(500).selectExpr("id AS k", "id * 3.0 AS rv")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        ensure_bucketed_table(spark, lambda: left, "eb_left", ["k"], 4, ["k"], path_l)
+        ensure_bucketed_table(spark, lambda: right, "eb_right", ["k"], 4, ["k"], path_r)
+        mtimes = {
+            f: os.stat(os.path.join(path_l, f)).st_mtime_ns
+            for f in os.listdir(path_l)
+            if f.endswith(".parquet")
+        }
+        # simulate a fresh process: catalog entry gone, external files remain
+        spark.sql("DROP TABLE eb_left")
+        spark.sql("DROP TABLE eb_right")
+        calls = {"n": 0}
+
+        def boom():
+            calls["n"] += 1
+            return left
+
+        t_l = ensure_bucketed_table(spark, boom, "eb_left", ["k"], 4, ["k"], path_l)
+        t_r = ensure_bucketed_table(
+            spark, lambda: right, "eb_right", ["k"], 4, ["k"], path_r
+        )
+        assert calls["n"] == 0  # hit path never builds the source frame
+        assert {
+            f: os.stat(os.path.join(path_l, f)).st_mtime_ns
+            for f in os.listdir(path_l)
+            if f.endswith(".parquet")
+        } == mtimes  # no rewrite
+        assert t_l.count() == 500
+        assert sorted(r.k for r in t_l.limit(5).collect()) == sorted(
+            r.k for r in spark.table("eb_left").limit(5).collect()
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = t_l.join(t_r, "k")
+        assert joined.count() == 500
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS eb_left")
+        spark.sql("DROP TABLE IF EXISTS eb_right")
+
+
 def test_write_pickle_roundtrip_atomic(spark, tmp_path):
     import pickle
 
