@@ -57,16 +57,15 @@ def prefix_filter_candidates(
     it. `max_prefix_group` caps the size of a prefix-token group before any
     pair is generated (mirroring `inrow_pairs`' max_group_size):
 
-    - ``on_exceed="error"`` (default): a pre-flight aggregate over the
-      prefix stream measures the largest group and the exact candidate-pair
-      count; if any group exceeds the cap, raise with the measured numbers
-      and route the caller to the capped LSH path (`minhash_lsh_pairs`) —
-      the production posture for degenerate corpora. NOTE: the pre-flight
-      is an EAGER Spark job at construction time (the same documented
-      eager-construction class as the bloom bitmap / IVF centroid fit) —
-      a fail-fast guard must measure before the plan is handed back;
-      callers that only want a bounded plan without the build-time scan
-      should use ``on_exceed="drop"``, which is fully lazy.
+    - ``on_exceed="error"`` (default): an ACTION-TIME assertion — every
+      prefix-group row carries an ``assert_true(size <= cap)`` that fails
+      the caller's first action with the offending group and a pointer to
+      the capped LSH path (`minhash_lsh_pairs`) — the production posture
+      for degenerate corpora. Fully lazy: construction runs no job (the
+      round-6 form paid an eager full shingle-scan pre-flight on every
+      HEALTHY corpus, once per rebuilt plan); the error surfaces as a
+      Spark runtime exception at the action instead of a ValueError at
+      build.
     - ``on_exceed="drop"``: prefix groups larger than the cap are dropped
       before the self-join. Pairs whose EVERY shared prefix token is
       boilerplate are lost (documented recall trade, deterministic — an
@@ -117,25 +116,39 @@ def prefix_filter_candidates(
     if max_prefix_group is not None:
         groups = prefix.groupBy("shingle").agg(F.count(F.lit(1)).alias("__g__"))
         if on_exceed == "error":
-            stats = groups.agg(
-                F.max("__g__").alias("gmax"),
-                F.sum(
-                    F.col("__g__") * (F.col("__g__") - F.lit(1)) / F.lit(2)
-                ).alias("cand_bound"),
-            ).first()
-            gmax = stats["gmax"] or 0
-            if gmax > max_prefix_group:
-                raise ValueError(
-                    f"prefix_filter_candidates: degenerate corpus — the "
-                    f"largest prefix-token group has {gmax} documents "
-                    f"(cap {max_prefix_group}); pair generation is bounded "
-                    f"by ~{int(stats['cand_bound'] or 0)} candidates and the "
-                    f"exact join's output is inherently quadratic here. Use "
-                    f"the capped LSH path (minhash_lsh_pairs / "
-                    f"minhash_dedup_pairs with max_bucket) for this corpus, "
-                    f"or pass on_exceed='drop' to trade recall on "
-                    f"boilerplate-only pairs for a bounded plan."
-                )
+            # ACTION-TIME guard (round-7 ADVICE): the old form ran an eager
+            # full shingle-scan + aggregate at construction time on every
+            # healthy corpus (and again per rebuilt run under rebuild-per-
+            # run benching). Instead, every group row carries an
+            # assert_true that detonates DURING the caller's action iff a
+            # group exceeds the cap — passing groups evaluate to NULL and
+            # the filter keeps them all, so the semi-join below is a
+            # semantic no-op that merely forces the group sizes to be
+            # checked. Zero extra jobs at build; degenerate corpora fail
+            # the first action with the offending group in the message.
+            msg = F.concat(
+                F.lit(
+                    "prefix_filter_candidates: degenerate corpus — "
+                    "prefix-token group '"
+                ),
+                F.col("shingle"),
+                F.lit("' has "),
+                F.col("__g__").cast("string"),
+                F.lit(
+                    f" documents (cap {max_prefix_group}); the exact "
+                    "join's output is inherently quadratic here. Use the "
+                    "capped LSH path (minhash_lsh_pairs / "
+                    "minhash_dedup_pairs with max_bucket) for this "
+                    "corpus, or pass on_exceed='drop' to trade recall on "
+                    "boilerplate-only pairs for a bounded plan."
+                ),
+            )
+            checked = groups.filter(
+                F.assert_true(F.col("__g__") <= max_prefix_group, msg).isNull()
+            )
+            prefix = prefix.join(
+                checked.select("shingle"), "shingle", "leftsemi"
+            )
         else:
             prefix = prefix.join(
                 groups.filter(F.col("__g__") <= max_prefix_group).select(

@@ -75,6 +75,15 @@ def deletion_join(
     base = df.select(
         *bc, F.col(id_col).alias("__id__"), F.col(str_col).alias("__s__")
     )
+    # NULL block keys can never match under the naive join's equality
+    # semantics (NULL = NULL is not true), but GROUP BY treats NULLs as
+    # one group — without this filter the NULL block would generate
+    # candidate pairs that only disappear because the verification
+    # re-join happens to null-drop them (round-7 ADVICE: a refactor of
+    # that join to coalesce-keyed or in-row form would silently change
+    # NULL-block results). Drop them at the source instead.
+    for c in bc:
+        base = base.filter(F.col(c).isNotNull())
     exploded = base.select(
         *bc, "__id__", F.explode(deletion_variants("__s__", k)).alias("__v__")
     )

@@ -46,11 +46,17 @@ def ind_profile(candidates: Sequence[IndCandidate]) -> DataFrame:
         # selectExpr strings instead of per-column F.lit/F.col chains: each
         # Column op is a Py4J round-trip and this loop runs 2x per
         # candidate — the string form cut ind_profile's construction time
-        # roughly in half (the bloom-bitmap fix generalized)
+        # roughly in half (the bloom-bitmap fix generalized). Column names
+        # are user-supplied and interpolated inside backticks, so embedded
+        # backticks must be doubled (the quoted-identifier escape) — a name
+        # containing ` would otherwise break parsing or splice expression
+        # text (round-7 ADVICE); dotted names stay literal this way too.
+        dq = dep_col.replace("`", "``")
+        rq = ref_col.replace("`", "``")
         sides.append(
             dep_df.selectExpr(
                 f"{i} AS cand",
-                f"CAST(`{dep_col}` AS STRING) AS k",
+                f"CAST(`{dq}` AS STRING) AS k",
                 "1 AS d",
                 "0 AS r",
             ).where("k IS NOT NULL")
@@ -58,7 +64,7 @@ def ind_profile(candidates: Sequence[IndCandidate]) -> DataFrame:
         sides.append(
             ref_df.selectExpr(
                 f"{i} AS cand",
-                f"CAST(`{ref_col}` AS STRING) AS k",
+                f"CAST(`{rq}` AS STRING) AS k",
                 "0 AS d",
                 "1 AS r",
             ).where("k IS NOT NULL")

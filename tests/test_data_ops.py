@@ -713,17 +713,23 @@ def test_prefix_length_integer_ceil_keeps_low_threshold_pair(spark):
 
 def test_prefix_group_cap_error_mode_raises_with_lsh_guidance(spark):
     """On a degenerate corpus (every doc shares the same rare tokens) the
-    pre-flight guard must fail fast and route to the capped LSH path."""
+    guard must fail the FIRST ACTION and route to the capped LSH path —
+    and cost nothing at construction (round-7: the old eager pre-flight
+    scanned the shingles at build on every healthy corpus too)."""
     import pytest
 
     from datapipeline_spark.dedup.ppjoin import prefix_filter_candidates
 
     rows = [(i, f"t{j}") for i in range(20) for j in range(4)]
     sh = spark.createDataFrame(rows, "doc_id long, shingle string")
-    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
-        prefix_filter_candidates(
-            sh, "doc_id", 0.5, max_prefix_group=10, on_exceed="error"
-        ).collect()
+    # construction must NOT raise (the guard is action-time; residual
+    # build jobs are only the prefix checkpoint's stage materialization,
+    # shared with drop mode — the old eager pre-flight aggregate is gone)
+    cand = prefix_filter_candidates(
+        sh, "doc_id", 0.5, max_prefix_group=10, on_exceed="error"
+    )
+    with pytest.raises(Exception, match="minhash_lsh_pairs"):
+        cand.collect()
 
 
 def test_prefix_group_cap_drop_is_subset_of_exact(spark):
@@ -2095,6 +2101,27 @@ class TestEditDistanceJoins:
 
         with pytest.raises(ValueError):
             deletion_join(df, "id", "s", 3, ["blk"])
+
+    def test_symdelete_null_blocks_never_pair(self, spark):
+        """NULL block keys match nothing under the naive join's equality
+        semantics; the operator must drop them at the source, not rely on
+        a downstream re-join happening to null-drop the pairs (round-7
+        ADVICE — a coalesce-keyed refactor of the verification join would
+        otherwise change results with no test failing)."""
+        from datapipeline_spark.dedup.symdelete import deletion_join
+
+        rows = [
+            (0, None, "abc"),
+            (1, None, "abd"),  # would pair with id 0 if NULLs grouped
+            (2, 1, "xyz"),
+            (3, 1, "xya"),
+        ]
+        df = spark.createDataFrame(rows, "id: long, blk: int, s: string")
+        got = sorted(
+            map(tuple, deletion_join(df, "id", "s", 1, ["blk"]).collect())
+        )
+        want = sorted(map(tuple, self._brute(df, 1).collect()))
+        assert got == want == [(1, 2, 3, 1)]
 
     def test_symdelete_beats_constant_prefix_blocks(self, spark):
         """The scenario that sent PassJoin quadratic: strings sharing a
