@@ -64,7 +64,30 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # the whole-stage-codegen CLASS cache defaults to 100 entries — a
+        # workload cycling through hundreds of distinct plans (this
+        # engine's registry, any multi-tenant SQL service) evicts it
+        # completely each pass and recompiles every generated unit.
+        # Round-7 experiment (48-query interleaved sweep, idle host):
+        # 100 -> 5000 entries cut the Spark pass 19.1 -> 13.8 s, BELOW the
+        # phased protocol's 14.7 s — the entire "interleaved penalty" was
+        # codegen recompilation, not JIT or page locality. Static conf;
+        # memory cost is bounded by generated-class size (small units).
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+        )
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
+    # experiment hook: semicolon-separated k=v pairs applied at build time
+    # (e.g. SPARK_GRAFT_EXTRA_CONF="spark.sql.codegen.cache.maxEntries=5000"
+    # for the round-7 interleaved-protocol probe). Production deployments
+    # tune through their own session factory; this exists so bench tools
+    # can A/B session-static conf without code edits.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = pair.partition("=")
+        if k and v:
+            builder = builder.config(k, v)
     return builder.getOrCreate()
