@@ -784,7 +784,10 @@ FROM dd WHERE pm IS NULL OR pm <> mval OR pp <> mpos
 
 @query("winnow_fingerprints", _winnow_sql())
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # spread: the per-doc winnowing kernel is compute-bound and
+    # partition-invariant; the single-row-group test file would otherwise
+    # serialize the whole mapInPandas stage into one task.
+    d = spread(load_table(spark, sf_dir, "documents"))
     return winnow_fingerprints(d)
 
 
