@@ -171,20 +171,27 @@ def autocorr(
     groups: Sequence[str] = (),
     order_by: str = "time",
     out: str = "acf",
+    wide: bool = False,
 ) -> DataFrame:
     """Per-group autocorrelation at ``lag``: Pearson correlation between
     the series and its lag-k self over the overlap rows (the standard
     sample ACF up to the mean convention — per-overlap means, which makes
     it exactly a Pearson pair and keeps every sum exact-integer).
     One window (group-keyed exchange + in-partition sort) then the
-    pearson_corr aggregate. ``value`` must be an exact-integer column."""
+    pearson_corr aggregate. ``value`` must be an exact-integer column.
+
+    ``wide=True`` for series whose magnitude GROWS with data volume
+    (daily/periodic SUMS: 10x the rows is 10x the value, so the narrow
+    path's |v| ≲ 3e9 squaring bound eventually trips ANSI overflow —
+    observed at sf1 on daily revenue cents); per-row bounded inputs keep
+    the cheap int64-product path."""
     gx = list(groups)
     w = Window.partitionBy(*gx).orderBy(order_by)
     d = (
         df.select(*gx, F.col(value).alias("__y"), F.lag(value, lag).over(w).alias("__yl"))
         .filter(F.col("__yl").isNotNull())
     )
-    return pearson_corr(d, "__yl", "__y", gx, out=out)
+    return pearson_corr(d, "__yl", "__y", gx, out=out, wide=wide)
 
 
 def chi_square(df: DataFrame, x: str, y: str) -> DataFrame:
@@ -797,7 +804,11 @@ def best_split(
     arithmetic with a single deterministic DIV, identical in any engine;
     ties break to the earliest split. One prefix-sum window per series
     plus one argmax aggregate (max_by over a struct order) — bounded by
-    series length, no self-join."""
+    series length, no self-join. The score numerator runs in
+    decimal(38,0) (≡ the oracle's HUGEINT window sums): prefix sums of
+    aggregate series grow with data volume, and ·1e6 pushed the int64
+    form within 9% of overflow at sf1 daily revenue — DIV on decimal
+    operands still returns the exact integral quotient as a long."""
     from pyspark.sql import Window
 
     # NB: `base` renames order_col to the internal alias 'o' before any
@@ -822,7 +833,8 @@ def best_split(
         .filter(F.col("i") < F.col("n"))
     )
     score = F.expr(
-        "(abs(p * (n - i) - (pn - p) * i) * 1000000) DIV (i * (n - i))"
+        "(abs(CAST(p AS DECIMAL(38,0)) * (n - i) - (CAST(pn AS DECIMAL(38,0)) - p) * i)"
+        " * 1000000) DIV (CAST(i AS BIGINT) * (n - i))"
     )
     scored = pre.withColumn("score", score)
     return scored.groupBy(*group_cols).agg(
@@ -840,6 +852,7 @@ def cross_correlation(
     x: str,
     y: str,
     max_lag: int,
+    wide: bool = False,
 ) -> DataFrame:
     """Sample cross-correlation function between two integer series on a
     shared time grid: for each lag k ∈ [−max_lag, max_lag], the Pearson
@@ -847,7 +860,9 @@ def cross_correlation(
     lead-lag detector (does x move before y?). Autocorr's two-series
     generalization: one lag-exploded self-join on the (tiny, aggregated)
     series grid, then the exact-integer pearson_corr per lag. Overlap
-    length shrinks by |k| — reported as n so consumers weigh the tails."""
+    length shrinks by |k| — reported as n so consumers weigh the tails.
+    ``wide=True`` when the series are aggregates whose magnitude grows
+    with data volume (see autocorr)."""
     base = df.select(
         F.col(order_col).alias("o"),
         F.col(x).cast("long").alias("xv"),
@@ -867,7 +882,7 @@ def cross_correlation(
         shifted,
         lags["o"] + lags["lag"] == shifted["o2"],
     ).select("lag", "xv", "yl")
-    return pearson_corr(pairs, "xv", "yl", ["lag"], out="xcorr")
+    return pearson_corr(pairs, "xv", "yl", ["lag"], out="xcorr", wide=wide)
 
 
 def theil_sen(

@@ -2490,7 +2490,8 @@ def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom_prefilter_revenue",
     """
 SELECT date_trunc('month', o.o_orderdate) AS month,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+             / 100.0, 2) AS revenue,
        count(*)::BIGINT AS n_lines
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
@@ -2503,7 +2504,11 @@ def q_bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent-orders bitmap (one bit_or aggregation, <=4096 longs collected)
     filters ~80% of lineitem map-side, so only ~1/5 of the fact shuffles.
     No false negatives makes this EXACTLY the plain join — which is the
-    oracle; false positives are removed by the join itself. Regime note:
+    oracle; false positives are removed by the join itself. Revenue rides
+    the repo's cents discipline (per-row round to bigint cents, exact
+    integer sum — each row's double product is bit-identical across
+    engines, so the sum is order- and engine-invariant; a raw double sum
+    drifted in the last cent on 2-3 of 80 months at sf1). Regime note:
     at bench SF the build side is broadcast anyway, so the plain join
     also avoids a probe shuffle and the bitmap's bit tests are pure
     overhead (~2x the plain join here); the operator's regime is a build
@@ -2521,12 +2526,13 @@ def q_bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate")
     )
     joined = bloom_prefilter_join(li, o, "l_orderkey", "o_orderkey")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
     return joined.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("month")
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -3201,7 +3207,10 @@ def q_acf7_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson aggregate over the overlap. The companion diagnostic to
     seasonal_naive_mae: the ACF says whether the lag-7 baseline is even
     plausible. Exact integer cents throughout; only the final
-    sqrt/divide chain is float."""
+    sqrt/divide chain is float. wide=True: daily cents GROW with data
+    volume (sf1's 10x daily sums squared trip the narrow int64 product's
+    ANSI overflow — caught by the sf1 oracle sweep), so the products run
+    in decimal(38,0) like the oracle's HUGEINT."""
     from datapipeline_spark.operators.stats import autocorr
 
     daily = (
@@ -3214,7 +3223,7 @@ def q_acf7_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return autocorr(
-        daily, "cents", 7, ["o_orderpriority"], order_by="day", out="acf"
+        daily, "cents", 7, ["o_orderpriority"], order_by="day", out="acf", wide=True
     )
 
 
@@ -6410,7 +6419,10 @@ def q_xcorr_value_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xv",
         "yv",
     )
-    return cross_correlation(daily, "o", "xv", "yv", max_lag=7)
+    # wide=True: daily value-cents grow with data volume (same scale
+    # posture as acf7_daily_revenue — aggregate-built series square past
+    # int64 at ~100x sf0.1)
+    return cross_correlation(daily, "o", "xv", "yv", max_lag=7, wide=True)
 
 
 @query(

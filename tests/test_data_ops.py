@@ -1175,6 +1175,39 @@ def test_pearson_and_autocorr_known_values(spark):
     assert one == two and one["a"] == 1.0 and one["b"] is None
 
 
+def test_autocorr_wide_survives_aggregate_scale_magnitudes(spark):
+    """Red-on-revert for the sf1 overflow: series values beyond the narrow
+    path's |v| ≲ 3e9 squaring bound (daily SUMS grow with data volume)
+    must raise ANSI ARITHMETIC_OVERFLOW on the int64-product path — never
+    silently wrap — and compute exactly on wide=True's decimal path."""
+    import math
+
+    import pytest
+
+    from datapipeline_spark.operators.stats import autocorr
+
+    # magnitudes ~5e9: v*v ~ 2.5e19 > 2^63
+    xs = [5_000_000_000 + (t % 7) * 400_000_000 for t in range(20)]
+    s = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(xs)], "time long, v long"
+    )
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        autocorr(s, "v", 7).collect()
+    got = autocorr(s, "v", 7, wide=True).collect()[0]
+    # exact python reference (arbitrary-precision ints, one float chain)
+    y = xs[7:]
+    yl = xs[:-7]
+    n = len(y)
+    sx, sy = sum(yl), sum(y)
+    sxx = sum(a * a for a in yl)
+    syy = sum(b * b for b in y)
+    sxy = sum(a * b for a, b in zip(yl, y))
+    num = float(n * sxy - sx * sy)
+    den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+    assert got.acf == round(num / den, 6)
+    assert got.n == n
+
+
 def test_sssp_weighted_path(spark):
     from datapipeline_spark.operators.graph import sssp_distances
 

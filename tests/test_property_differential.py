@@ -1153,6 +1153,33 @@ def test_best_split_matches_pure_python(spark, xs):
     assert got["n"] == n
 
 
+def test_best_split_exact_at_aggregate_scale_magnitudes(spark):
+    """Red-on-revert for the decimal(38,0) score numerator: prefix sums of
+    aggregate-built series grow with data volume, and |P·(n−i)|·1e6 blows
+    int64 well below 100 TB shape (sf1 daily revenue sat within 9% of
+    2^63). Values here make the numerator ~1e21; the pure-python int
+    reference is arbitrary-precision."""
+    from datapipeline_spark.operators.stats import best_split
+
+    xs = [4_000_000_000_000 + (7919 * i * i) % 900_000_000_000 for i in range(30)]
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], "g: string, o: long, v: long"
+    )
+    got = best_split(df, ["g"], "v", "o").collect()[0]
+    n = len(xs)
+    pn = sum(xs)
+    best = None
+    p = 0
+    for i in range(1, n):
+        p += xs[i - 1]
+        score = abs(p * (n - i) - (pn - p) * i) * 1_000_000 // (i * (n - i))
+        cand = (score, -i, i - 1)
+        if best is None or cand[:2] > best[:2]:
+            best = cand
+    assert got["split_at"] == best[2]
+    assert got["shift_score_micros"] == best[0]
+
+
 def test_best_split_accepts_any_order_col_name(spark):
     """Regression: the prefix-sum windows must order by the internal alias
     'o', not the caller's order_col name (which `base` renames away) —
