@@ -50,6 +50,38 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
+# ------------------------------------------------- exact monetary arithmetic
+#
+# Every monetary column in the testdata is 2dp-exact, so
+# l_extendedprice*(1-l_discount) is exact in integer 1e-4-dollar units
+# (cents x integer discount-percent complement). Summing the UNITS as
+# bigint makes the aggregate identical under any accumulation order,
+# partitioning, or engine — the double-sum form these helpers replaced
+# flipped the 2dp rounding of one q7_nation_volume group at sf1 (IEEE
+# accumulation-order drift; same class as the bloom_prefilter_revenue
+# fix). Display: half-up to cents in exact integer arithmetic
+# ((S+50) div 100 — all amounts positive), then ONE deterministic double
+# division, the monthly_revenue_growth idiom.
+
+
+def _disc_units():
+    """l_extendedprice * (1 - l_discount) in exact 1e-4-dollar units."""
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+
+
+# aggregate expr over a projected per-row `__units__` column -> 2dp dollars
+_UNITS_REV = "round(CAST((sum(__units__) + 50) div 100 AS DOUBLE) / 100.0, 2)"
+
+# DuckDB twins (// is DuckDB's integral division; sum(BIGINT) is HUGEINT,
+# so the +50 // 100 display rounding stays exact at any scale)
+_SQL_DISC_UNITS = (
+    "CAST(round({p} * 100) AS BIGINT) * (100 - CAST(round({d} * 100) AS BIGINT))"
+)
+_SQL_UNITS_REV = "round(CAST((sum({u}) + 50) // 100 AS DOUBLE) / 100.0, 2)"
+
+
 # ---------------------------------------------------------------- base streams
 
 ORDER = ("time", "event_id")  # total order within user_id
@@ -105,37 +137,69 @@ hourly AS (
 @query(
     "q1_pricing_summary",
     """
+WITH l AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT)            AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l_discount * 100) AS BIGINT)      AS dpct,
+         CAST(round(l_tax * 100) AS BIGINT)           AS tpct
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 6)                                        AS avg_qty,
-       round(avg(l_extendedprice), 6)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
-       count(*)                                                         AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       round(CAST(sum(qty) AS DOUBLE), 2)                          AS sum_qty,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2)                AS sum_base_price,
+       round(CAST((sum(cents * (100 - dpct)) + 50) // 100
+             AS DOUBLE) / 100.0, 2)                                AS sum_disc_price,
+       round(CAST((sum(cents * (100 - dpct) * (100 + tpct)) + 5000) // 10000
+             AS DOUBLE) / 100.0, 2)                                AS sum_charge,
+       round(CAST(sum(qty) AS DOUBLE) / count(*), 6)               AS avg_qty,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 6)     AS avg_price,
+       round(CAST(sum(dpct) AS DOUBLE) / 100.0 / count(*), 6)      AS avg_disc,
+       count(*)                                                    AS count_order
+FROM l
 GROUP BY l_returnflag, l_linestatus
 """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 in the repo's exact-units discipline: every monetary column
+    is 2dp-exact in the data, so per-row integer units (cents, discount/tax
+    as integer percents) make every sum an exact bigint — identical under
+    ANY accumulation order or partitioning, at any scale — and the single
+    display division at the end is deterministic on both engines. The
+    double-sum form this replaced flipped the 2dp rounding of one q7 group
+    at sf1 (IEEE accumulation-order drift between engines); same class as
+    the round-7 bloom_prefilter_revenue fix."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit(datetime(1998, 9, 2)))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    l = li.filter(F.col("l_shipdate") <= F.lit(datetime(1998, 9, 2))).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("dpct"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tpct"),
+    )
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("round(CAST(sum(qty) AS DOUBLE), 2)").alias("sum_qty"),
+        F.expr("round(CAST(sum(cents) AS DOUBLE) / 100.0, 2)").alias(
+            "sum_base_price"
+        ),
+        F.expr(
+            "round(CAST((sum(cents * (100 - dpct)) + 50) div 100"
+            " AS DOUBLE) / 100.0, 2)"
+        ).alias("sum_disc_price"),
+        F.expr(
+            "round(CAST((sum(cents * (100 - dpct) * (100 + tpct)) + 5000) div 10000"
+            " AS DOUBLE) / 100.0, 2)"
+        ).alias("sum_charge"),
+        F.expr("round(CAST(sum(qty) AS DOUBLE) / count(1), 6)").alias("avg_qty"),
+        F.expr("round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(1), 6)").alias(
+            "avg_price"
+        ),
+        F.expr("round(CAST(sum(dpct) AS DOUBLE) / 100.0 / count(1), 6)").alias(
+            "avg_disc"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
     )
 
 
@@ -160,7 +224,9 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "revenue_by_nation",
     """
-SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue, count(*) AS n_orders
+SELECT n.n_name AS nation,
+       round(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
+       count(*) AS n_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
@@ -168,7 +234,10 @@ GROUP BY n.n_name
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join pipeline with explicit broadcast of the small dims — at 100 TB the
-    orders fact never shuffles for the dim joins."""
+    orders fact never shuffles for the dim joins. Revenue rides the exact
+    cents discipline (per-row bigint cents, exact integer sum, one display
+    division): order- and engine-invariant at any scale, where the double
+    sum it replaced drifts at the 2dp rounding boundary."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -177,7 +246,13 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100.0,
+                2,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -186,17 +261,22 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q3_shipping_priority",
     """
-SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-       o.o_orderdate, o.o_orderpriority
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-ORDER BY revenue DESC, l_orderkey LIMIT 10
-""",
+WITH g AS (
+  SELECT l.l_orderkey,
+         sum({u}) AS s,
+         o.o_orderdate, o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT l_orderkey, round(CAST((s + 50) // 100 AS DOUBLE) / 100.0, 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM g ORDER BY s DESC, l_orderkey LIMIT 10
+""".format(u=_SQL_DISC_UNITS.format(p="l.l_extendedprice", d="l.l_discount")),
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: lineitem⋈orders fact-fact join with both date filters
@@ -204,7 +284,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     is left to the planner (broadcast at small SF, shuffle-on-orderkey once
     orders outgrows the threshold — AQE decides from runtime stats). Top-10
     runs as TakeOrderedAndProject (partial per-partition top-k, no global
-    sort). Deterministic tiebreak on l_orderkey."""
+    sort). Deterministic tiebreak on l_orderkey; BOTH the top-k cutoff and
+    the displayed revenue ride the exact integer units sum, so the rank
+    order (and therefore the kept rows) cannot drift with accumulation
+    order at any scale."""
     cutoff = datetime(1998, 1, 1)
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(cutoff))
@@ -212,15 +295,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("__units__", _disc_units())
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.sum("__units__").alias("__s__"),
+            F.expr(_UNITS_REV).alias("revenue"),
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .orderBy(F.col("__s__").desc(), "l_orderkey")
         .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
 
 
@@ -228,7 +311,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     """
 SELECT r.r_name AS region, n.n_name AS nation,
-       round(sum(o.o_totalprice), 2) AS revenue, count(*) AS n_orders
+       round(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
+       count(*) AS n_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -251,7 +335,11 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.rollup(
         F.col("r_name").alias("region"), F.col("n_name").alias("nation")
     ).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100.0,
+            2,
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -282,7 +370,7 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_regional_revenue",
     """
-SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT n.n_name AS nation, {rev} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -293,7 +381,11 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n.n_name
-""",
+""".format(
+        rev=_SQL_UNITS_REV.format(
+            u=_SQL_DISC_UNITS.format(p="l.l_extendedprice", d="l.l_discount")
+        )
+    ),
 )
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-table join with a correlated nation condition
@@ -323,12 +415,9 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(cu),
             (o.o_custkey == cu.c_custkey) & (F.col("s_nationkey") == cu.c_nationkey),
         )
+        .withColumn("__units__", _disc_units())
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(F.expr(_UNITS_REV).alias("revenue"))
     )
 
 
@@ -494,7 +583,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l.l_shipdate) AS l_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {rev} AS revenue
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -504,7 +593,11 @@ JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
 WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
 GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
-""",
+""".format(
+        rev=_SQL_UNITS_REV.format(
+            u=_SQL_DISC_UNITS.format(p="l.l_extendedprice", d="l.l_discount")
+        )
+    ),
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by year.
@@ -528,12 +621,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
+        .withColumn("__units__", _disc_units())
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(F.expr(_UNITS_REV).alias("revenue"))
     )
 
 
@@ -614,15 +704,19 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_share",
     """
-SELECT round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2)
-         AS promo_revenue,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
+SELECT round(CAST((sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN {u} ELSE 0 END) + 50)
+             // 100 AS DOUBLE) / 100.0, 2) AS promo_revenue,
+       {rev} AS total_revenue,
        count(*) AS n_items
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
   AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-""",
+""".format(
+        u=_SQL_DISC_UNITS.format(p="l.l_extendedprice", d="l.l_discount"),
+        rev=_SQL_UNITS_REV.format(
+            u=_SQL_DISC_UNITS.format(p="l.l_extendedprice", d="l.l_discount")
+        ),
+    ),
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo-revenue share — conditional sum over a
@@ -634,15 +728,20 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit(datetime(1997, 4, 1)))
     )
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .withColumn("__units__", _disc_units())
+        .withColumn(
+            "__promo__",
+            F.when(F.col("p_type").startswith("PROMO"), F.col("__units__")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
         .agg(
-            F.round(
-                F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))),
-                2,
+            F.expr(
+                "round(CAST((sum(__promo__) + 50) div 100 AS DOUBLE) / 100.0, 2)"
             ).alias("promo_revenue"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.expr(_UNITS_REV).alias("total_revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -651,7 +750,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_revenue",
     """
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+SELECT {rev} AS revenue,
        count(*) AS n_items
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -660,7 +759,11 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 10 AND 20)
    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
        AND l.l_quantity BETWEEN 20 AND 30)
-""",
+""".format(
+        rev=_SQL_UNITS_REV.format(
+            u=_SQL_DISC_UNITS.format(p="l.l_extendedprice", d="l.l_discount")
+        )
+    ),
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-conjunction predicates spanning both join
@@ -679,10 +782,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(blocks)
+        .withColumn("__units__", _disc_units())
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.expr(_UNITS_REV).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -691,7 +793,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT round(CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)) + 50)
+             // 100 AS DOUBLE) / 100.0, 2) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -715,10 +819,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
+        .withColumn(
+            "__units__",
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.round(F.col("l_discount") * 100).cast("long"),
+        )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.expr(_UNITS_REV).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -796,18 +903,22 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q10_returned_revenue",
     """
-SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE l.l_returnflag = 'R'
-  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
-GROUP BY c.c_custkey, c.c_name, n.n_name
-ORDER BY revenue DESC, c_custkey LIMIT 20
-""",
+WITH g AS (
+  SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+         sum({u}) AS s
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+)
+SELECT c_custkey, c_name, nation,
+       round(CAST((s + 50) // 100 AS DOUBLE) / 100.0, 2) AS revenue
+FROM g ORDER BY s DESC, c_custkey LIMIT 20
+""".format(u=_SQL_DISC_UNITS.format(p="l.l_extendedprice", d="l.l_discount")),
 )
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: lost-revenue-by-customer. Both fact filters pushed
@@ -825,14 +936,15 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("__units__", _disc_units())
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.sum("__units__").alias("__s__"),
+            F.expr(_UNITS_REV).alias("revenue"),
         )
-        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .orderBy(F.col("__s__").desc(), "c_custkey")
         .limit(20)
+        .select("c_custkey", "c_name", "nation", "revenue")
     )
 
 
@@ -935,11 +1047,15 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bucketed_join_revenue",
     """
-SELECT o.o_orderstatus, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+SELECT o.o_orderstatus, {rev} AS revenue,
        count(*) AS n_items
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus
-""",
+""".format(
+        rev=_SQL_UNITS_REV.format(
+            u=_SQL_DISC_UNITS.format(p="l.l_extendedprice", d="l.l_discount")
+        )
+    ),
 )
 def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The storage-layout lever as an oracle-checked query: orders and
@@ -986,11 +1102,10 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = tables["orders"]
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn("__units__", _disc_units())
         .groupBy("o_orderstatus")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.expr(_UNITS_REV).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -2036,7 +2151,8 @@ def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_revenue",
     """
 SELECT r.r_name AS region, o.o_orderpriority AS priority,
-       round(sum(o.o_totalprice), 2) AS revenue, count(*) AS n_orders
+       round(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
+       count(*) AS n_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -2059,7 +2175,11 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.cube(
         F.col("r_name").alias("region"), F.col("o_orderpriority").alias("priority")
     ).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100.0,
+            2,
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

@@ -1405,3 +1405,37 @@ def test_capped_ppjoin_matches_reference(spark, word_lists, t, cap):
         ).collect()
     }
     assert got == _ref_ppjoin_capped(docs, t, cap)
+
+
+def test_disc_revenue_units_exact_at_rounding_boundary(spark):
+    """Red-on-revert for the exact-units revenue discipline
+    (queries_core._disc_units / _UNITS_REV): 10 rows of price 0.01 at
+    discount 0.05 sum to EXACTLY 0.095 dollars, which half-up-rounds to
+    0.10 — while the double path (round(sum(p*(1-d)), 2)) accumulates
+    0.09499999999999999 and reports 0.09. The sf1 oracle sweep caught
+    exactly this class live: q7_nation_volume flipped one group's 2dp
+    rounding through IEEE accumulation-order drift between engines."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spark.queries_core import _UNITS_REV, _disc_units
+
+    df = spark.createDataFrame(
+        [(0.01, 0.05)] * 10, "l_extendedprice double, l_discount double"
+    )
+    got = (
+        df.withColumn("__units__", _disc_units())
+        .agg(F.expr(_UNITS_REV).alias("revenue"))
+        .collect()[0]["revenue"]
+    )
+    # arbitrary-precision reference: units are exact integers end to end
+    units = sum(round(0.01 * 100) * (100 - round(0.05 * 100)) for _ in range(10))
+    assert units == 950
+    assert got == float((units + 50) // 100) / 100.0 == 0.10
+    # and the repartitioned sum is identical (order/partition invariance)
+    got32 = (
+        df.repartition(32)
+        .withColumn("__units__", _disc_units())
+        .agg(F.expr(_UNITS_REV).alias("revenue"))
+        .collect()[0]["revenue"]
+    )
+    assert got32 == got
