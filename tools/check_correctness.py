@@ -106,6 +106,16 @@ def main() -> int:
     ap.add_argument("--only", default=None, help="comma-separated query names")
     ap.add_argument("--float-round", type=int, default=None, help="extra rounding before compare")
     ap.add_argument("--json", default=None, help="write driver-style per-query results JSON here")
+    ap.add_argument(
+        "--duck-temp-cap",
+        default=None,
+        help="cap DuckDB spill (e.g. '30GiB'): a runaway oracle then fails "
+        "cleanly as that one query's error instead of filling the disk under "
+        "every other process (observed: the near_dup_clusters oracle at sf1 "
+        "wrote >50 GB of hash-join temp). DuckDB temp storage is "
+        "connection-lifetime — it persists across queries — so long sweeps "
+        "over heavy oracles should also be chunked into fresh processes.",
+    )
     args = ap.parse_args()
 
     # hash-defined operators must run the md5 'oracle' mode here — the
@@ -120,6 +130,8 @@ def main() -> int:
 
     spark = get_spark(app_name="correctness-check")
     con = duckdb.connect()
+    if args.duck_temp_cap:
+        con.execute(f"SET max_temp_directory_size='{args.duck_temp_cap}'")
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
