@@ -77,6 +77,43 @@ def get_spark(
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
         )
+        # Driver hygiene for long-lived sessions cycling many distinct
+        # plans (this registry; any multi-tenant SQL service). Spark frees
+        # shuffle files, broadcasts and localCheckpoint blocks through
+        # ContextCleaner, which only learns an object is dead when the
+        # driver JVM runs a GC — and a large-heap driver can go very long
+        # without one, so state from hundreds of finished queries piles up
+        # (default periodicGC.interval is 30 min). Round-7-opt full-bench
+        # A/B on an idle host (210 queries, min-of-2 each): default 244.3 s
+        # → 159.1 s with a 90 s periodic GC alone. Scale posture: the
+        # cleanup backlog grows with queries-per-session, not with data
+        # size — a production driver needs this MORE, not less.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "90s"),
+        )
+        # The 5000-entry codegen class cache (above) keeps thousands of
+        # JIT-compiled generated classes live; the JVM's default 240 MB
+        # reserved code cache then overflows mid-run and HotSpot silently
+        # stops compiling (uniform ~1.5-2x slowdown tail). Same A/B:
+        # 159.1 s → 149.1 s with the larger code cache on top of the GC
+        # fix. Sized to the codegen cache, not to this host.
+        #
+        # ExplicitGCInvokesConcurrent: the periodic cleaner GC above calls
+        # System.gc(), which on G1 is a STOP-THE-WORLD full collection by
+        # default — on this 8 GB heap a multi-second pause that lands
+        # inside whatever query is running when the 90 s timer fires
+        # (observed: pretraining_pipeline 4.1 s → 10.9-12.0 s,
+        # t5_span_corruption 1.4 s → 6.4 s in runs where the pause hit
+        # them). The flag turns those explicit GCs into concurrent G1
+        # cycles: cleanup still happens, queries keep running.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=512m -XX:+ExplicitGCInvokesConcurrent",
+            ),
+        )
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
