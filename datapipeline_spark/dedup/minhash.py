@@ -95,13 +95,22 @@ def word_shingles_from_tokens(
 def minhash_signatures(
     shingles: DataFrame, id_col: str, params: MinHashParams = MinHashParams()
 ) -> DataFrame:
-    """(id, mh0..mh{k-1}) — one aggregation pass over the shingle stream."""
-    h = hash48(F.col("shingle"))
+    """(id, mh0..mh{k-1}) — one aggregation pass over the shingle stream.
+
+    The 48-bit base hash is projected ONCE before the aggregate: the old
+    form nested `hash48(shingle)` inside every min(), so the map-side
+    partial aggregate carried k copies of the md5→conv chain (k=64 for
+    the sharp profile). Each permutation min is also a single parsed SQL
+    expression instead of ~8 chained Column calls — at k=64 the per-call
+    Py4J assembly alone was ~0.9 s of driver time per plan construction.
+    Arithmetic is unchanged: int literal · bigint promotes to bigint in
+    SQL exactly as `F.lit(a) * h` did, so signatures are bit-identical."""
+    hashed = shingles.select(id_col, hash48(F.col("shingle")).alias("__h48"))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MOD)).alias(f"mh{j}")
+        F.expr(f"min(({a} * __h48 + {b}) % {MOD}) AS mh{j}")
         for j, (a, b) in enumerate(params.coeffs)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -124,21 +133,21 @@ def lsh_candidate_pairs(
     its pair count).
     """
     rows = params.num_hashes // bands
+    # one parsed expression for the whole band array: the per-Column form
+    # (bands × struct/lit/concat_ws assembly) was hundreds of Py4J round
+    # trips per plan construction; CAST(... AS STRING) matches the implicit
+    # cast F.concat_ws inserted, so band signatures are byte-identical
+    structs = ", ".join(
+        "named_struct('band', {b}, 'sig', concat_ws('_', {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = signatures.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
-                        ).alias("sig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bs"),
+        id_col, F.expr(f"explode(array({structs}))").alias("bs")
     ).select(id_col, "bs.band", "bs.sig")
     from datapipeline_spark.functions.pairs import inrow_pairs
 
@@ -231,17 +240,21 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → LSH → verified jaccard.
 
-    The shingle stream is consumed three times (signatures + both sides of
-    the jaccard verification) and the signature table twice (the bucket-cap
-    branch + the candidate join) — without the lazy checkpoints below each
-    consumer re-runs the whole upstream (5-6 redundant shingle passes
-    measured inside one materialization; the contamination_check fix,
-    generalized). Lazy, not eager: callers that never execute the plan pay
-    nothing, and the first action materializes each subtree exactly once."""
+    The shingle stream is consumed four times (signatures + semi-join +
+    both sides of the jaccard verification) — without the lazy checkpoint
+    below each consumer re-runs the whole upstream (5-6 redundant shingle
+    passes measured inside one materialization; the contamination_check
+    fix, generalized). Lazy, not eager: callers that never execute the
+    plan pay nothing, and the first action materializes the subtree
+    exactly once. The signature table is NOT checkpointed: since the
+    in-row band-pair rewrite it has exactly one consumer (the banded
+    explode), so a checkpoint there bought nothing and cost a full
+    catalyst planning pass (~0.9 s at k=64) per plan construction plus a
+    64-column block-store round trip per run."""
     sh = word_shingles(df, id_col, text_col, shingle_words).localCheckpoint(
         eager=False
     )
-    sig = minhash_signatures(sh, id_col, params).localCheckpoint(eager=False)
+    sig = minhash_signatures(sh, id_col, params)
     cand = lsh_candidate_pairs(sig, id_col, params, bands)
     return jaccard_pairs(sh, id_col, cand, threshold)
 
