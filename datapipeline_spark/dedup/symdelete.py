@@ -61,15 +61,25 @@ def deletion_join(
     (k in {1, 2}). Output: ``block_cols + (id_a, id_b, dist)`` — exactly
     the naive ``a JOIN b ON block AND id_a < id_b WHERE lev <= k``.
 
-    Plan: one explode to (block, variant, id), then IN-ROW pair generation
-    per (block, variant) bucket (one collect_set groupBy + (i < j)
-    explode — the basket-pair pattern, functions/pairs.py) instead of a
-    variant-keyed self-equi-join: the exploded variant stream is consumed
-    ONCE, one exchange feeds the pair stream, and no join ever keys on the
-    variant alone. Candidate volume is still Σ bucket², with buckets sized
-    by how many strings share a full deletion variant (tiny unless the
-    strings genuinely collide); distinct id pairs then rejoin the original
-    strings for bounded-levenshtein verification.
+    Plan: one explode to (block, variant, (id, s)), then IN-ROW pair
+    generation per (block, variant) bucket (one collect_set groupBy +
+    (i < j) explode — the basket-pair pattern, functions/pairs.py) instead
+    of a variant-keyed self-equi-join: the exploded variant stream is
+    consumed ONCE, one exchange feeds the pair stream, and no join ever
+    keys on the variant alone. Candidate volume is still Σ bucket², with
+    buckets sized by how many strings share a full deletion variant (tiny
+    unless the strings genuinely collide).
+
+    The bucket members are (id, string) STRUCTS, not bare ids: the pair
+    explode then carries both strings, so the bounded-levenshtein
+    verification is a per-row filter and the two join-back exchanges the
+    id-only form needed (cand ⋈ strs ⋈ strs) disappear outright (guide
+    §2.1/§3 — remove shuffles, fewer AQE stage round-trips). structs sort
+    by id first, so (id_a < id_b) pair order is unchanged; ids are unique
+    per block, so the member sets are the same size as before. Verified
+    bit-identical on the ER corpus (33 658 pairs) and by the oracle
+    sweeps; at scale the shuffled bytes grow by one short string per
+    member — repaid by not shuffling the candidate-pair table twice.
     """
     bc = list(block_cols)
     base = df.select(
@@ -85,34 +95,36 @@ def deletion_join(
     for c in bc:
         base = base.filter(F.col(c).isNotNull())
     exploded = base.select(
-        *bc, "__id__", F.explode(deletion_variants("__s__", k)).alias("__v__")
+        *bc,
+        F.struct("__id__", "__s__").alias("__m__"),
+        F.explode(deletion_variants("__s__", k)).alias("__v__"),
     )
     buckets = exploded.groupBy(*bc, "__v__").agg(
-        F.sort_array(F.collect_set("__id__")).alias("__ids__")
+        F.sort_array(F.collect_set("__m__")).alias("__ms__")
     )
-    ms = F.col("__ids__")
-    cand = (
+    ms = F.col("__ms__")
+    return (
         buckets.filter(F.size(ms) >= 2)
-        .select(*bc, ms, F.posexplode(ms).alias("__i__", "id_a"))
+        .select(*bc, ms, F.posexplode(ms).alias("__i__", "__a__"))
         .select(
             *bc,
-            "id_a",
+            "__a__",
             F.explode(
                 F.slice(ms, F.col("__i__") + F.lit(2), F.size(ms))
-            ).alias("id_b"),
+            ).alias("__b__"),
         )
+        .select(
+            *bc,
+            F.col("__a__.__id__").alias("id_a"),
+            F.col("__b__.__id__").alias("id_b"),
+            F.col("__a__.__s__").alias("__sa__"),
+            F.col("__b__.__s__").alias("__sb__"),
+        )
+        # a pair surfaces once per shared variant: dedupe BEFORE the
+        # levenshtein filter so the (capped) edit distance runs once per
+        # candidate pair. (__sa__, __sb__) are functionally dependent on
+        # the ids, so including them cannot change the distinct set.
         .distinct()
-    )
-    strs = base
-    return (
-        cand.join(
-            strs.withColumnsRenamed({"__id__": "id_a", "__s__": "__sa__"}),
-            [*bc, "id_a"],
-        )
-        .join(
-            strs.withColumnsRenamed({"__id__": "id_b", "__s__": "__sb__"}),
-            [*bc, "id_b"],
-        )
         .withColumn("dist", F.levenshtein("__sa__", "__sb__", k).cast("long"))
         .filter(F.col("dist") >= 0)
         .select(*bc, "id_a", "id_b", "dist")
