@@ -92,6 +92,37 @@ def word_shingles_from_tokens(
     )
 
 
+def hashed_word_shingles_from_tokens(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    n: int = 2,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, h) word n-gram stream hashed to 48-bit longs BEFORE any
+    deduplication — no full shingle string ever reaches an exchange
+    (guide §2.4: shuffle narrower types; an 8-gram averages ~50 bytes,
+    the hash is 8). With ``distinct=True`` the stream is deduplicated on
+    (id, h); with ``distinct=False`` it is the raw multiset and the plan
+    has NO exchange at all below the consumer.
+
+    Only for consumers that read the HASH and are multiplicity- and
+    collision-insensitive (semi-joins, countDistinct, distinct-of-hash):
+    two distinct shingles colliding in 48 bits collapse here but not in
+    `word_shingles(...).select(hash48(...))` — identical downstream
+    results for those consumers, NOT a drop-in elsewhere."""
+    joined = " || ' ' || ".join(f"{token_col}[i + {j}]" for j in range(n))
+    grams = F.expr(
+        f"transform(sequence(0, size({token_col}) - {n}), i -> {joined})"
+    )
+    out = (
+        df.filter(F.size(token_col) >= n)
+        .select(id_col, F.explode(grams).alias("__sh__"))
+        .select(id_col, hash48(F.col("__sh__")).alias("h"))
+    )
+    return out.distinct() if distinct else out
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str, params: MinHashParams = MinHashParams()
 ) -> DataFrame:

@@ -1572,15 +1572,25 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     production the benchmark side is a small curated eval set, so Spark's
     AQE broadcasts it and the check becomes shuffle-free over the 100 TB
     train side."""
-    from datapipeline_spark.dedup.minhash import hash48
+    from datapipeline_spark.dedup.minhash import hashed_word_shingles_from_tokens
 
     docs = load_table(spark, sf_dir, "documents")
     # the train and bench branches both consume the shingle stream —
     # checkpoint it once (spread first: the 8-gram explode+md5 is the
-    # compute-heavy stage and the scan is a single file split)
+    # compute-heavy stage and the scan is a single file split). Hashed
+    # BEFORE the per-doc distinct: the dedup exchange then moves 16-byte
+    # (doc_id, h) rows instead of full ~50-byte 8-gram strings; both
+    # consumers are countDistinct/semi-join shaped, so 48-bit collisions
+    # cannot change the result.
     sh = (
-        word_shingles(spread(docs), "doc_id", "text", n=8)
-        .select("doc_id", hash48(F.col("shingle")).alias("h"))
+        hashed_word_shingles_from_tokens(
+            spread(docs).select(
+                "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+            ),
+            "doc_id",
+            "w",
+            n=8,
+        )
         .localCheckpoint(eager=False)
     )
     is_bench = _sha_long("21|", F.col("doc_id")) % 100 < 10
@@ -5801,7 +5811,7 @@ def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from datapipeline_spark.dedup.minhash import (
-        hash48,
+        hashed_word_shingles_from_tokens,
         jaccard_pairs,
         lsh_candidate_pairs,
         minhash_signatures,
@@ -5847,9 +5857,12 @@ def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = ded.join(
         drops.withColumnRenamed("id_b", "doc_id"), "doc_id", "left_anti"
     )
-    sh8 = word_shingles_from_tokens(base, "doc_id", "w", 8).select(
-        "doc_id", hash48(F.col("shingle")).alias("h")
-    )
+    # hashed BEFORE dedup, and no dedup at all: every consumer below is
+    # multiplicity- and collision-insensitive (bench_h re-distincts the
+    # bare hash, contam is a semi-join closed by a doc_id distinct), so
+    # the old distinct exchange of full 8-gram STRINGS — the widest
+    # shuffle in this query — is deleted outright, not just narrowed
+    sh8 = hashed_word_shingles_from_tokens(base, "doc_id", "w", 8, distinct=False)
     is_bench = _sha_long("21|", F.col("doc_id")) % 100 < 10
     bench_h = sh8.filter(is_bench).select("h").distinct()
     contam = (
