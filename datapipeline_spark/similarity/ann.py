@@ -443,27 +443,80 @@ def lsh_similar_pairs(
     # construction-time fix as lsh_knn's banded_ids)
     banded = sig.select(
         F.col(id_col).alias("bid"),
+        F.col(vec_col).alias("__v__"),
         F.expr(
             f"explode(transform(sequence(0, {bands - 1}), b -> "
             f"struct(CAST(b AS INT) AS band, "
             f"shiftright(rh_sig, b * {bits}) & {(1 << bits) - 1} AS bucket)))"
         ).alias("bb"),
-    ).select("bid", "bb.band", "bb.bucket")
-    from datapipeline_spark.functions.pairs import inrow_pairs
+    ).select("bid", "__v__", "bb.band", "bb.bucket")
 
-    cand = inrow_pairs(
-        banded, ["band", "bucket"], "bid", max_group_size=max_bucket
-    ).distinct()
-    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    return (
-        cand.join(vecs.withColumnsRenamed({"vid": "id_a", "v": "va"}), "id_a")
-        .join(vecs.withColumnsRenamed({"vid": "id_b", "v": "vb"}), "id_b")
-        .withColumn(
-            "cosine",
-            F.round(cosine_similarity_np(F.col("va"), F.col("vb")), round_digits),
+    # Scoring happens IN-BUCKET (grouped map per (band, bucket)) instead of
+    # per candidate pair: the old shape generated distinct id pairs and
+    # joined the vectors back, so every vector crossed the Python boundary
+    # once PER CANDIDATE PAIR (~463k pairs from a 2 000-vector corpus =
+    # ~470 MB through Arrow; guide §4 — pass only what the function
+    # needs). Here each vector is shuffled and Arrow-transferred exactly
+    # `bands` times, and Σ C(|bucket|, 2) ≥ Σ |bucket| whenever buckets
+    # average ≥ 3 members, so the in-bucket form moves strictly fewer
+    # bytes in exactly the dense-bucket regime where pair scoring gets
+    # expensive; per-group memory is bounded by the `max_bucket` cap
+    # (≤ cap × dim doubles). The per-dim accumulation loop reproduces the
+    # IEEE chain of `cosine_similarity_expr` / the SQL oracle verbatim
+    # (same order, same ops — cf. cosine_similarity_np), the raw score is
+    # returned and Spark applies the SAME F.round; pairs appearing in
+    # several buckets carry identical scores, so the trailing distinct is
+    # unchanged in effect. Pairs whose cosine is NULL in the pair form
+    # (null / length-mismatched / NaN vector, zero norm) are dropped
+    # in-group — identical to the NULL failing the threshold filter.
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "__raw__": pd.Series(dtype="float64")}
         )
+        if len(pdf) < 2 or len(pdf) > max_bucket:
+            return empty
+        ids = pdf["bid"].to_numpy()
+        vv = pdf["__v__"].to_numpy()
+        keep = [
+            i for i in range(len(ids))
+            if vv[i] is not None and len(vv[i]) == dim
+        ]
+        if len(keep) < 2:
+            return empty
+        order = sorted(keep, key=lambda i: ids[i])
+        M = np.vstack([vv[i] for i in order]).astype(np.float64)
+        oid = np.asarray([ids[i] for i in order], dtype=np.int64)
+        n = len(order)
+        ia, ib = np.triu_indices(n, k=1)
+        A, B = M[ia], M[ib]
+        dot = np.zeros(len(ia))
+        qa = np.zeros(len(ia))
+        qb = np.zeros(len(ia))
+        for j in range(dim):
+            x, y = A[:, j], B[:, j]
+            dot += x * y
+            qa += x * x
+            qb += y * y
+        den = np.sqrt(qa) * np.sqrt(qb)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            raw = np.where(den == 0.0, np.nan, dot / den)
+        ok = ~np.isnan(raw)
+        return pd.DataFrame(
+            {"id_a": oid[ia[ok]], "id_b": oid[ib[ok]], "__raw__": raw[ok]}
+        )
+
+    scored = banded.groupBy("band", "bucket").applyInPandas(
+        _score_bucket, "id_a long, id_b long, __raw__ double"
+    )
+    return (
+        scored.withColumn("cosine", F.round(F.col("__raw__"), round_digits))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        .distinct()
     )
 
 

@@ -530,11 +530,12 @@ def test_minhash_dedup_pairs_candidate_bounded(spark):
 
 
 def test_lsh_similar_pairs_bucket_bounded(spark):
-    """Embedding pair generation must be the capped in-row (band, bucket)
-    member-list explode, never an O(n²) id-inequality join NOR a bucket-
-    keyed self-join (which consumed the signature subtree twice); vectors
-    join back by id after the distinct candidate set (the blocking stage
-    shuffles ids only)."""
+    """Embedding pair generation must be the capped IN-BUCKET grouped-map
+    scorer keyed on (band, bucket) — never an O(n²) id-inequality join,
+    a bucket-keyed self-join, NOR the per-pair vector join-back (which
+    Arrow-transferred every vector once per candidate pair; round-7 opt).
+    The whole pair surface is one grouped Python evaluation whose group
+    memory is bounded by the max_bucket cap."""
     from datapipeline_spark.similarity import lsh_similar_pairs
     from datapipeline_spark.tables import load_table
 
@@ -542,11 +543,13 @@ def test_lsh_similar_pairs_bucket_bounded(spark):
     plan = _plan(lsh_similar_pairs(e, threshold=0.3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # blocking = ONE aggregate keyed on (band, bucket) collecting ids...
-    assert re.search(r"HashAggregate.*\[band#\d+, bucket#\d+L?\]", plan)
-    # ...then in-row pair generation (two Generates), no band/bucket join
-    assert not re.search(r"Join \[band#\d+, bucket#\d+L?\],", plan)
-    assert plan.count("Generate") >= 2
+    # scoring = ONE grouped-map python stage keyed on (band, bucket)...
+    assert re.search(r"FlatMapGroupsInPandas \[band#\d+, bucket#\d+L?\]", plan)
+    # ...no join anywhere (blocking and scoring are join-free), and the
+    # only row-stream Python stage is the signature map (no per-pair
+    # ArrowEvalPython cosine scorer)
+    assert "Join" not in plan
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_registry_near_dup_entries_are_lsh_wired():
