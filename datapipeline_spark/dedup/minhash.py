@@ -223,11 +223,12 @@ def jaccard_pairs(
         )
         shingles = shingles.join(rare, "shingle", "leftsemi")
     if candidates is not None:
-        ids = (
-            candidates.select(F.col("id_a").alias(id_col))
-            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
+        # both pair ids in-row (one Generate) — the unionByName form
+        # consumed the candidate subtree twice, and the candidate subtree
+        # is the expensive half of every caller's plan (round-7 opt)
+        ids = candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        ).distinct()
         shingles = shingles.join(ids, id_col, "leftsemi")
         a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
         b = shingles.select(F.col(id_col).alias("id_b"), "shingle")

@@ -106,26 +106,36 @@ def prefix_filter_candidates(
         (F.col("pos0") + 1).alias("pos"),  # 1-based position in sorted order
         F.col("pt.shingle").alias("shingle"),
     )
-    # the prefix stream is consumed at least twice below (both sides of
-    # the candidate join; the guard adds a group-size aggregate): one lazy
-    # checkpoint so the first action materializes it exactly once — the
-    # unguarded plan otherwise carried both sides' full
-    # scan→df-join→sort→slice subtrees (40 scan copies at 2-word shingles)
-    # and relied on AQE exchange reuse to rescue the runtime
-    prefix = prefix.localCheckpoint(eager=False)
+    # Pair generation is IN-ROW per prefix-token group (round-7 opt, the
+    # inrow_pairs/deletion_join shape): ONE groupBy(shingle) collects each
+    # group's (id, n, pos) members and two streaming Generates explode the
+    # (id_a < id_b) pairs with the length/position filters applied in
+    # place. The old shape self-joined the prefix stream on shingle (two
+    # consumers of the subtree forced a localCheckpoint whose AQE stage
+    # materialization ran the full shingle scan at BUILD time, plus two
+    # join exchanges), and the group-size guard was a third consumer via a
+    # semi-join. Here the guard is an in-row gate on the collected array —
+    # same cap, same row counts (each (doc, shingle) appears once in the
+    # prefix, so array size == the old count(*) per group) — and the pair
+    # explode equals the join output exactly: one row per shared prefix
+    # token per (a < b) doc pair, positions carried in the member structs.
+    # Work and output volume are C(group, 2) either way; group memory is
+    # the prefix-group size — bounded by max_prefix_group when the guard
+    # is on, and inherently join-output-sized otherwise.
+    grp = prefix.groupBy("shingle").agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("i"), F.col("n"), F.col("pos")
+            )
+        ).alias("__m__")
+    )
     if max_prefix_group is not None:
-        groups = prefix.groupBy("shingle").agg(F.count(F.lit(1)).alias("__g__"))
         if on_exceed == "error":
-            # ACTION-TIME guard (round-7 ADVICE): the old form ran an eager
-            # full shingle-scan + aggregate at construction time on every
-            # healthy corpus (and again per rebuilt run under rebuild-per-
-            # run benching). Instead, every group row carries an
-            # assert_true that detonates DURING the caller's action iff a
-            # group exceeds the cap — passing groups evaluate to NULL and
-            # the filter keeps them all, so the semi-join below is a
-            # semantic no-op that merely forces the group sizes to be
-            # checked. Zero extra jobs at build; degenerate corpora fail
-            # the first action with the offending group in the message.
+            # ACTION-TIME guard (round-7 ADVICE): assert_true returns NULL
+            # for passing groups (isNull keeps every row) and detonates
+            # during the caller's first action iff a group exceeds the
+            # cap. Zero extra jobs at build; degenerate corpora fail the
+            # first action with the offending group in the message.
             msg = F.concat(
                 F.lit(
                     "prefix_filter_candidates: degenerate corpus — "
@@ -133,7 +143,7 @@ def prefix_filter_candidates(
                 ),
                 F.col("shingle"),
                 F.lit("' has "),
-                F.col("__g__").cast("string"),
+                F.size("__m__").cast("string"),
                 F.lit(
                     f" documents (cap {max_prefix_group}); the exact "
                     "join's output is inherently quadratic here. Use the "
@@ -143,32 +153,13 @@ def prefix_filter_candidates(
                     "boilerplate-only pairs for a bounded plan."
                 ),
             )
-            checked = groups.filter(
-                F.assert_true(F.col("__g__") <= max_prefix_group, msg).isNull()
-            )
-            prefix = prefix.join(
-                checked.select("shingle"), "shingle", "leftsemi"
+            grp = grp.filter(
+                F.assert_true(
+                    F.size("__m__") <= max_prefix_group, msg
+                ).isNull()
             )
         else:
-            prefix = prefix.join(
-                groups.filter(F.col("__g__") <= max_prefix_group).select(
-                    "shingle"
-                ),
-                "shingle",
-                "leftsemi",
-            )
-    a = prefix.select(
-        F.col(id_col).alias("id_a"),
-        F.col("n").alias("na"),
-        F.col("pos").alias("pa"),
-        "shingle",
-    )
-    b = prefix.select(
-        F.col(id_col).alias("id_b"),
-        F.col("n").alias("nb"),
-        F.col("pos").alias("pb"),
-        "shingle",
-    )
+            grp = grp.filter(F.size("__m__") <= max_prefix_group)
     # overlap requirement: a prefix match at (pa, pb) can extend to at most
     # m = min(na-pa, nb-pb)+1 common tokens, and jaccard >= t needs
     # m >= t/(1+t)·(na+nb). Evaluated in INTEGER arithmetic — the float
@@ -179,18 +170,18 @@ def prefix_filter_candidates(
     # test m·(1e6+T) >= T·(na+nb) is never stricter than the exact
     # condition: lossless by construction, at worst a few extra candidates
     # for exact verification to discard.
-    m = (
-        F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")) + 1
-    ).cast("long")
+    ma, mb = F.col("ma"), F.col("mb")
+    m = (F.least(ma.n - ma.pos, mb.n - mb.pos) + 1).cast("long")
     return (
-        a.join(b, "shingle")
+        grp.select("__m__", F.explode("__m__").alias("ma"))
+        .select("ma", F.explode("__m__").alias("mb"))
         .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("nb") * 1_000_000 >= F.col("na") * t_num)
-            & (F.col("na") * 1_000_000 >= F.col("nb") * t_num)
-            & (m * (1_000_000 + t_num) >= t_num * (F.col("na") + F.col("nb")))
+            (ma.i < mb.i)
+            & (mb.n * 1_000_000 >= ma.n * t_num)
+            & (ma.n * 1_000_000 >= mb.n * t_num)
+            & (m * (1_000_000 + t_num) >= t_num * (ma.n + mb.n))
         )
-        .select("id_a", "id_b")
+        .select(ma.i.alias("id_a"), mb.i.alias("id_b"))
         .distinct()
     )
 
