@@ -93,14 +93,41 @@ def frequent_pairs(
     window count over the SAME basket partitioning (no exchange), applied
     before the join.
     """
-    raw = df.select(F.col(basket_col).alias("basket"), F.col(item_col).alias("item"))
-    d = raw.repartition(F.col("basket")).dropDuplicates(["basket", "item"])
+    d0 = _basket_base(df, basket_col, item_col)
+    pairs, _ = _pairs_from_base(
+        d0, min_item_support, min_pair_support, max_basket_items
+    )
+    return pairs
+
+
+def _basket_base(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """The shared deduped (basket, item) base: ONE repartition(basket)
+    exchange that every downstream consumer (dedup, supports, prune, cap,
+    both self-join sides, basket totals) rides — consumers built from this
+    same object produce byte-identical exchange subtrees, which AQE dedups
+    into a single ReusedExchange at runtime."""
+    raw = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    )
+    return raw.repartition(F.col("basket")).dropDuplicates(["basket", "item"])
+
+
+def _pairs_from_base(
+    d0: DataFrame,
+    min_item_support: int,
+    min_pair_support: int,
+    max_basket_items: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, all-item supports) from a `_basket_base` result. Supports
+    are counted on the UNPRUNED base (true frequencies — the a-priori
+    prune list derives from them), exactly as the split
+    item_supports/frequent_pairs helpers did."""
+    sup_all = d0.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    d = d0
     if min_item_support > 1:
-        keep = (
-            d.groupBy("item")
-            .agg(F.count(F.lit(1)).cast("long").alias("support"))
-            .filter(F.col("support") >= min_item_support)
-        )
+        keep = sup_all.filter(F.col("support") >= min_item_support)
         d = d.join(F.broadcast(keep.select("item")), "item", "left_semi")
     if max_basket_items is not None:
         from pyspark.sql import Window
@@ -115,7 +142,7 @@ def frequent_pairs(
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
     )
-    return pairs.filter(F.col("pair_support") >= min_pair_support)
+    return pairs.filter(F.col("pair_support") >= min_pair_support), sup_all
 
 
 def association_rules(
@@ -140,18 +167,21 @@ def association_rules(
     -item support table → broadcast 1-row total. No shuffle is keyed on
     anything wider than (basket) or (item).
     """
-    pairs = frequent_pairs(
-        df,
-        basket_col,
-        item_col,
-        min_item_support,
-        min_pair_support,
-        max_basket_items,
+    # ONE shared (basket, item) base: the split helpers each rebuilt the
+    # input join + dedup from scratch (three structurally different
+    # subtrees AQE could not dedup — the round-7 before-plan carried 40
+    # parquet scans), and the two rule directions consumed the whole pair
+    # subtree twice via unionByName. Now pairs, supports, and the basket
+    # total all derive from one `_basket_base` object (byte-identical
+    # exchange subtrees → one ReusedExchange at runtime), and the
+    # direction flip is an IN-ROW explode of the two (antecedent,
+    # consequent) orientations — single consumption, same rows.
+    d0 = _basket_base(df, basket_col, item_col)
+    pairs, sup_all = _pairs_from_base(
+        d0, min_item_support, min_pair_support, max_basket_items
     )
-    sup = item_supports(df, basket_col, item_col, min_item_support)
-    n = basket_items(df, basket_col, item_col).agg(
-        F.countDistinct("basket").cast("long").alias("n_baskets")
-    )
+    sup = sup_all.filter(F.col("support") >= min_item_support)
+    n = d0.agg(F.countDistinct("basket").cast("long").alias("n_baskets"))
     sa = sup.select(F.col("item").alias("ia"), F.col("support").alias("sup_a"))
     sb = sup.select(F.col("item").alias("ib"), F.col("support").alias("sup_b"))
     both = (
@@ -160,21 +190,31 @@ def association_rules(
         .crossJoin(F.broadcast(n))
     )
     directed = both.select(
-        F.col("ia").alias("antecedent"),
-        F.col("ib").alias("consequent"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias("antecedent"),
+                    F.col("ib").alias("consequent"),
+                    F.col("sup_a").alias("antecedent_support"),
+                    F.col("sup_b").alias("consequent_support"),
+                ),
+                F.struct(
+                    F.col("ib").alias("antecedent"),
+                    F.col("ia").alias("consequent"),
+                    F.col("sup_b").alias("antecedent_support"),
+                    F.col("sup_a").alias("consequent_support"),
+                ),
+            )
+        ).alias("__r__"),
         "pair_support",
-        F.col("sup_a").alias("antecedent_support"),
-        F.col("sup_b").alias("consequent_support"),
         "n_baskets",
-    ).unionByName(
-        both.select(
-            F.col("ib").alias("antecedent"),
-            F.col("ia").alias("consequent"),
-            "pair_support",
-            F.col("sup_b").alias("antecedent_support"),
-            F.col("sup_a").alias("consequent_support"),
-            "n_baskets",
-        )
+    ).select(
+        "__r__.antecedent",
+        "__r__.consequent",
+        "pair_support",
+        "__r__.antecedent_support",
+        "__r__.consequent_support",
+        "n_baskets",
     )
     dec = "CAST(pair_support AS DECIMAL(38,0))"
     return directed.select(

@@ -228,8 +228,13 @@ FROM ua JOIN ba USING (doc_id) JOIN ta USING (doc_id)
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filters (text/analysis.py
     repetition_signals): top-word/top-bigram mass and duplicate
-    bigram/trigram instance fractions per document."""
-    d = load_table(spark, sf_dir, "documents")
+    bigram/trigram instance fractions per document. The operator is a
+    zero-shuffle Arrow map since round 7 — spread buys it scan-width
+    parallelism on the single-row-group local file (the fd_discovery
+    treatment)."""
+    from datapipeline_spark.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
     return repetition_signals(d)
 
 

@@ -109,46 +109,87 @@ def repetition_signals(
     instances that are repeats. High values flag boilerplate and degenerate
     machine-generated text.
 
-    Shape at scale: one explode + groupBy((id, gram)) per n-gram order —
-    shuffles are keyed by (doc, gram) so they spread evenly; the per-doc
-    reduction is a tiny second aggregate. No Python in the path.
-    A melt-fused single-shuffle variant (one (id, order, gram) stream,
-    pivoted back) was built and A/B'd in round 4: it scans the input once
-    instead of three times but measured ~0.6 s SLOWER at sf0.1 — the
-    three per-order subtrees here are independent and Spark runs their
-    stages CONCURRENTLY inside one job, which beats the fused plan's
-    serialized 3x-mass exchange until the scan itself dominates.
+    Shape at scale (round-7 opt): every signal is a PER-DOCUMENT statistic,
+    so the whole computation is a single Arrow-batched map — zero
+    shuffles. The previous shape exploded three per-order gram streams
+    into (id, gram-string)-keyed aggregates plus two id-keyed joins (~8
+    exchanges moving every word 6×, guide §2.3/§2.4); a round-4 melt-fused
+    single-shuffle variant was also slower. Here each word array crosses
+    the Python boundary once and eight integers come back; the kernel
+    counts n-grams as factorized integer tuples (np.unique codes; words
+    are whitespace-split so the ' '-joined gram string is injective in the
+    tuple), and the fractions — round(max/sum, 6) etc. — are computed by
+    the SAME Spark round/division expressions as before, on exact integer
+    numerators/denominators, so no float or rounding semantics moved into
+    Python. Docs with <3 words drop in-kernel, exactly like the old inner
+    joins (no trigram row); null texts likewise (explode of a null array
+    produced no rows).
     """
-    w = _words(text_col)
-    d = df.select(id_col, w.alias("w"))
+    import numpy as np
+    import pandas as pd
 
-    def gram_counts(n: int):
-        if n == 1:
-            g = F.col("w")
-        else:
-            # guard: sequence(1, size-k) reverses when size <= k
-            g = F.when(
-                F.size("w") >= n,
-                F.expr(
-                    f"transform(sequence(1, size(w) - {n - 1}),"
-                    f" i -> concat_ws(' ', slice(w, i, {n})))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        return (
-            d.select(id_col, F.explode(g).alias("g"))
-            .groupBy(id_col, "g")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy(id_col)
-        )
+    id_type = df.schema[id_col].dataType.simpleString()
 
-    dup = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
-    uni = gram_counts(1).agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"))
-    bi = gram_counts(2).agg(
-        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
-        F.round(dup / F.sum("c"), 6).alias("dup_bigram_frac"),
+    def _kernel(pdf_iter):
+        for pdf in pdf_iter:
+            ids_out: list = []
+            vals: list = []
+            for did, w in zip(pdf[id_col], pdf["w"]):
+                if w is None or len(w) < 3:
+                    continue
+                words = np.asarray(w)
+                _, codes = np.unique(words, return_inverse=True)
+                uc = np.bincount(codes)
+                v = len(uc)
+                bi = codes[:-1].astype(np.int64) * v + codes[1:]
+                _, bcodes, bc = np.unique(
+                    bi, return_inverse=True, return_counts=True
+                )
+                # trigram key = (factorized bigram of the first two words,
+                # third word) — injective, and bcode < len(bi) keeps the
+                # packed key far inside int64
+                tri = bcodes[:-1].astype(np.int64) * v + codes[2:]
+                _, tc = np.unique(tri, return_counts=True)
+                ids_out.append(did)
+                vals.append(
+                    (
+                        int(uc.max()),
+                        len(codes),
+                        int(bc.max()),
+                        int(bc[bc >= 2].sum()),
+                        len(bi),
+                        int(tc[tc >= 2].sum()),
+                        len(tri),
+                    )
+                )
+            cols = list(zip(*vals)) if vals else [[]] * 7
+            yield pd.DataFrame(
+                {
+                    id_col: ids_out,
+                    "u_max": cols[0],
+                    "u_tot": cols[1],
+                    "b_max": cols[2],
+                    "b_dup": cols[3],
+                    "b_tot": cols[4],
+                    "t_dup": cols[5],
+                    "t_tot": cols[6],
+                }
+            )
+
+    counts = df.select(
+        F.col(id_col), _words(text_col).alias("w")
+    ).mapInPandas(
+        _kernel,
+        f"{id_col} {id_type}, u_max long, u_tot long, b_max long, "
+        "b_dup long, b_tot long, t_dup long, t_tot long",
     )
-    tri = gram_counts(3).agg(F.round(dup / F.sum("c"), 6).alias("dup_trigram_frac"))
-    return uni.join(bi, id_col).join(tri, id_col)
+    return counts.select(
+        id_col,
+        F.round(F.col("u_max") / F.col("u_tot"), 6).alias("top_word_frac"),
+        F.round(F.col("b_max") / F.col("b_tot"), 6).alias("top_bigram_frac"),
+        F.round(F.col("b_dup") / F.col("b_tot"), 6).alias("dup_bigram_frac"),
+        F.round(F.col("t_dup") / F.col("t_tot"), 6).alias("dup_trigram_frac"),
+    )
 
 
 def winnow_fingerprints(
