@@ -3816,10 +3816,20 @@ def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = build_cm_sketch(ev, "user_id", depth=4, width=256)
     sb = build_cm_sketch(od, "o_custkey", depth=4, width=256)
     est = cm_inner_product(sa, sb, out="est_join_size")
+    # |A ⋈ B| = Σ_k f_a(k)·f_b(k): join the per-key COUNT tables (narrow,
+    # map-side combined) instead of the raw rows — the row-level join
+    # materialized every matching pair only to count it (round-7 opt,
+    # guide §2.3 aggregate-before-shuffle)
+    fa = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("fa"))
+    fb = od.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("fb"))
     exact = (
-        ev.select("user_id")
-        .join(od.select("o_custkey"), ev.user_id == od.o_custkey)
-        .agg(F.count(F.lit(1)).cast("long").alias("true_join_size"))
+        fa.join(fb, fa.user_id == fb.o_custkey)
+        .agg(
+            # coalesce: count(*) over an empty join is 0, sum is NULL
+            F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
+            .cast("long")
+            .alias("true_join_size")
+        )
     )
     return est.crossJoin(F.broadcast(exact)).select(
         "est_join_size",

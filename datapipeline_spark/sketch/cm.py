@@ -50,17 +50,35 @@ def build_cm_sketch(
 
     Each input row increments one cell per hash row; rows with the same
     (j, bucket) merge associatively, so partial aggregation does the heavy
-    lifting map-side and the shuffle is bounded by depth x width cells."""
+    lifting map-side and the shuffle is bounded by depth x width cells.
+
+    Batch inputs hash each DISTINCT key once (round-7 opt, guide §2
+    decide-with-small-rows): the per-key frequency is one narrow
+    map-side-combined aggregate, the depth sha256+conv chains run on the
+    distinct-key table only, and cells sum the frequencies — identical
+    cell counts (Σ_rows f(key) = Σ_keys freq·f(key)) for a hash cost
+    proportional to the key cardinality instead of the stream length.
+    Streaming inputs keep the single-aggregation form (a chained
+    stateful aggregate is not expressible in complete mode); the final
+    cells are byte-identical either way, which is what keeps the batch
+    SQL an exact oracle for the streaming query."""
     rows = F.array(
         *[
             F.struct(F.lit(j).alias("j"), _cell(F.col(key_col), j, width).alias("bucket"))
             for j in range(depth)
         ]
     )
+    if df.isStreaming:
+        return (
+            df.select(F.explode(rows).alias("cell"))
+            .groupBy(F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__f__"))
     return (
-        df.select(F.explode(rows).alias("cell"))
+        per_key.select(F.explode(rows).alias("cell"), "__f__")
         .groupBy(F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("__f__").cast("long").alias("c"))
     )
 
 
