@@ -32,14 +32,22 @@ def fd_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     (determinant, dependent): distinct determinant values, exact FD flag,
     violating-row count, and held-fraction in ppm. Null values are one
     more domain value (two nulls agree), matching SQL GROUP BY."""
+    # The pair tag rides BOTH full-data exchanges (the (pair, av, bv)
+    # dedup and the (pair, av) group rollup), so it is shuffled rows ×
+    # pairs times: carry it as ONE int pair_id instead of two column-name
+    # strings (~20 bytes/row narrower keys that also hash/compare cheaper
+    # — guide §2.3), and map the id back to (det, dep) in the final
+    # len(cols)² -row projection where it costs nothing.
     pairs = []
+    names = []
     for a in cols:
         for b in cols:
             if a != b:
+                pid = len(names)
+                names.append((a, b))
                 pairs.append(
                     F.struct(
-                        F.lit(a).alias("det"),
-                        F.lit(b).alias("dep"),
+                        F.lit(pid).cast("int").alias("pid"),
                         F.col(a).cast("string").alias("av"),
                         # null is one more domain value (two nulls agree);
                         # countDistinct would silently drop it
@@ -49,14 +57,20 @@ def fd_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
                     )
                 )
     exploded = df.select(F.explode(F.array(*pairs)).alias("p")).select(
-        "p.det", "p.dep", "p.av", "p.bv"
+        "p.pid", "p.av", "p.bv"
     )
-    groups = exploded.groupBy("det", "dep", "av").agg(
+    groups = exploded.groupBy("pid", "av").agg(
         F.count(F.lit(1)).cast("long").alias("rows"),
         F.countDistinct("bv").cast("long").alias("n_dep"),
     )
+    det_of = F.element_at(
+        F.array(*[F.lit(a) for a, _ in names]), F.col("pid") + 1
+    ).alias("det")
+    dep_of = F.element_at(
+        F.array(*[F.lit(b) for _, b in names]), F.col("pid") + 1
+    ).alias("dep")
     return (
-        groups.groupBy("det", "dep")
+        groups.groupBy("pid")
         .agg(
             F.count(F.lit(1)).cast("long").alias("det_groups"),
             F.sum("rows").cast("long").alias("n_rows"),
@@ -65,8 +79,8 @@ def fd_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             .alias("violating_rows"),
         )
         .select(
-            "det",
-            "dep",
+            det_of,
+            dep_of,
             "det_groups",
             "n_rows",
             "violating_rows",
