@@ -204,16 +204,20 @@ def lsh_knn(
     join strategy from observed sizes and the plan degrades gracefully to
     a shuffled hash join.
 
-    Scale shape (the `lsh_similar_pairs` discipline): the bucket join
-    carries (id, band, bucket) rows ONLY — vectors never ride through
-    candidate generation or the distinct (deduping array<double> pairs was
-    the old plan's dominant cost), and rejoin by id afterwards. Corpus
-    buckets larger than `max_bucket` are dropped (degenerate-region guard;
-    without it a band holds ~n/2^(planes/bands) of the corpus and the join
-    approaches a quarter-cartesian as n grows). Size `planes` so
-    n / 2^(planes/bands) stays under `max_bucket`: planes ≈
-    bands · log2(n / max_bucket) — 16/4 suits ~10⁴–10⁵ vectors; a 100 TB
-    corpus wants more planes (deeper buckets), not a bigger cap."""
+    Scale shape (the `lsh_similar_pairs` discipline): candidate
+    generation carries (id, band, bucket) rows ONLY — vectors never ride
+    through the bucket stage or the distinct (deduping array<double>
+    pairs was the old plan's dominant cost), and rejoin by id afterwards.
+    Bucket members are collected in-row per (band, bucket) and corpus
+    buckets larger than `max_bucket` are dropped by a size gate on the
+    array (degenerate-region guard; without it a band holds
+    ~n/2^(planes/bands) of the corpus and the explode approaches a
+    quarter-cartesian as n grows). A bucket's id list must fit in a row —
+    the same bound every collect in this repo carries (LSH buckets,
+    pagerank adjacency); size `planes` so n / 2^(planes/bands) stays
+    under `max_bucket`: planes ≈ bands · log2(n / max_bucket) — 16/4
+    suits ~10⁴–10⁵ vectors; a 100 TB corpus wants more planes (deeper
+    buckets), not a bigger cap."""
     bits = planes // bands
 
     def banded_ids(df: DataFrame, role: str) -> DataFrame:
@@ -235,21 +239,29 @@ def lsh_knn(
     from datapipeline_spark.tables import spread
 
     # the signature projection is compute-bound (planes × dim HOF folds per
-    # row) and the corpus arrives as few file splits — spread it wide; then
-    # lazily checkpoint the (id, band, bucket) rows so the bucket-size
-    # count and the candidate join share ONE signature computation
-    c_banded = banded_ids(spread(corpus), "neighbor").localCheckpoint(eager=False)
-    ok = (
-        c_banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") <= max_bucket)
-        .select("band", "bucket")
-    )
+    # row) and the corpus arrives as few file splits — spread it wide.
+    # Bucket membership is collected IN-ROW (round-7 opt, the
+    # lsh_similar_pairs discipline): one groupBy(band, bucket) holds each
+    # bucket's member ids, the max_bucket gate is a size filter on the
+    # array (a member id lands in a band's bucket exactly once, so array
+    # size == the old count(*)), and candidates explode the member list
+    # against the query's bucket stream. The old shape consumed the
+    # signature subtree twice (a count-gate aggregate plus the candidate
+    # join) through a localCheckpoint whose AQE materialization ran the
+    # signature scan at build; one consumer needs no checkpoint and one
+    # fewer join.
+    c_banded = banded_ids(spread(corpus), "neighbor")
+    buckets = c_banded.groupBy("band", "bucket").agg(
+        F.collect_list("neighbor_id").alias("__ids__")
+    ).filter(F.size("__ids__") <= max_bucket)
+    q_banded = banded_ids(queries, "query")
     cand = (
-        c_banded.join(ok, ["band", "bucket"])
-        .join(banded_ids(queries, "query"), ["band", "bucket"])
+        buckets.join(
+            F.broadcast(q_banded) if broadcast_queries else q_banded,
+            ["band", "bucket"],
+        )
+        .select("query_id", F.explode("__ids__").alias("neighbor_id"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
         .distinct()
     )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
