@@ -94,6 +94,15 @@ def deletion_join(
     # NULL-block results). Drop them at the source instead.
     for c in bc:
         base = base.filter(F.col(c).isNotNull())
+    # the C(L,k)-variant generation is compute-bound per row and scan
+    # parallelism is bounded by file splits — on a single-split input the
+    # explode serialized into ONE task (round-7 profile: 1.0 s of the
+    # 2.1 s candidate stage). The first shuffle key (the variant) is
+    # high-cardinality, so there is next to no map-side combining for the
+    # spread to dilute (tables.spread contract).
+    from datapipeline_spark.tables import spread
+
+    base = spread(base)
     exploded = base.select(
         *bc,
         F.struct("__id__", "__s__").alias("__m__"),
