@@ -1869,8 +1869,8 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment scheme (dedup/passjoin.py) because these names share a long
     constant prefix: positional segments all collide (measured quadratic
     again), while deletion variants keep the discriminating digits in
-    the join key. spread() widens the variant explode off the
-    single-file dim scan."""
+    the join key. deletion_join spreads its own variant explode off the
+    single-file dim scan (round-7: moved into the operator)."""
     from datapipeline_spark.dedup.symdelete import deletion_join
 
     c = load_table(spark, sf_dir, "customer").select(
@@ -1879,7 +1879,7 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the demo scopes to 5 of the 25 blocks — comparison volume is the ONLY
     # cost knob in blocked ER, and the operator's shape is identical at any
     # block subset
-    scoped = spread(c.filter(F.col("c_nationkey") < 5))
+    scoped = c.filter(F.col("c_nationkey") < 5)
     pairs = deletion_join(
         scoped, "c_custkey", "c_name", k=2, block_cols=["c_nationkey"]
     )
