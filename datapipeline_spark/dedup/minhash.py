@@ -213,6 +213,46 @@ def jaccard_pairs(
     guard `shared_passage_pairs` uses, and a deterministic semantics an
     oracle can mirror exactly.
     """
+    if candidates is None and max_doc_freq is not None:
+        # In-row pair generation (round-7 opt, the ppjoin/inrow_pairs
+        # shape): ONE groupBy(shingle) collects each rare shingle's member
+        # ids — shingles are distinct per doc, so array size == doc freq
+        # and the size gate IS the old df filter — and two streaming
+        # Generates explode the (id_a < id_b) pairs. This replaces the df
+        # aggregate + semi-join + shingle-keyed self-join (three
+        # consumptions of the shingle stream, two of them full-width
+        # exchanges) with one consumption; per-doc sizes re-derive from the
+        # same grouped table (each rare (doc, shingle) appears exactly once
+        # in exactly one member list), which AQE reuses as a ReusedExchange.
+        # Group memory is bounded by max_doc_freq — the unbounded case
+        # keeps the join form below.
+        grp = (
+            shingles.groupBy("shingle")
+            .agg(F.collect_list(F.col(id_col)).alias("__m__"))
+            .filter(F.size("__m__") <= max_doc_freq)
+        )
+        inter = (
+            grp.select("__m__", F.explode("__m__").alias("id_a"))
+            .select("id_a", F.explode("__m__").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sizes = grp.select(F.explode("__m__").alias(id_col)).groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return (
+            inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n": "n_a"}), "id_a")
+            .join(sizes.withColumnsRenamed({id_col: "id_b", "n": "n_b"}), "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     if max_doc_freq is not None:
         # shingles are distinct per doc, so count(*) per shingle == doc freq
         rare = (

@@ -5,8 +5,13 @@ Each token hashes to `bits` bits; per bit position the ±1 votes of all
 tokens are summed; the sign pattern is the fingerprint. Near-duplicates
 differ in few bits (hamming distance).
 
-Shape: explode tokens ×  bit positions → two-level aggregation. All integer
-arithmetic on engine-neutral md5-derived hashes → bit-identical in SQL.
+Shape: per-row (map-only). The fingerprint is a pure function of one
+document's token multiset, so nothing ever shuffles: hash each token once,
+count set bits per position over the token array, and a bit is set iff its
+±1 vote sum is positive — votes_i = 2·cnt_i − n > 0. All integer arithmetic
+on engine-neutral md5-derived hashes → bit-identical in SQL. (The previous
+shape exploded tokens × bit positions into a two-level aggregation — a
+bits×-row shuffle carrying the exact same information as the in-row count.)
 """
 
 from __future__ import annotations
@@ -14,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datapipeline_spark.dedup.minhash import hash48
+from datapipeline_spark.dedup.minhash import HASH_HEX_LEN
 
 
 def simhash(
@@ -24,22 +29,31 @@ def simhash(
     bits: int = 32,
 ) -> DataFrame:
     """(id, simhash bigint). Tokens weighted by multiplicity."""
-    tokens = df.select(
-        id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    # One parsed expression (build discipline). The token-hash array must
+    # evaluate ONCE per row — md5 must not re-run per bit position — but a
+    # two-projection split gets CollapseProject'd back into the (interpreted)
+    # HOF lambda, so the array is let-bound as a lambda variable instead:
+    # transform(array(hs), __hs__ -> fingerprint)[1] evaluates `hs` exactly
+    # once and binds it to __hs__. The vote sum is exact (longs), and the
+    # >0 sign test matches the old aggregate's.
+    hs = (
+        f"transform(split(trim({text_col}), '\\\\s+'),"
+        f" t -> CAST(conv(substring(md5(t), 1, {HASH_HEX_LEN}), 16, 10) AS BIGINT))"
     )
-    hashed = tokens.withColumn("h", hash48(F.col("tok")))
-    bit_votes = (
-        hashed.select(id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"))
-        # shiftright() requires a literal count — use the SQL operator form
-        .withColumn("vote", F.expr("CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END"))
-        .groupBy(id_col, "i")
-        .agg(F.sum("vote").alias("s"))
-    )
-    return bit_votes.groupBy(id_col).agg(
-        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END")).alias(
-            "simhash"
-        )
-    )
+    fingerprint = f"""
+    element_at(transform(array({hs}), __hs__ ->
+      aggregate(
+        zip_with(
+          transform(sequence(0, {bits - 1}),
+            i -> aggregate(__hs__, CAST(0 AS BIGINT),
+                   (acc, h) -> acc + CASE WHEN shiftright(h, i) & 1 = 1
+                                     THEN 1 ELSE -1 END)),
+          sequence(0, {bits - 1}),
+          (s, i) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), i)
+                         ELSE CAST(0 AS BIGINT) END),
+        CAST(0 AS BIGINT), (acc, x) -> acc + x)), 1)
+    """
+    return df.select(F.col(id_col), F.expr(fingerprint).alias("simhash"))
 
 
 def hamming_distance(col_a, col_b) -> F.Column:

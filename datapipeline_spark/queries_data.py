@@ -431,18 +431,25 @@ def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregated before their shuffles."""
     d = load_table(spark, sf_dir, "documents")
     sh = word_shingles(d, "doc_id", "text", 2)
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1)).otherwise(F.lit(0))
-    )
-    return (
-        sh.join(first, "shingle")
+    # No join back on the shingle (round-7 opt): every shingle has exactly
+    # one first_doc, so per-doc novel counts ARE the row counts of the
+    # min-aggregate grouped by its own result — two narrow per-doc
+    # aggregates replace re-shuffling the full shingle stream through a
+    # shingle-keyed join. Docs absent from `novel` have zero novel grams
+    # (left join + coalesce); the doc universe (>=1 shingle) is n_grams'.
+    n_grams = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    n_novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            novel.alias("n_novel"),
-            F.round(novel * F.lit(1.0) / F.count(F.lit(1)), 6).alias("novelty"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    nn = F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
+    return n_grams.join(n_novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        nn.alias("n_novel"),
+        F.round(nn * F.lit(1.0) / F.col("n_grams"), 6).alias("novelty"),
     )
 
 
@@ -741,7 +748,9 @@ FROM votes GROUP BY doc_id
 
 @query("simhash", _simhash_sql())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # simhash is map-only since round 7 (in-row bit votes) — spread the
+    # single-split scan or the per-token md5 kernel serializes on one task
+    d = spread(load_table(spark, sf_dir, "documents"))
     return simhash(d, bits=32)
 
 
