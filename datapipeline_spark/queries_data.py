@@ -5667,7 +5667,9 @@ def q_t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated training pairs are verified STRING-EXACT."""
     from datapipeline_spark.text.corrupt import span_corrupt
 
-    d = load_table(spark, sf_dir, "documents")
+    # span_corrupt is map-only since round 7 (in-row fold) — spread the
+    # single-split scan or the per-token md5 coin serializes on one task
+    d = spread(load_table(spark, sf_dir, "documents"))
     return span_corrupt(d, id_col="doc_id", text_col="text", rate_pct=15)
 
 

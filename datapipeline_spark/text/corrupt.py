@@ -11,20 +11,25 @@ keeps unmasked text with ``<extra_id_k>`` markers; the target is the
 inverse — each sentinel followed by the tokens it hides, closed by a
 final sentinel.
 
-Span identity is the gaps-and-islands rank-difference trick (position −
-running-masked-count is constant exactly along a masked run — the same
-identity as longest_activity_streak / SCD2). All windows are doc-keyed
-and bounded by document length; the rebuild is one ordered string
-aggregation per document. No Python in the plan — token explode, hash,
-windows, and string assembly are all JVM expressions.
+Shape: per-row (map-only, round-7 opt). Every output column is a pure
+function of ONE document's token array, so nothing shuffles: one in-row
+pass (an ``aggregate`` HOF) walks the tokens in position order carrying
+(previous mask, counts, span number, input text, target text) — the
+explode → two doc-keyed windows → span join → ordered string aggregation
+of the previous shape computed the same left-to-right recurrence through
+four exchanges. Masking, span numbering (count of span STARTS so far —
+identical to the old dense_rank over gaps-and-islands, both number spans
+1..k in position order), and string assembly are all JVM expressions; the
+md5 coin and every piece of output text are byte-identical to the old
+plan and to the SQL oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datapipeline_spark.dedup.minhash import hash48
+from datapipeline_spark.dedup.minhash import HASH_HEX_LEN
 
 
 def span_corrupt(
@@ -37,84 +42,79 @@ def span_corrupt(
     ``rate_pct``% of tokens masked by the deterministic hash coin,
     consecutive masks merged into numbered sentinel spans. Returns
     (id, n_tokens, n_masked, n_spans, input_text, target_text)."""
-    toks = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
-                "p0", "tok"
-            ),
-        )
-        .filter(F.col("tok") != "")
-        .select("id", (F.col("p0") + 1).alias("pos"), "tok")
-    )
-    coin = hash48(
-        F.concat(F.col("id").cast("string"), F.lit("|"), F.col("pos").cast("string"))
-    )
-    toks = toks.withColumn("m", (coin % 100 < F.lit(rate_pct)).cast("int"))
-    w = Window.partitionBy("id").orderBy("pos")
-    toks = toks.withColumn("mrank", F.sum("m").over(w)).withColumn(
-        "island", F.when(F.col("m") == 1, F.col("pos") - F.col("mrank"))
-    )
-    # the tokenize+hash+island subtree is consumed twice (the span
-    # numbering branch and the join's probe side) — one lazy checkpoint so
-    # it tokenizes and windows once (the plan otherwise carried two full
-    # scan→explode→window copies, one under the broadcast)
-    toks = toks.localCheckpoint(eager=False)
-    # span numbering: dense rank of islands among this doc's masked rows
-    wspan = Window.partitionBy("id").orderBy("island")
-    spans = (
-        toks.filter(F.col("m") == 1)
-        .select("id", "pos", "island")
-        .withColumn("span", F.dense_rank().over(wspan) - 1)
-    )
-    t = toks.join(spans.select("id", "pos", "span"), ["id", "pos"], "left")
-    first_of_span = (F.col("m") == 1) & (
-        F.coalesce(F.lag("m").over(w), F.lit(0)) == 0
-    )
-    sentinel = F.concat(
-        F.lit("<extra_id_"), F.col("span").cast("string"), F.lit(">")
-    )
-    t = t.withColumn(
-        "in_piece",
-        F.when(F.col("m") == 0, F.col("tok")).when(first_of_span, sentinel),
-    ).withColumn(
-        "tgt_piece",
+    # (pos, tok, m) per kept token, positions assigned over the RAW split
+    # array (1-based) BEFORE empty tokens drop — the coin hashes the same
+    # `id|pos` strings the exploded form did.
+    km = f"""
+    filter(
+      transform(split(trim({text_col}), '\\\\s+'),
+        (t, i0) -> named_struct(
+          'tok', t,
+          'm', CASE WHEN CAST(conv(substring(md5(concat(
+                      CAST({id_col} AS STRING), '|', CAST(i0 + 1 AS STRING))),
+                      1, {HASH_HEX_LEN}), 16, 10) AS BIGINT) % 100 < {rate_pct}
+               THEN 1 ELSE 0 END)),
+      x -> x.tok <> '')
+    """
+    # One O(n) fold in position order. Accumulator: (prev mask, n_tokens,
+    # n_masked, n_spans, input_text, target_text). A span STARTS at m=1
+    # with prev=0; its number is the count of starts before it — exactly
+    # the old dense_rank() - 1 over islands, which also numbers spans in
+    # position order. Piece-by-piece string appends joined by single
+    # spaces == the old array_join(collect_list(piece), ' ') in pos order.
+    agg = f"""
+    aggregate(
+      {km},
+      named_struct('prev', 0, 'cnt', CAST(0 AS BIGINT),
+                   'nmask', CAST(0 AS BIGINT), 'nsp', CAST(0 AS BIGINT),
+                   'inp', '', 'tgt', ''),
+      (a, x) -> named_struct(
+        'prev', x.m,
+        'cnt', a.cnt + 1,
+        'nmask', a.nmask + x.m,
+        'nsp', a.nsp + CASE WHEN x.m = 1 AND a.prev = 0 THEN 1 ELSE 0 END,
+        'inp', CASE
+          WHEN x.m = 0 THEN
+            CASE WHEN a.inp = '' THEN x.tok
+                 ELSE concat(a.inp, ' ', x.tok) END
+          WHEN a.prev = 0 THEN
+            CASE WHEN a.inp = ''
+                 THEN concat('<extra_id_', CAST(a.nsp AS STRING), '>')
+                 ELSE concat(a.inp, ' <extra_id_', CAST(a.nsp AS STRING), '>')
+            END
+          ELSE a.inp END,
+        'tgt', CASE
+          WHEN x.m = 0 THEN a.tgt
+          WHEN a.prev = 0 THEN
+            CASE WHEN a.tgt = ''
+                 THEN concat('<extra_id_', CAST(a.nsp AS STRING), '> ', x.tok)
+                 ELSE concat(a.tgt, ' <extra_id_', CAST(a.nsp AS STRING),
+                             '> ', x.tok)
+            END
+          ELSE concat(a.tgt, ' ', x.tok) END))
+    """
+    # The old explode dropped documents with no non-empty token entirely.
+    # The gate is a CHEAP independent predicate on the raw text (not
+    # `__s__.cnt > 0`: predicate pushdown would substitute the whole
+    # md5-laden aggregate into the filter and evaluate it twice per row).
+    has_tok = F.expr(f"exists(split(trim({text_col}), '\\\\s+'), t -> t <> '')")
+    out = df.filter(has_tok).select(F.col(id_col), F.expr(agg).alias("__s__"))
+    return out.select(
+        F.col(id_col),
+        F.col("__s__.cnt").alias("n_tokens"),
+        F.col("__s__.nmask").alias("n_masked"),
+        F.col("__s__.nsp").alias("n_spans"),
+        F.col("__s__.inp").alias("input_text"),
         F.when(
-            F.col("m") == 1,
-            F.when(
-                first_of_span, F.concat(sentinel, F.lit(" "), F.col("tok"))
-            ).otherwise(F.col("tok")),
-        ),
-    )
-
-    def joined(piece: str) -> F.Column:
-        arr = F.array_sort(
-            F.collect_list(
-                F.when(
-                    F.col(piece).isNotNull(),
-                    F.struct(F.col("pos"), F.col(piece).alias("s")),
-                )
+            F.col("__s__.nsp") == 0, F.lit("<extra_id_0>")
+        )
+        .otherwise(
+            F.concat(
+                F.col("__s__.tgt"),
+                F.lit(" <extra_id_"),
+                F.col("__s__.nsp").cast("string"),
+                F.lit(">"),
             )
         )
-        return F.array_join(F.transform(arr, lambda x: x["s"]), " ")
-
-    out = t.groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.sum("m").cast("long").alias("n_masked"),
-        F.countDistinct("span").cast("long").alias("n_spans"),
-        joined("in_piece").alias("input_text"),
-        joined("tgt_piece").alias("tgt_body"),
-    )
-    closing = F.concat(
-        F.lit("<extra_id_"), F.col("n_spans").cast("string"), F.lit(">")
-    )
-    return out.select(
-        F.col("id").alias(id_col),
-        "n_tokens",
-        "n_masked",
-        "n_spans",
-        "input_text",
-        F.when(F.col("n_spans") == 0, closing)
-        .otherwise(F.concat(F.col("tgt_body"), F.lit(" "), closing))
         .alias("target_text"),
     )
