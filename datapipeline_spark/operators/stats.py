@@ -135,6 +135,7 @@ def pearson_corr(
     groups: Sequence[str] = (),
     out: str = "pearson",
     wide: bool = False,
+    prereduce: bool = False,
 ) -> DataFrame:
     """Per-group Pearson correlation of exact-integer columns, the signed
     companion to ols' r²: r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
@@ -143,17 +144,41 @@ def pearson_corr(
     spearman_corr (which is this function on doubled ranks). Output:
     groups + (n, <out>) rounded to 6 decimals; NULL when either variance
     is zero. Per-row products run in int64 (see _sumprod — |v| ≲ 3e9;
-    ``wide=True`` for unbounded magnitude)."""
+    ``wide=True`` for unbounded magnitude).
+
+    ``prereduce=True`` (round-7 opt, guide §2.3 partial aggregation):
+    when the JOINT (x, y) value domain is small (categorical/quantized
+    regressors — quantities, percent fields), first reduce to the
+    (groups, x, y) frequency table, then combine the five sufficient
+    statistics as Σ value·freq. Every sum is EXACTLY the per-row sum
+    (Σ_rows f(x,y) ≡ Σ_values freq·f(x,y), NULL keys group separately so
+    per-column NULL skipping is preserved), but the decimal(38,0)
+    accumulation — ~10x a codegen long op — runs over distinct value
+    combinations instead of rows, and the second exchange carries the
+    frequency table. NOT for continuous domains: joint cardinality ~rows
+    adds an exchange for nothing."""
     gx = list(groups)
     xc, yc = F.col(x), F.col(y)
-    a = df.groupBy(*gx).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(xc.cast(_D)).alias("sx"),
-        F.sum(yc.cast(_D)).alias("sy"),
-        _sumprod(xc, xc, wide).alias("sxx"),
-        _sumprod(yc, yc, wide).alias("syy"),
-        _sumprod(xc, yc, wide).alias("sxy"),
-    )
+    if prereduce:
+        g = df.groupBy(*gx, x, y).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        xd, yd, cd = xc.cast(_D), yc.cast(_D), F.col("__c").cast(_D)
+        a = g.groupBy(*gx).agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.sum(xd * cd).alias("sx"),
+            F.sum(yd * cd).alias("sy"),
+            F.sum(xd * xd * cd).alias("sxx"),
+            F.sum(yd * yd * cd).alias("syy"),
+            F.sum(xd * yd * cd).alias("sxy"),
+        )
+    else:
+        a = df.groupBy(*gx).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(xc.cast(_D)).alias("sx"),
+            F.sum(yc.cast(_D)).alias("sy"),
+            _sumprod(xc, xc, wide).alias("sxx"),
+            _sumprod(yc, yc, wide).alias("syy"),
+            _sumprod(xc, yc, wide).alias("sxy"),
+        )
     n = F.col("n").cast(_D)
     num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
@@ -255,7 +280,12 @@ def chi_square(df: DataFrame, x: str, y: str) -> DataFrame:
 
 
 def ols(
-    df: DataFrame, x: str, y: str, groups: Sequence[str] = (), wide: bool = False
+    df: DataFrame,
+    x: str,
+    y: str,
+    groups: Sequence[str] = (),
+    wide: bool = False,
+    prereduce: bool = False,
 ) -> DataFrame:
     """Per-group simple linear regression (OLS): slope, intercept, r2.
 
@@ -269,17 +299,42 @@ def ols(
     r² = cov²/(var_x·var_y) are short IEEE chains (+,−,*,/ are correctly
     rounded) so the rounded outputs hash-match a SQL oracle. Per-row
     products run in int64 (see _sumprod; ``wide=True`` for unbounded
-    magnitude)."""
+    magnitude).
+
+    ``prereduce=True`` (round-7 opt, guide §2.3): for a LOW-CARDINALITY
+    regressor x (categorical/quantized — y may stay continuous), first
+    reduce to the (groups, x) table carrying (count, Σy, Σy²), then
+    combine: sx = Σx·c, sxx = Σx²·c, sxy = Σx·(Σy per x). Exactly the
+    per-row sums (Σ_rows f ≡ Σ_x freq-weighted f; NULL x groups
+    separately, preserving per-column NULL skipping), with per-row
+    decimal accumulations cut from five to two (Σy, Σy²). NOT for
+    continuous x: joint cardinality ~rows adds an exchange for nothing."""
     gx = list(groups)
     xc, yc = F.col(x), F.col(y)
-    a = df.groupBy(*gx).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(xc.cast(_D)).alias("sx"),
-        F.sum(yc.cast(_D)).alias("sy"),
-        _sumprod(xc, xc, wide).alias("sxx"),
-        _sumprod(yc, yc, wide).alias("syy"),
-        _sumprod(xc, yc, wide).alias("sxy"),
-    )
+    if prereduce:
+        g = df.groupBy(*gx, x).agg(
+            F.count(F.lit(1)).cast("long").alias("__c"),
+            F.sum(yc.cast(_D)).alias("__gy"),
+            _sumprod(yc, yc, wide).alias("__gyy"),
+        )
+        xd, cd = xc.cast(_D), F.col("__c").cast(_D)
+        a = g.groupBy(*gx).agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.sum(xd * cd).alias("sx"),
+            F.sum("__gy").alias("sy"),
+            F.sum(xd * xd * cd).alias("sxx"),
+            F.sum("__gyy").alias("syy"),
+            F.sum(xd * F.col("__gy")).alias("sxy"),
+        )
+    else:
+        a = df.groupBy(*gx).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(xc.cast(_D)).alias("sx"),
+            F.sum(yc.cast(_D)).alias("sy"),
+            _sumprod(xc, xc, wide).alias("sxx"),
+            _sumprod(yc, yc, wide).alias("syy"),
+            _sumprod(xc, yc, wide).alias("sxy"),
+        )
     n = F.col("n").cast(_D)
     cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
@@ -942,6 +997,7 @@ def ols2(
     y: str,
     groups: Sequence[str] = (),
     wide: bool = False,
+    prereduce: bool = False,
 ) -> DataFrame:
     """Per-group TWO-regressor OLS (y ~ b1·x1 + b2·x2 + intercept) — the
     multiple-regression step beyond `ols`, still one aggregation pass.
@@ -956,20 +1012,49 @@ def ols2(
     coefficients hash-match (the pearson/ols discipline one matrix
     dimension up). Collinear regressors (det = 0) → NULL. Per-row
     products run in int64 (see _sumprod; ``wide=True`` for unbounded
-    magnitude)."""
+    magnitude).
+
+    ``prereduce=True`` (round-7 opt, guide §2.3): for LOW-CARDINALITY
+    regressors (categorical/quantized — y may stay continuous), first
+    reduce to the (groups, x1, x2) table carrying (count, Σy), then
+    combine the nine sufficient statistics as freq-weighted sums over
+    value combinations (s1y = Σ x1·(Σy per (x1,x2)), …). Exactly the
+    per-row sums (NULL keys group separately, preserving per-column NULL
+    skipping), with per-row decimal accumulations cut from nine to one
+    (Σy) — A/B at sf0.1: 2.3 → 0.8 s. NOT for continuous regressors:
+    joint cardinality ~rows adds an exchange for nothing."""
     gx = list(groups)
     c1, c2, cy = F.col(x1), F.col(x2), F.col(y)
-    a = df.groupBy(*gx).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(c1.cast(_D)).alias("s1"),
-        F.sum(c2.cast(_D)).alias("s2"),
-        F.sum(cy.cast(_D)).alias("sy"),
-        _sumprod(c1, c1, wide).alias("s11"),
-        _sumprod(c2, c2, wide).alias("s22"),
-        _sumprod(c1, c2, wide).alias("s12"),
-        _sumprod(c1, cy, wide).alias("s1y"),
-        _sumprod(c2, cy, wide).alias("s2y"),
-    )
+    if prereduce:
+        g = df.groupBy(*gx, x1, x2).agg(
+            F.count(F.lit(1)).cast("long").alias("__c"),
+            F.sum(cy.cast(_D)).alias("__gy"),
+        )
+        d1, d2, cd = c1.cast(_D), c2.cast(_D), F.col("__c").cast(_D)
+        gy = F.col("__gy")
+        a = g.groupBy(*gx).agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.sum(d1 * cd).alias("s1"),
+            F.sum(d2 * cd).alias("s2"),
+            F.sum(gy).alias("sy"),
+            F.sum(d1 * d1 * cd).alias("s11"),
+            F.sum(d2 * d2 * cd).alias("s22"),
+            F.sum(d1 * d2 * cd).alias("s12"),
+            F.sum(d1 * gy).alias("s1y"),
+            F.sum(d2 * gy).alias("s2y"),
+        )
+    else:
+        a = df.groupBy(*gx).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(c1.cast(_D)).alias("s1"),
+            F.sum(c2.cast(_D)).alias("s2"),
+            F.sum(cy.cast(_D)).alias("sy"),
+            _sumprod(c1, c1, wide).alias("s11"),
+            _sumprod(c2, c2, wide).alias("s22"),
+            _sumprod(c1, c2, wide).alias("s12"),
+            _sumprod(c1, cy, wide).alias("s1y"),
+            _sumprod(c2, cy, wide).alias("s2y"),
+        )
     n = F.col("n").cast(_D)
     m11 = (n * F.col("s11") - F.col("s1") * F.col("s1")).cast("double")
     m22 = (n * F.col("s22") - F.col("s2") * F.col("s2")).cast("double")

@@ -287,7 +287,11 @@ def q_quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy("quality").rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    tot = q.agg(F.count(F.lit(1)).alias("n"))
+    # total from the HISTOGRAM (Σc == count(*) by construction), not from
+    # q: the quality_score projection has no exchange below it, so a third
+    # consumer re-ran the whole scan+score subtree (round-7 opt: 3 -> 2
+    # full passes; the histogram aggregate is reused for lo/hi anyway)
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
     b = cum.crossJoin(F.broadcast(tot))
     lo = b.filter(10 * F.col("cum") >= F.col("n")).agg(F.min("quality").alias("lo"))
     hi = b.filter(10 * F.col("cum") >= 9 * F.col("n")).agg(F.min("quality").alias("hi"))
@@ -3020,7 +3024,9 @@ def q_ols_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
-    return ols(d, "x", "y", ["l_returnflag"])
+    # prereduce: quantity has ~50 distinct values per flag — the decimal
+    # sufficient statistics combine from the (flag, x) table (round-7 opt)
+    return ols(d, "x", "y", ["l_returnflag"], prereduce=True)
 
 
 @query(
@@ -3194,7 +3200,9 @@ def q_pearson_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_discount") * 100).cast("long").alias("y"),
     )
-    return pearson_corr(d, "x", "y", ["l_returnflag"])
+    # prereduce: quantity x discount-pct is a ~550-cell joint domain — all
+    # five sums combine from the (flag, x, y) frequency table (round-7 opt)
+    return pearson_corr(d, "x", "y", ["l_returnflag"], prereduce=True)
 
 
 @query(
@@ -6691,4 +6699,6 @@ def q_ols2_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
-    return ols2(li, "x1", "x2", "y", ["l_returnflag"])
+    # prereduce: quantity x discount-pct is a ~550-cell joint domain — nine
+    # decimal sums combine from the (flag, x1, x2) table (round-7 opt)
+    return ols2(li, "x1", "x2", "y", ["l_returnflag"], prereduce=True)

@@ -697,10 +697,13 @@ def test_ols_single_aggregation(spark):
     from datapipeline_spark.queries_data import REGISTRY
 
     plan = _plan(REGISTRY["ols_qty_price"][0](spark, SF))
-    # all five sufficient statistics from ONE map-side-combined aggregate
+    # round-7 prereduce: the (flag, x) frequency pre-aggregate (map-side
+    # combined) feeds the sufficient-statistic combine — two exchanges,
+    # still no sort/window/join anywhere
     assert plan.count("Scan parquet") == 1
-    assert _shuffles(plan) == 1
+    assert _shuffles(plan) == 2
     assert "Window" not in plan and "Sort" not in plan
+    assert "Join" not in plan
 
 
 def test_ztest_aggregation_tree_only(spark):

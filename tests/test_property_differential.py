@@ -1439,3 +1439,39 @@ def test_disc_revenue_units_exact_at_rounding_boundary(spark):
         .collect()[0]["revenue"]
     )
     assert got32 == got
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),
+            st.one_of(st.none(), st.integers(-9, 9)),
+            st.one_of(st.none(), st.integers(-9, 9)),
+            st.one_of(st.none(), st.integers(-10_000, 10_000)),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_prereduce_sufficient_stats_identical(spark, rows):
+    """prereduce=True must return the EXACT rows of the per-row form for
+    ols / ols2 / pearson_corr — including NULL columns (NULL keys group
+    separately, so per-column NULL skipping is preserved) and duplicate
+    value combinations (the whole point of the frequency rewrite)."""
+    from datapipeline_spark.operators.stats import ols, ols2, pearson_corr
+
+    df = spark.createDataFrame(rows, "g long, x1 long, x2 long, y long")
+
+    def rs(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    assert rs(ols(df, "x1", "y", ["g"], prereduce=True)) == rs(
+        ols(df, "x1", "y", ["g"])
+    )
+    assert rs(ols2(df, "x1", "x2", "y", ["g"], prereduce=True)) == rs(
+        ols2(df, "x1", "x2", "y", ["g"])
+    )
+    assert rs(pearson_corr(df, "x1", "x2", ["g"], prereduce=True)) == rs(
+        pearson_corr(df, "x1", "x2", ["g"])
+    )
