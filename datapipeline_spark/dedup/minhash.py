@@ -27,6 +27,14 @@ from pyspark.sql import functions as F
 HASH_HEX_LEN = 12  # 48-bit base hash: products with a<2^15 stay in int64
 MOD = (1 << 31) - 1
 
+# Parsed-Column memos (round-7 opt): the permutation-min aggregates and the
+# band-explode expression are pure functions of the MinHash parameters, but
+# every F.expr is a Py4J parse round-trip (~12 ms) paid on EVERY plan
+# construction by every LSH-family caller. Columns wrap immutable expression
+# trees — reuse across plans is safe, and nothing data-dependent is cached.
+_MIN_EXPR_CACHE: dict[tuple, list] = {}
+_BAND_EXPR_CACHE: dict[tuple, object] = {}
+
 
 @dataclass(frozen=True)
 class MinHashParams:
@@ -135,12 +143,22 @@ def minhash_signatures(
     expression instead of ~8 chained Column calls — at k=64 the per-call
     Py4J assembly alone was ~0.9 s of driver time per plan construction.
     Arithmetic is unchanged: int literal · bigint promotes to bigint in
-    SQL exactly as `F.lit(a) * h` did, so signatures are bit-identical."""
+    SQL exactly as `F.lit(a) * h` did, so signatures are bit-identical.
+
+    The parsed Column list is memoized per coefficient set (round-7 opt):
+    even as single parses, k F.expr round-trips cost ~12 ms each, paid on
+    EVERY plan construction by every LSH-family caller. Columns wrap
+    immutable expression trees, so reuse across plans is safe (Spark
+    re-analyzes per plan); nothing data-dependent is cached."""
     hashed = shingles.select(id_col, hash48(F.col("shingle")).alias("__h48"))
-    aggs = [
-        F.expr(f"min(({a} * __h48 + {b}) % {MOD}) AS mh{j}")
-        for j, (a, b) in enumerate(params.coeffs)
-    ]
+    key = tuple(params.coeffs)
+    aggs = _MIN_EXPR_CACHE.get(key)
+    if aggs is None:
+        aggs = [
+            F.expr(f"min(({a} * __h48 + {b}) % {MOD}) AS mh{j}")
+            for j, (a, b) in enumerate(params.coeffs)
+        ]
+        _MIN_EXPR_CACHE[key] = aggs
     return hashed.groupBy(id_col).agg(*aggs)
 
 
@@ -167,19 +185,26 @@ def lsh_candidate_pairs(
     # one parsed expression for the whole band array: the per-Column form
     # (bands × struct/lit/concat_ws assembly) was hundreds of Py4J round
     # trips per plan construction; CAST(... AS STRING) matches the implicit
-    # cast F.concat_ws inserted, so band signatures are byte-identical
-    structs = ", ".join(
-        "named_struct('band', {b}, 'sig', concat_ws('_', {cols}))".format(
-            b=b,
-            cols=", ".join(
-                f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows)
-            ),
+    # cast F.concat_ws inserted, so band signatures are byte-identical.
+    # Memoized per (num_hashes, bands) — same rationale as the signature
+    # Column cache above (the expression names only mh<j> columns).
+    bkey = (params.num_hashes, bands)
+    band_col = _BAND_EXPR_CACHE.get(bkey)
+    if band_col is None:
+        structs = ", ".join(
+            "named_struct('band', {b}, 'sig', concat_ws('_', {cols}))".format(
+                b=b,
+                cols=", ".join(
+                    f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows)
+                ),
+            )
+            for b in range(bands)
         )
-        for b in range(bands)
+        band_col = F.expr(f"explode(array({structs}))")
+        _BAND_EXPR_CACHE[bkey] = band_col
+    banded = signatures.select(id_col, band_col.alias("bs")).select(
+        id_col, "bs.band", "bs.sig"
     )
-    banded = signatures.select(
-        id_col, F.expr(f"explode(array({structs}))").alias("bs")
-    ).select(id_col, "bs.band", "bs.sig")
     from datapipeline_spark.functions.pairs import inrow_pairs
 
     return inrow_pairs(
