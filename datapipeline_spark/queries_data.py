@@ -526,8 +526,16 @@ def q_shared_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join segments across documents — catches copied passages between
     documents that whole-doc or MinHash dedup miss. Segments present in
     >1000 documents are dropped first (boilerplate guard: ubiquitous
-    segments would square the join output at corpus scale). The join key is
-    the integer hash, so the shuffle carries (doc, int64) rows only."""
+    segments would square the join output at corpus scale). Pair
+    generation is IN-ROW (round-7 opt, the jaccard_pairs max_doc_freq
+    shape): one groupBy(h) collects each segment's member doc ids —
+    (doc, h) is distinct, so array size == document frequency and the
+    size gate IS the df filter — and two streaming Generates explode the
+    (id_a < id_b) pairs. This replaces the df aggregate + semi-join +
+    h-keyed self-join (three consumptions of the segment stream, two of
+    them re-exchanges) with a single consumption; group memory is
+    bounded by the 1000-doc cap. The exchanges carry (doc, int64) rows
+    only."""
     d = load_table(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), r"\s+")
     segs = F.when(
@@ -546,14 +554,16 @@ def q_shared_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    keep = seg.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 1000)
-    s2 = seg.join(keep.select("h"), "h")
-    a, b = s2.alias("a"), s2.alias("b")
+    grp = (
+        seg.groupBy("h")
+        .agg(F.collect_list("doc_id").alias("__m__"))
+        .filter(F.size("__m__") <= 1000)
+    )
     return (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        grp.select("__m__", F.explode("__m__").alias("id_a"))
+        .select("id_a", F.explode("__m__").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
 
@@ -1759,11 +1769,25 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     of each span (ordered by (doc_id, position) — exact integer key, no
     tie ambiguity), and reassemble each document from its surviving spans.
     This is the span-removal counterpart of exact_dedup (whole docs) and
-    shared_passage_pairs (detection only). Scale shape: one narrow chunk
-    explode, a first-occurrence aggregate keyed by span hash (map-side
-    combinable min), a hash join back, and a per-doc rebuild whose
-    sort_array runs inside the row — no global sort anywhere."""
+    shared_passage_pairs (detection only). Scale shape (round-7 opt, the
+    guide-§8 decide-small/move-once decomposition): chunk TEXT never
+    crosses an exchange. The exploded chunk stream collapses to
+    (md5, min(okey)) in ONE long-buffer HashAggregate — okey encodes
+    (doc_id, idx) reversibly, so the winner's coordinates come back by
+    integer arithmetic, not by re-joining the chunk stream against the
+    hash winners (the old form's second full-width exchange; a min-over-
+    struct carrying the chunk was measured first and rejected — struct
+    aggregation buffers force SortAggregate). Surviving chunk text is
+    REGENERATED in-row at rebuild from the per-doc word array (the same
+    slice/array_join expressions that produced it, on the winning idx
+    list), and per-doc chunk totals are ceil(|words|/8) straight off the
+    scan — the exploded stream has exactly one consumer."""
     d = load_table(spark, sf_dir, "documents")
+    # measured, NOT spread: the chunk explode + md5 costs ~0.25 s on the
+    # single scan task at sf0.1 while a round-robin exchange of the word
+    # arrays costs ~0.4 s (and of the raw text ~0.3 s) — the payload is
+    # heavier than the compute it would parallelize (tables.spread's
+    # counter-indication, the inverse of the simhash case)
     w = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
     n_chunk = F.ceil(F.size("w") / F.lit(8.0)).cast("long")
     # guard: Spark sequence(0, -1) counts DOWN ([0,-1]) instead of returning
@@ -1784,24 +1808,45 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = ch.withColumn("hsh", F.md5("chunk")).withColumn(
         "okey", F.col("doc_id") * 1000000 + F.col("idx")
     )
-    firsts = h.groupBy("hsh").agg(F.min("okey").alias("first_key"))
-    kept = h.join(firsts, "hsh").filter(F.col("okey") == F.col("first_key"))
-    tot = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    reb = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
-                lambda s: s["chunk"],
-            ),
-            " ",
-        ).alias("cleaned"),
+    # okey is unique per chunk row and encodes (doc_id, idx) reversibly
+    # (idx < 1e6 — the same bound the oracle's okey uses), so the
+    # globally-first occurrence of each span is min(okey): a long-buffer
+    # HashAggregate whose exchange carries (md5, int64) only.
+    kept_keys = h.groupBy("hsh").agg(F.min("okey").alias("k"))
+    per_doc = (
+        kept_keys.select(
+            F.expr("k DIV 1000000").alias("doc_id"),
+            F.expr("k % 1000000").alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("idx")).alias("idxs"))
     )
-    return tot.join(reb, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+    # exploded-chunk count per doc == ceil(|words|/8) for non-empty docs;
+    # docs whose chunk list is empty never reached the old aggregate either.
+    # ONE left join attaches the winning idx lists to the scan (per_doc is
+    # tiny — broadcast): a doc with kept chunks always has chunks, so this
+    # is exactly the old tot ⟕ reb; surviving chunk text is regenerated
+    # in-row with the same slice/array_join that produced it, and idxs is
+    # sorted, so concatenation order matches the old
+    # array_sort(collect_list(struct(idx, chunk))) rebuild exactly
+    return (
+        w.filter(F.size("w") > 0)
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_chunk.alias("n_chunks"),
+            F.coalesce(F.size("idxs").cast("long"), F.lit(0)).alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.col("idxs"),
+                        lambda i: F.array_join(F.slice(F.col("w"), i * 8 + 1, 8), " "),
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("cleaned"),
+        )
     )
 
 
@@ -5297,7 +5342,13 @@ def q_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup (operators/ind.ind_profile). Each side collapses to its
     distinct value set before any join, so shuffle mass is distinct
     values, never rows; the result is six exact-integer rows. The FD half
-    of this profiling family is fd_discovery_orders."""
+    of this profiling family is fd_discovery_orders.
+
+    Measured, NOT spread (round-7): lineitem's keys are high-cardinality
+    but ~4x-duplicated, so the single-task partial bit-or dedups the
+    branch to ~170k rows before the exchange — a spread re-scatters the
+    duplicates across 32 tasks and triples the exchanged partial rows
+    (same-sitting A/B: masks stage 0.97 s unspread vs 1.32 s spread)."""
     from datapipeline_spark.operators.ind import ind_profile
 
     li = load_table(spark, sf_dir, "lineitem")

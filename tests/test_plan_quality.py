@@ -924,14 +924,32 @@ def test_incremental_join_delta_all_legs_broadcast(spark):
 
 
 def test_inclusion_deps_scans_prune_to_key_columns(spark):
-    """Each containment check must scan exactly one column per side —
-    a ReadSchema wider than the key means the distinct-first reduction
-    isn't reaching the scan."""
+    """One scan per TABLE (round-7: participating key columns ride one
+    pass — 6 scans for 10 column sides, not 12 branch scans), each pruned
+    to exactly the candidate key columns; and the single-exchange mask
+    plan must carry BIGINT keys (the all-integral fast path) with no join
+    anywhere."""
     from datapipeline_spark.queries_data import REGISTRY
 
     plan = _plan(REGISTRY["inclusion_deps"][0](spark, SF))
-    for rs in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
-        assert rs.count(":") == 1, f"unpruned scan: {rs}"
+    key_cols = {
+        "l_orderkey", "l_partkey", "l_suppkey",  # lineitem, one scan
+        "o_orderkey", "o_custkey",               # orders, one scan
+        "c_custkey", "p_partkey",
+        "s_suppkey", "s_nationkey", "n_nationkey",
+    }
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == 6, f"expected one scan per table, got {len(schemas)}"
+    for rs in schemas:
+        for fld in rs.split(","):
+            name, typ = fld.split(":")
+            assert name in key_cols, f"unpruned scan column: {fld}"
+            # scans read the native integral type; the shared-BIGINT cast
+            # sits above the scan
+            assert typ in {"tinyint", "smallint", "int", "bigint"}, (
+                f"non-integral key scanned: {fld}"
+            )
+    assert "Join" not in plan, "mask plan must be join-free"
 
 
 def test_link_prediction_reads_checkpointed_edges_once(spark):
