@@ -31,19 +31,42 @@ from pyspark.sql import functions as F
 
 _D = "decimal(38,0)"
 
+#: hi/lo split point for _xsum: both partial sums stay in int64 for
+#: |x| < 2^62 and up to 2^32 rows per group
+_XB = 31
+
+
+def _xsum(x: F.Column) -> F.Column:
+    """Exact Σx (as decimal(38,0)) of an int64 expression via TWO long
+    accumulators instead of one decimal accumulator (round-7 opt, guide
+    §2.3 — the entry-18 probe measured decimal(38,0) accumulation at
+    ~5-10x a codegen long sum, and it also shuffles 16-byte partial
+    states where two longs pack the same information exactly).
+
+    x == (x >> b)·2^b + (x & (2^b − 1)) in two's complement for ANY
+    int64 x (arithmetic shift = floor division, mask = non-negative
+    remainder), so Σx = 2^b·Σhi + Σlo with the recombination exact in
+    decimal. Bounds with b=31: |x| < 2^62 keeps |hi| < 2^31, so both
+    Σhi and Σlo stay inside int64 for up to 2^32 (~4.3e9) rows per
+    group; ANSI mode raises ARITHMETIC_OVERFLOW beyond, never silently
+    wrong (callers expose ``wide=True`` for the unbounded decimal path)."""
+    lo = x.bitwiseAND(F.lit((1 << _XB) - 1))
+    hi = F.shiftright(x, _XB)
+    return F.sum(hi).cast(_D) * F.lit(1 << _XB).cast(_D) + F.sum(lo).cast(_D)
+
 
 def _sumprod(a: F.Column, b: F.Column, wide: bool) -> F.Column:
     """Exact Σ(a·b) for integer columns. Narrow path (default): the per-row
     product runs in native int64 — whole-stage-codegen multiply, ~10x
-    cheaper than decimal(38)'s BigDecimal path — and only the ACCUMULATOR
-    is decimal(38,0), so the sum is exact at any row count. Precondition:
-    every per-row |a·b| < 2^63 (|v| ≲ 3.0e9 when squaring — cents-scale
-    business values sit at ~1e7); ANSI mode raises ARITHMETIC_OVERFLOW on
-    violation, never silently wrong. ``wide=True`` multiplies in
+    cheaper than decimal(38)'s BigDecimal path — and the accumulation is
+    the two-long _xsum, exact for |a·b| < 2^62 (|v| ≲ 2.1e9 when
+    squaring — cents-scale business values sit at ~1e7) and ≤ 2^32 rows
+    per group; ANSI mode raises ARITHMETIC_OVERFLOW on violation, never
+    silently wrong. ``wide=True`` multiplies AND accumulates in
     decimal(38,0) — unbounded magnitude at the old per-row cost."""
     if wide:
         return F.sum(a.cast(_D) * b.cast(_D))
-    return F.sum((a.cast("long") * b.cast("long")).cast(_D))
+    return _xsum(a.cast("long") * b.cast("long"))
 
 
 def _rank2(groups: Sequence[str], col: str) -> F.Column:
@@ -69,18 +92,19 @@ def spearman_corr(
     """Per-group Spearman rank correlation of ``x`` vs ``y`` (average ranks
     for ties). Output: groups + (n, <out>), corr rounded to 6 decimals.
 
-    Doubled ranks are ≤ 2n, so per-row rank PRODUCTS fit int64 up to
-    ~1.5e9 rows per group (``wide=True`` lifts the bound); the SUMS of
-    those products reach 4n³ — past bigint at ~1.3M rows per group (caught
-    by the sf1 rehearsal, ANSI overflow) — so accumulation is always
-    decimal(38,0): 2^126 headroom, exact in any order."""
+    Doubled ranks are ≤ 2n, so per-row rank PRODUCTS fit the _sumprod
+    narrow path up to ~1.0e9 rows per group (``wide=True`` lifts the
+    bound); the SUMS of those products reach 4n³ — past bigint at ~1.3M
+    rows per group (caught by the sf1 rehearsal, ANSI overflow) — so
+    accumulation is the exact two-long _xsum recombined in decimal(38,0),
+    order- and partition-invariant."""
     gx = list(groups)
     d = df.select(*gx, _rank2(gx, x).alias("rx"), _rank2(gx, y).alias("ry"))
     rx, ry = F.col("rx"), F.col("ry")
     a = d.groupBy(*gx).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(rx.cast(_D)).alias("sx"),
-        F.sum(ry.cast(_D)).alias("sy"),
+        _xsum(rx).alias("sx"),
+        _xsum(ry).alias("sy"),
         _sumprod(rx, rx, wide).alias("sxx"),
         _sumprod(ry, ry, wide).alias("syy"),
         _sumprod(rx, ry, wide).alias("sxy"),
@@ -115,7 +139,7 @@ def hhi(
     gx = list(groups)
     a = df.groupBy(*gx).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col(value).cast(_D)).alias("sv"),
+        _xsum(F.col(value).cast("long")).alias("sv"),
         _sumprod(F.col(value), F.col(value), wide).alias("svv"),
     )
     ratio = F.col("svv").cast("double") / (F.col("sv") * F.col("sv")).cast("double")
@@ -173,8 +197,8 @@ def pearson_corr(
     else:
         a = df.groupBy(*gx).agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(xc.cast(_D)).alias("sx"),
-            F.sum(yc.cast(_D)).alias("sy"),
+            _xsum(xc).alias("sx"),
+            _xsum(yc).alias("sy"),
             _sumprod(xc, xc, wide).alias("sxx"),
             _sumprod(yc, yc, wide).alias("syy"),
             _sumprod(xc, yc, wide).alias("sxy"),
@@ -314,7 +338,7 @@ def ols(
     if prereduce:
         g = df.groupBy(*gx, x).agg(
             F.count(F.lit(1)).cast("long").alias("__c"),
-            F.sum(yc.cast(_D)).alias("__gy"),
+            _xsum(yc).alias("__gy"),
             _sumprod(yc, yc, wide).alias("__gyy"),
         )
         xd, cd = xc.cast(_D), F.col("__c").cast(_D)
@@ -329,8 +353,8 @@ def ols(
     else:
         a = df.groupBy(*gx).agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(xc.cast(_D)).alias("sx"),
-            F.sum(yc.cast(_D)).alias("sy"),
+            _xsum(xc).alias("sx"),
+            _xsum(yc).alias("sy"),
             _sumprod(xc, xc, wide).alias("sxx"),
             _sumprod(yc, yc, wide).alias("syy"),
             _sumprod(xc, yc, wide).alias("sxy"),
@@ -530,10 +554,10 @@ def mann_whitney(
     a = d.groupBy(*gx).agg(
         F.sum(1 - F.col("__s")).cast("long").alias("n0"),
         F.sum("__s").cast("long").alias("n1"),
-        F.sum((F.col("__s") * F.col("r2")).cast(_D)).alias("r1sum"),
+        _xsum(F.col("__s") * F.col("r2")).alias("r1sum"),
         # each value-tie block of size t contributes t rows of (t^2 - 1):
         # sum over rows of (t^2 - 1) == sum over blocks of (t^3 - t)
-        F.sum((F.col("__t") * F.col("__t") - 1).cast(_D)).alias("tie_t"),
+        _xsum(F.col("__t") * F.col("__t") - 1).alias("tie_t"),
     )
     n0, n1 = F.col("n0").cast(_D), F.col("n1").cast(_D)
     n = (F.col("n0") + F.col("n1")).cast(_D)
@@ -577,7 +601,10 @@ def welch_ttest(
     yy = (y.cast(_D) * y.cast(_D)) if wide else (y * y)
 
     def _side(expr, cond):
-        return F.sum(F.when(cond, expr).otherwise(F.lit(0)).cast(_D))
+        guarded = F.when(cond, expr).otherwise(F.lit(0))
+        if wide:
+            return F.sum(guarded.cast(_D))
+        return _xsum(guarded.cast("long"))
 
     a = df.groupBy(*gx).agg(
         F.sum(1 - s).cast("long").alias("n0"),
@@ -672,11 +699,13 @@ def gini(
     One exchange + in-partition sort + one aggregate."""
     gx = list(groups)
     w = Window.partitionBy(*gx).orderBy(value)
-    d = df.select(*gx, F.col(value).cast(_D).alias("v"), F.row_number().over(w).alias("i"))
+    d = df.select(
+        *gx, F.col(value).cast("long").alias("v"), F.row_number().over(w).alias("i")
+    )
     a = d.groupBy(*gx).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("v").alias("sv"),
-        F.sum(F.col("v") * (2 * F.col("i").cast(_D))).alias("s2iv"),
+        _xsum(F.col("v")).alias("sv"),
+        _xsum(F.col("v") * (2 * F.col("i"))).alias("s2iv"),
     )
     n = F.col("n").cast(_D)
     num = (F.col("s2iv") - (n + 1) * F.col("sv")).cast("double")
@@ -1028,7 +1057,7 @@ def ols2(
     if prereduce:
         g = df.groupBy(*gx, x1, x2).agg(
             F.count(F.lit(1)).cast("long").alias("__c"),
-            F.sum(cy.cast(_D)).alias("__gy"),
+            _xsum(cy).alias("__gy"),
         )
         d1, d2, cd = c1.cast(_D), c2.cast(_D), F.col("__c").cast(_D)
         gy = F.col("__gy")
@@ -1046,9 +1075,9 @@ def ols2(
     else:
         a = df.groupBy(*gx).agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(c1.cast(_D)).alias("s1"),
-            F.sum(c2.cast(_D)).alias("s2"),
-            F.sum(cy.cast(_D)).alias("sy"),
+            _xsum(c1).alias("s1"),
+            _xsum(c2).alias("s2"),
+            _xsum(cy).alias("sy"),
             _sumprod(c1, c1, wide).alias("s11"),
             _sumprod(c2, c2, wide).alias("s22"),
             _sumprod(c1, c2, wide).alias("s12"),
