@@ -5536,6 +5536,11 @@ def q_skew_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution path it recommends is operators/skew.py (skew_salted_agg)."""
     from datapipeline_spark.operators.skewprof import skew_profile
 
+    # measured, NOT spread (round-7): the (key, value) partial aggregate
+    # dedups the single scan task's 1.8M exploded pairs to ~170k before
+    # the exchange; a spread re-scatters the duplicated key values and
+    # multiplies the exchanged partial rows (interleaved A/B: 1.82 s
+    # unspread vs 3.07 s spread at matched ambient controls)
     li = load_table(spark, sf_dir, "lineitem")
     return skew_profile(
         li, ["l_orderkey", "l_partkey", "l_returnflag"], target_partitions=32
@@ -6257,7 +6262,12 @@ def q_resharding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 1.8x off-uniform), argmax'd in-row with no explode."""
     from datapipeline_spark.operators.shard import resharding_report
 
-    od = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    # spread: the 17-hash rendezvous argmax is a compute-heavy map over a
+    # single-split scan (1 task otherwise — the simhash finding), and both
+    # downstream aggregates key on 17-value shard ids, so per-task partial
+    # aggregation collapses to ≤17 rows regardless of the spread (zero
+    # map-side-combining dilution — the clean spread case)
+    od = spread(load_table(spark, sf_dir, "orders").select("o_orderkey"))
     return resharding_report(od, "o_orderkey", n_before=16, n_after=17)
 
 
