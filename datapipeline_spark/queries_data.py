@@ -1610,6 +1610,14 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, h) rows instead of full ~50-byte 8-gram strings; both
     # consumers are countDistinct/semi-join shaped, so 48-bit collisions
     # cannot change the result.
+    # The lazy checkpoint is LOAD-BEARING at scale even though it charges
+    # ~0.7 s of subtree materialization to construction locally (the §7
+    # AQE finding): the branch filters are deterministic functions of the
+    # group key, so pushdown splits the two consumers' subtrees below the
+    # distinct exchange and WITHOUT the checkpoint the full-corpus
+    # explode+md5+distinct runs twice (plan re-derives, no ReusedExchange
+    # — measured round-7 session 3: removal nets −0.43 s at sf0.1 but
+    # doubles the 100 TB-side work; rejected).
     sh = (
         hashed_word_shingles_from_tokens(
             spread(docs).select(
