@@ -28,7 +28,14 @@ def simhash(
     text_col: str = "text",
     bits: int = 32,
 ) -> DataFrame:
-    """(id, simhash bigint). Tokens weighted by multiplicity."""
+    """(id, simhash bigint). Tokens weighted by multiplicity.
+
+    NULL-text contract (map-only form, pinned by test): every input row
+    surfaces exactly once — a NULL ``text_col`` yields a NULL fingerprint
+    (the pre-round-7 explode-based form dropped such documents; the map
+    form is one-row-in-one-row-out, so composers can count on row
+    parity). An empty string is a single ''-token document and gets the
+    deterministic md5('') fingerprint."""
     # One parsed expression (build discipline). The token-hash array must
     # evaluate ONCE per row — md5 must not re-run per bit position — but a
     # two-projection split gets CollapseProject'd back into the (interpreted)

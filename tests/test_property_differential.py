@@ -1475,3 +1475,52 @@ def test_prereduce_sufficient_stats_identical(spark, rows):
     assert rs(pearson_corr(df, "x1", "x2", ["g"], prereduce=True)) == rs(
         pearson_corr(df, "x1", "x2", ["g"])
     )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),
+            st.integers(-5, 5),
+            st.integers(-70_000, 70_000),
+        ),
+        min_size=2,
+        max_size=80,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_bucketed_rank_paths_identical(spark, rows):
+    """The round-8 two-phase bucket rank (bucket_shift) and the
+    small-domain broadcast rank (x_small_domain) must return the EXACT
+    rows of the windowed default for spearman_corr / mann_whitney /
+    weighted_median — heavy ties (x in [-5,5]), negative values (the
+    arithmetic shiftright bucket must stay monotone), cross-bucket tie
+    placement (y spans several 2^14 buckets), and group multiplicity all
+    drawn by hypothesis."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spark.operators.stats import (
+        mann_whitney,
+        spearman_corr,
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(rows, "g long, x long, v long")
+
+    def rs(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    assert rs(
+        spearman_corr(df, "x", "v", ["g"], x_small_domain=True, bucket_shift=14)
+    ) == rs(spearman_corr(df, "x", "v", ["g"]))
+    assert rs(spearman_corr(df, "x", "v", ["g"], bucket_shift=14)) == rs(
+        spearman_corr(df, "x", "v", ["g"])
+    )
+    side = df.withColumn("s", (F.col("x") > 0).cast("int"))
+    assert rs(mann_whitney(side, "v", "s", ["g"], bucket_shift=14)) == rs(
+        mann_whitney(side, "v", "s", ["g"])
+    )
+    wm = df.withColumn("wt", F.abs(F.col("x")))
+    assert rs(weighted_median(wm, ["g"], "v", "wt", bucket_shift=14)) == rs(
+        weighted_median(wm, ["g"], "v", "wt")
+    )

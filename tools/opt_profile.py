@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Optimization-round profiler: time single queries exactly the way bench.py
 does (rebuild per timed run, noop sink, min-of-N) and optionally dump their
-`.explain("formatted")` to plans/r07/<name>_<tag>.txt.
+`.explain("formatted")` to plans/<round>/<name>_<tag>.txt.
 
 Usage:
   python tools/opt_profile.py q1 q2 ...            # time, min-of-3
@@ -30,7 +30,8 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--dump", default=None, help="tag: write plans/r07/<q>_<tag>.txt")
+    ap.add_argument("--dump", default=None, help="tag: write plans/<round>/<q>_<tag>.txt")
+    ap.add_argument("--plans-dir", default="plans/r08")
     ap.add_argument("--no-warm", action="store_true")
     args = ap.parse_args()
 
@@ -59,7 +60,7 @@ def main() -> None:
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
-            p = Path("plans/r07") / f"{name}_{args.dump}.txt"
+            p = Path(args.plans_dir) / f"{name}_{args.dump}.txt"
             p.parent.mkdir(parents=True, exist_ok=True)
             p.write_text(plan)
         df.write.format("noop").mode("overwrite").save()  # warm run, discarded
